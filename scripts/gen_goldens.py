@@ -1,0 +1,310 @@
+"""Author the pytest golden files (tests/golden/*.json).
+
+The golden files are the FROZEN SPEC of extraction semantics
+(SURVEY.md §0/§5: /root/reference is empty, so the goldens are
+authored from the documented reference semantics and then pinned).
+This script exists to (re)author them deliberately: each case lists
+its inputs; expected spans are computed by the current implementation,
+printed for human review, and written out. It is NOT run by CI — the
+committed JSON is authoritative; tests compare against it. If
+semantics must change, rerun this script, re-review the diff, and
+commit the new goldens as a deliberate spec change.
+
+Run: python scripts/gen_goldens.py
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from xkit.doc import extract_doc  # noqa: E402
+from xkit.options import ExtractOptions  # noqa: E402
+from xkit.pdfmini import make_fixture_pdf  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+
+PDF1 = make_fixture_pdf([["Hello PDF line one", "and line two"]])
+PDF2 = make_fixture_pdf([["First block text"], ["Second block text"]])
+PDF_ESC = make_fixture_pdf([["Parens (kept) and back\\slash", "caf\xe9 via latin-1"]])
+PDF_TJ = (
+    "%PDF-1.4\n4 0 obj\n<< /Length 60 >>\nstream\n"
+    "BT\n/F1 12 Tf\n0 700 Td\n[ (Hello ) -250 (world via TJ) ] TJ\nET\n"
+    "endstream\nendobj\n%%EOF"
+)
+
+# case = (name, spans | html | raw_b64 [, base_url])
+CASES = {
+    "malformed_markup": [
+        ("p_implicit_close", "<p>paragraph one text<p>paragraph two text"),
+        ("li_implicit_close", "<ul><li>item alpha beta<li>item gamma delta</ul>"),
+        (
+            "table_soup",
+            "<table><tr><td>cell one text<td>cell two text<tr><td>cell three text</table>",
+        ),
+        ("stray_close_dropped", "before stray </div> after stray"),
+        (
+            "stray_close_pops_ancestors",
+            "<div><p>inner paragraph text</div>text after div close",
+        ),
+        ("unclosed_at_eof", "<p>text with <b>bold running to eof"),
+        ("br_void_splits_block", "<p>first line text<br>second line text</p>"),
+        ("xml_self_close", "<div/>text after self closed div"),
+        ("content_before_html", "leading text outside<html><body><p>paragraph in body</p></body></html>"),
+        (
+            "mis_nested_inline",
+            "<div>alpha <b>beta gamma</div></b> trailing tail text",
+        ),
+        ("close_void_ignored", "<p>line one</br> continues same block</p>"),
+        ("head_implicit_close", "<head><meta charset=utf-8><p>body starts here implicitly"),
+        ("lone_lt_literal", "<p>math: a < b and c<3 stays literal</p>"),
+    ],
+    "entities": [
+        ("named", "<p>fish &amp; chips caf&eacute; &lt;tag&gt;</p>"),
+        ("nbsp_collapses", "<p>one&nbsp;&nbsp;two words</p>"),
+        ("numeric_dec_hex", "<p>&#120;yz and &#x41;BC letters</p>"),
+        ("unknown_literal", "<p>keep &foo; literally here</p>"),
+        ("legacy_no_semicolon", "<p>a & b &notanentity word</p>"),
+        ("entity_in_attr", '<p>image next</p><img src="a&amp;b.png">'),
+        (
+            "script_not_decoded",
+            '<script>var x = "&amp;";</script><p>visible &amp; decoded text</p>',
+        ),
+        ("supplementary_plane", "<p>emoji &#x1F600; end of line</p>"),
+        ("c1_windows_remap", "<p>dash &#151; remapped here</p>"),
+    ],
+    "rcdata": [
+        (
+            "script_raw_lt",
+            '<script>if(a<b){document.write("</p>")}</script><p>after script text</p>',
+        ),
+        ("style_raw", "<style>p>a{color:red}</style><p>styled paragraph text</p>"),
+        ("title_dropped", "<title>x &amp; y</title><p>body paragraph text</p>"),
+        (
+            "textarea_dropped",
+            "<textarea><p>not parsed &amp; dropped</p></textarea><p>real paragraph text</p>",
+        ),
+        ("script_unterminated", "<p>before script</p><script>var x = 1; // never closed"),
+        ("script_case_insensitive_close", "<script>x=1</SCRIPT><p>after mixed case</p>"),
+    ],
+    "comments": [
+        ("comment_dropped", "<p>first paragraph</p><!-- hidden comment --><p>second paragraph</p>"),
+        ("comment_unterminated", "<p>seen text</p><!-- runs to eof <p>never seen"),
+        ("doctype_consumed", "<!DOCTYPE html><p>content after doctype</p>"),
+        ("cdata_dropped", "<p>alpha one</p><![CDATA[never shown]]><p>beta two</p>"),
+        (
+            "conditional_comment",
+            "<!--[if IE]><p>ie only</p><![endif]--><p>normal visible text</p>",
+        ),
+        ("processing_instruction", "<?php echo 1; ?><p>after the pi</p>"),
+        ("bogus_bang", "<!weird decl><p>after bogus markup</p>"),
+    ],
+    "attributes_media": [
+        ("img_media_span", "<p>intro paragraph text</p><img src=photo.png><p>outro paragraph text</p>"),
+        ("attr_quoting_forms", "<img src='single.png' alt=unquoted width=100>"),
+        ("duplicate_attr_first_wins", '<img src="first.png" src="second.png">'),
+        (
+            "relative_src_base_url",
+            '<img src="../img/x.png">',
+            "http://example.com/a/b/",
+        ),
+        ("empty_src_no_media", "<img src><p>text beside empty src</p>"),
+        ("video_with_fallback", '<video src="v.mp4">fallback text stays visible</video>'),
+        (
+            "iframe_fallback_dropped",
+            '<iframe src="frame.html">fallback never rendered</iframe><p>after the frame</p>',
+        ),
+        ("source_in_video", '<video><source src="v.webm"><source src="v.mp4"></video>'),
+        ("hidden_img_dropped", '<img src="h.png" hidden><p>visible paragraph text</p>'),
+        ("unquoted_slash_value", "<img src=x.png/>"),
+    ],
+    "boilerplate_density": [
+        (
+            "nav_dropped",
+            '<nav><a href="/">Home</a><a href="/a">About</a></nav>'
+            "<p>The main article text, long and meaty enough to score well.</p>",
+        ),
+        (
+            "footer_dropped",
+            "<p>Real content paragraph with enough substance here.</p>"
+            "<footer>Copyright 2026 Example Corp</footer>",
+        ),
+        (
+            "aside_dropped",
+            "<aside>related links sidebar stuff</aside><p>primary content sentence goes here.</p>",
+        ),
+        (
+            "linkfarm_dropped",
+            '<div><a href="1">one link</a> <a href="2">two link</a> <a href="3">three link</a></div>'
+            "<p>Genuine paragraph content that should survive filtering.</p>",
+        ),
+        (
+            "long_para_with_link_kept",
+            '<p>This sentence has a single <a href="x">inline link</a> but plenty of '
+            "surrounding prose so link density stays low.</p>",
+        ),
+        ("whitespace_collapsed", "<p>  lots   of\n\t   spaces   here  </p>"),
+        (
+            "hidden_attr_dropped",
+            '<p hidden>invisible text one</p><p aria-hidden="true">invisible text two</p>'
+            "<p>shown paragraph text</p>",
+        ),
+        ("tiny_tag_heavy_dropped", "<div><b>x</b></div><p>normal length content kept here</p>"),
+        (
+            "noscript_template_dropped",
+            "<noscript>enable js please</noscript><template><p>tpl</p></template>"
+            "<p>actual page content text</p>",
+        ),
+    ],
+    "interleaved": [
+        (
+            "html_media_html",
+            [
+                ("html", "<p>first part text</p>", None),
+                ("media", None, "m1.png"),
+                ("html", "<p>second part text</p>", None),
+            ],
+        ),
+        (
+            "empty_html_span_keeps_order",
+            [
+                ("html", "<div></div>", None),
+                ("media", None, "m2.png"),
+                ("html", "<p>tail content text</p>", None),
+            ],
+        ),
+        (
+            "pdf_between_html_and_media",
+            [
+                ("html", "<p>html head text</p>", None),
+                ("pdf", PDF2, None),
+                ("media", None, "vid.mp4"),
+            ],
+        ),
+        (
+            "offsets_define_order",
+            [
+                ("html", "<p>came last in array</p>", None, 2),
+                ("media", None, "first.png", 0),
+                ("html", "<p>middle html text</p>", None, 1),
+            ],
+        ),
+        (
+            "html_with_inline_media",
+            [
+                ("html", '<p>before image</p><img src="inline.png"><p>after image</p>', None),
+                ("media", None, "native.mp4"),
+            ],
+        ),
+    ],
+    "pdf_dialect": [
+        ("pdf_multiline_block", [("pdf", PDF1, None)]),
+        ("pdf_two_blocks", [("pdf", PDF2, None)]),
+        ("pdf_escapes_octal", [("pdf", PDF_ESC, None)]),
+        ("pdf_tj_array_form", [("pdf", PDF_TJ, None)]),
+        ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
+    ],
+}
+
+ENCODING_CASES = [
+    ("utf8_bom", "﻿".encode("utf-8")[0:3] + "<p>bom stripped body text</p>".encode("utf-8"), None),
+    ("utf16le_bom", b"\xff\xfe" + "<p>utf sixteen le text</p>".encode("utf-16-le"), None),
+    ("utf16be_bom", b"\xfe\xff" + "<p>utf sixteen be text</p>".encode("utf-16-be"), None),
+    (
+        "meta_charset_1252",
+        "<meta charset=windows-1252><p>caf\xe9 cr\xe8me body</p>".encode("cp1252"),
+        None,
+    ),
+    (
+        "meta_content_type_latin1",
+        '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+        "<p>d\xe9j\xe0 vu paragraph</p>".encode("latin-1"),
+        None,
+    ),
+    ("no_meta_utf8_fallback", "<p>fallback caf\xe9 utf8</p>".encode("utf-8"), None),
+    (
+        "bom_beats_meta",
+        b"\xef\xbb\xbf" + "<meta charset=windows-1252><p>bom wins caf\xe9</p>".encode("utf-8"),
+        None,
+    ),
+]
+
+
+def _spans_to_lists(spans):
+    kinds, texts, refs, offs = [], [], [], []
+    for i, s in enumerate(spans):
+        kinds.append(s[0])
+        texts.append(s[1])
+        refs.append(s[2])
+        offs.append(s[3] if len(s) > 3 else i)
+    return kinds, texts, refs, offs
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for fname, cases in CASES.items():
+        out_cases = []
+        for case in cases:
+            name, payload = case[0], case[1]
+            base_url = case[2] if len(case) > 2 and isinstance(payload, str) else None
+            if isinstance(payload, str):
+                spans = [("html", payload, None)]
+                rec: dict = {"name": name, "html": payload, "base_url": base_url}
+            else:
+                spans = payload
+                rec = {
+                    "name": name,
+                    "spans": [
+                        {
+                            "kind": s[0],
+                            "text": s[1],
+                            "media_ref": s[2],
+                            "offset": s[3] if len(s) > 3 else i,
+                        }
+                        for i, s in enumerate(payload)
+                    ],
+                    "base_url": None,
+                }
+            opt = ExtractOptions(base_url=base_url) if base_url else ExtractOptions()
+            k, t, m, o = extract_doc(*_spans_to_lists(spans), options=opt)
+            rec["expected_spans"] = [
+                {"kind": k[i], "text": t[i], "media_ref": m[i], "offset": o[i]}
+                for i in range(len(k))
+            ]
+            out_cases.append(rec)
+            print(f"[{fname}/{name}]")
+            for s in rec["expected_spans"]:
+                print("   ", s)
+        path = os.path.join(GOLDEN_DIR, fname + ".json")
+        with open(path, "w") as f:
+            json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
+        print("wrote", path)
+
+    out_cases = []
+    for name, raw, http_charset in ENCODING_CASES:
+        k, t, m, o = extract_doc(["html"], [raw], [None], [0])
+        rec = {
+            "name": name,
+            "raw_b64": base64.b64encode(raw).decode("ascii"),
+            "base_url": None,
+            "expected_spans": [
+                {"kind": k[i], "text": t[i], "media_ref": m[i], "offset": o[i]}
+                for i in range(len(k))
+            ],
+        }
+        out_cases.append(rec)
+        print(f"[encoding/{name}]")
+        for s in rec["expected_spans"]:
+            print("   ", s)
+    path = os.path.join(GOLDEN_DIR, "encoding.json")
+    with open(path, "w") as f:
+        json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

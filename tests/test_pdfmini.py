@@ -1,0 +1,41 @@
+"""PDF fixture-dialect tests (SURVEY.md A26, FIXTURES.md §6)."""
+
+from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
+
+
+def test_single_block_lines_joined():
+    pdf = make_fixture_pdf([["line one", "line two"]])
+    assert extract_pdf_text(pdf) == ["line one line two"]
+
+
+def test_blocks_are_separate_spans():
+    pdf = make_fixture_pdf([["block a"], ["block b"]])
+    assert extract_pdf_text(pdf) == ["block a", "block b"]
+
+
+def test_escapes():
+    pdf = make_fixture_pdf([["parens (x) back\\slash"]])
+    assert extract_pdf_text(pdf) == ["parens (x) back\\slash"]
+
+
+def test_octal_escape():
+    raw = (
+        "%PDF-1.4\nstream\nBT (caf\\351) Tj ET\nendstream"
+    )
+    assert extract_pdf_text(raw) == ["café"]
+
+
+def test_tj_array():
+    raw = "%PDF-1.4\nstream\nBT [ (a ) -120 (b) ] TJ ET\nendstream"
+    assert extract_pdf_text(raw) == ["a b"]
+
+
+def test_non_pdf_returns_nothing():
+    assert extract_pdf_text("hello") == []
+    assert extract_pdf_text(b"") == []
+    assert extract_pdf_text("%PDF-1.4 but no streams") == []
+
+
+def test_bytes_and_str_agree():
+    pdf = make_fixture_pdf([["same either way"]])
+    assert extract_pdf_text(pdf) == extract_pdf_text(pdf.encode("latin-1"))

@@ -1,0 +1,34 @@
+"""Extraction options (SURVEY.md A21).
+
+The reference exposes ``HtmlParserOptions`` ([P:
+XHtmlKit/HtmlParserOptions.cs]) — notably a base URL for resolving
+relative links. Our analogue also centralizes every boilerplate
+heuristic threshold so the frozen golden semantics live in ONE place
+(SURVEY.md §7 "isolate every rule table for cheap re-tuning").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Knobs for xkit.extract; defaults are the golden-file-frozen spec.
+
+    base_url          : absolutize relative media src via urljoin (A21)
+    max_link_density  : drop a text block when anchor_chars/chars
+                        exceeds this (A23 link-density penalty)
+    min_text_density  : drop a block when chars/(1+inline_tags) falls
+                        below this (A23 tag-ratio scoring)
+    min_block_chars   : drop blocks shorter than this after whitespace
+                        collapse (A25)
+    """
+
+    base_url: str | None = None
+    max_link_density: float = 0.5
+    min_text_density: float = 2.0
+    min_block_chars: int = 1
+
+
+DEFAULT_OPTIONS = ExtractOptions()

@@ -1,0 +1,128 @@
+"""Minimal fixture-dialect PDF text extraction (SURVEY.md A26).
+
+The north rule requires "PDF/layout parsing" in the pipeline
+(BASELINE.json north_star); no PDF library exists in this sandbox
+(SURVEY.md §0), so this module implements a from-scratch extractor
+for a *documented dialect subset* co-designed with the fixture
+generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
+
+* uncompressed PDF (no stream filters),
+* content streams using only ``BT``/``ET`` text objects with ``Tf``,
+  ``Td`` and ``Tj``/``TJ`` (array form) show-text operators,
+* strings in parenthesis form with ``\\(`` ``\\)`` ``\\\\`` and octal
+  escapes, WinAnsi/latin-1 bytes.
+
+Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
+text object is one output block; ``Tj``/``TJ`` strings within it are
+concatenated in stream order, separated by a single space per ``Td``
+line move. Real-world PDFs outside this dialect yield no spans rather
+than raising (A17 never-fail discipline); the limitation is
+documented here and in FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["extract_pdf_text", "make_fixture_pdf"]
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# (string) Tj   |   [ (a) -120 (b) ] TJ   |   Td line moves
+_OP_RE = re.compile(
+    rb"""(?P<str>\((?P<body>(?:\\.|[^\\()])*)\))
+      | (?P<tj>Tj)
+      | (?P<TJ>TJ)
+      | (?P<td>-?[0-9.]+\s+-?[0-9.]+\s+Td)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+_OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
+
+
+def _unescape_pdf_string(body: bytes) -> str:
+    body = _OCTAL_RE.sub(lambda m: bytes([int(m.group(1), 8) & 0xFF]), body)
+    body = (
+        body.replace(rb"\(", b"(")
+        .replace(rb"\)", b")")
+        .replace(rb"\n", b"\n")
+        .replace(rb"\r", b"\r")
+        .replace(rb"\t", b"\t")
+        .replace(b"\\\\", b"\\")
+    )
+    return body.decode("latin-1", errors="replace")
+
+
+def extract_pdf_text(data: bytes | str) -> list[str]:
+    """Extract ordered text blocks (one per BT…ET object) from PDF bytes.
+
+    Accepts ``str`` too (the pipeline's ``text`` column is string; the
+    fixture dialect is latin-1-safe).
+    """
+    if isinstance(data, str):
+        data = data.encode("latin-1", errors="replace")
+    if not data.lstrip()[:5].startswith(b"%PDF-"):
+        return []
+    blocks: list[str] = []
+    for stream in _STREAM_RE.finditer(data):
+        for bt in _BT_RE.finditer(stream.group(1)):
+            parts: list[str] = []
+            pending: list[str] = []  # strings seen since the last show op
+            for m in _OP_RE.finditer(bt.group(1)):
+                if m.group("str") is not None:
+                    pending.append(_unescape_pdf_string(m.group("body")))
+                elif m.group("tj") or m.group("TJ"):
+                    if pending:
+                        parts.append("".join(pending))
+                        pending = []
+                elif m.group("td"):
+                    if parts and not parts[-1].endswith(" "):
+                        parts.append(" ")
+            text = "".join(parts).strip()
+            if text:
+                blocks.append(text)
+    return blocks
+
+
+def make_fixture_pdf(blocks: list[list[str]]) -> str:
+    """Build a dialect PDF: one BT…ET object per block, one Td+Tj per line.
+
+    Deterministic; used by the test goldens and the corpus generator
+    (FIXTURES.md §6). Returns latin-1-safe ``str`` suitable for the
+    ``spans.text`` column.
+    """
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    body_parts = []
+    y = 700
+    for block in blocks:
+        lines = ["BT", "/F1 12 Tf"]
+        for line in block:
+            lines.append("0 %d Td" % (-14 if len(lines) > 2 else y))
+            lines.append("(%s) Tj" % esc(line))
+        lines.append("ET")
+        body_parts.append("\n".join(lines))
+        y -= 100
+    content = "\n".join(body_parts)
+    objs = [
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj",
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/MediaBox [0 0 612 792] >>\nendobj",
+        "4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+        % (len(content), content),
+    ]
+    out = ["%PDF-1.4"]
+    offsets = []
+    pos = len("%PDF-1.4\n")
+    for o in objs:
+        offsets.append(pos)
+        out.append(o)
+        pos += len(o) + 1
+    xref = ["xref", "0 5", "0000000000 65535 f "]
+    xref += ["%010d 00000 n " % off for off in offsets]
+    out.append("\n".join(xref))
+    out.append("trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % pos)
+    return "\n".join(out)
