@@ -1,0 +1,96 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus extraction throughput fields
+(docs_per_sec, mb_per_sec) since BASELINE.json's primary metric is
+documents/sec + MB/sec for the extraction job}.
+
+Queries are materialized with the noop sink (full computation, no
+driver collect) so timing measures the distributed plan, not
+driver-side serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from xhtmlkit_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "extract_spans",
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q05_region_revenue",
+    "running_user_value",
+    "hourly_event_stats",
+    "except_custkeys",
+    "embedding_explode",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_tag.replace("sf", "") or 0.1) if sf_tag.startswith("sf") else 0.1
+
+    spark = get_spark(f"local[{cpus}]")
+
+    # corpus input volume for throughput metrics (computed outside timing)
+    corpus_path = entry._corpus_path(sf_dir)
+    corpus = spark.read.parquet(corpus_path)
+    zero = F.lit(0).cast("long")
+    row = corpus.agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.aggregate(
+                "spans",
+                zero,
+                lambda a, s: a + F.coalesce(F.length(s["text"]).cast("long"), zero),
+            )
+        ).alias("chars"),
+    ).collect()[0]
+    n_docs, n_chars = row["docs"], row["chars"]
+
+    qs = entry.queries()
+    # JVM/Python-worker warmup so the first timed query isn't cold
+    materialize(qs["q01_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    ext = times["extract_spans"]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_mb": round(n_chars / 1e6, 2),
+        "docs_per_sec": round(n_docs / ext, 1) if ext else None,
+        "mb_per_sec": round(n_chars / 1e6 / ext, 2) if ext else None,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

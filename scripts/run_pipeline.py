@@ -1,0 +1,89 @@
+"""spark-submit entry point for the extraction job (BASELINE.json
+north_rule: "launches via spark-submit --py-files on multi-executor
+clusters").
+
+    python -m zipfile -c xkit.zip xkit xhtmlkit_spark   # or scripts/make_pyfiles.sh
+    spark-submit --master local[32] --py-files xkit.zip \
+        scripts/run_pipeline.py --input data/corpus.parquet \
+        --output data/out --manifest data/manifest
+
+Prints one JSON line with wall time + throughput (docs/sec, MB/sec),
+the numbers BENCH/BASELINE.md aggregates at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.plans.pipeline import run_pipeline
+
+    spark = SparkSession.builder.getOrCreate()  # master comes from spark-submit
+    spark.sparkContext.setLogLevel("WARN")
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    }.items():
+        spark.conf.set(k, v)
+
+    zero = F.lit(0).cast("long")
+    row = (
+        spark.read.parquet(args.input)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(
+                F.aggregate(
+                    "spans",
+                    zero,
+                    lambda a, s: a + F.coalesce(F.length(s["text"]).cast("long"), zero),
+                )
+            ).alias("chars"),
+        )
+        .collect()[0]
+    )
+
+    t0 = time.monotonic()
+    res = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        manifest_path=args.manifest,
+        num_partitions=args.num_partitions,
+        resume=not args.no_resume,
+    )
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "wall_sec": round(wall, 2),
+                "docs": row["docs"],
+                "mb": round(row["chars"] / 1e6, 2),
+                "docs_per_sec": round(row["docs"] / wall, 1),
+                "mb_per_sec": round(row["chars"] / 1e6 / wall, 2),
+                **res,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

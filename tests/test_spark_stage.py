@@ -1,0 +1,140 @@
+"""Spark-level tests (SURVEY.md §5.2.3): the mapInArrow stage must be
+span-sequence-equal to the pure-Python extractor, resumable, and safe
+on sliced/odd Arrow batches."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from xkit.doc import extract_doc
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from xhtmlkit_spark.session import get_spark
+
+    s = get_spark("local[2]", shuffle_partitions=4, app_name="xkit-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def corpus_path(tmp_path_factory):
+    from xhtmlkit_spark.datagen import generate_corpus
+
+    path = str(tmp_path_factory.mktemp("corpus") / "corpus.parquet")
+    return generate_corpus(path, 120, seed=7)
+
+
+def _pure_python_expected(path):
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rec in pq.read_table(path).to_pylist():
+        sp = rec["spans"]
+        k, t, m, o = extract_doc(
+            [s["kind"] for s in sp],
+            [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+            [s["offset"] for s in sp],
+        )
+        out[rec["doc_id"]] = list(zip(k, t, m, o))
+    return out
+
+
+def test_spark_equals_pure_python(spark, corpus_path):
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_spans(spark.read.parquet(corpus_path)).collect()
+    }
+    expected = _pure_python_expected(corpus_path)
+    assert got.keys() == expected.keys()
+    for doc_id, exp in expected.items():
+        assert got[doc_id] == exp, doc_id
+
+
+def test_determinism_across_parallelism(spark, corpus_path):
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(corpus_path)
+    a = extract_spans(with_size_salt(df, 2)).collect()
+    b = extract_spans(with_size_salt(df, 16)).collect()
+    norm = lambda rows: sorted((r["doc_id"], str(r["spans"])) for r in rows)
+    assert norm(a) == norm(b)
+
+
+def test_sliced_batch_handled():
+    """mapInArrow fns must survive sliced ListArrays (offset != 0)."""
+    from xhtmlkit_spark.operators.extract_stage import make_extract_fn
+    from xkit.options import DEFAULT_OPTIONS
+
+    span_t = pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
+    spans = pa.array(
+        [
+            [{"kind": "html", "text": "<p>doc zero text</p>", "media_ref": None, "offset": 0}],
+            [{"kind": "html", "text": "<p>doc one text</p>", "media_ref": None, "offset": 0}],
+            [{"kind": "media", "text": None, "media_ref": "m.png", "offset": 0}],
+        ],
+        type=pa.list_(span_t),
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["d0", "d1", "d2"]), spans], names=["doc_id", "spans"]
+    )
+    sliced = batch.slice(1, 2)
+    fn = make_extract_fn(DEFAULT_OPTIONS, 0)
+    (out,) = list(fn(iter([sliced])))
+    assert out.column(0).to_pylist() == ["d1", "d2"]
+    rows = out.column(1).to_pylist()
+    assert rows[0][0]["text"] == "doc one text"
+    assert rows[1][0]["media_ref"] == "m.png"
+
+
+def test_null_spans_row():
+    from xhtmlkit_spark.operators.extract_stage import make_extract_fn
+    from xkit.options import DEFAULT_OPTIONS
+
+    span_t = pa.struct([pa.field("kind", pa.string()), pa.field("text", pa.string()),
+                        pa.field("media_ref", pa.string()), pa.field("offset", pa.int32())])
+    spans = pa.array([None, [{"kind": "html", "text": "<p>kept text</p>", "media_ref": None, "offset": 0}]],
+                     type=pa.list_(span_t))
+    batch = pa.RecordBatch.from_arrays([pa.array(["a", "b"]), spans], names=["doc_id", "spans"])
+    fn = make_extract_fn(DEFAULT_OPTIONS, 0)
+    (out,) = list(fn(iter([batch])))
+    rows = out.column(1).to_pylist()
+    assert rows[0] == [] and rows[1][0]["text"] == "kept text"
+
+
+def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
+    from xhtmlkit_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    r1 = run_pipeline(spark, corpus_path, out, man, num_partitions=4)
+    assert r1["skipped_parts"] == 0 and r1["docs_total"] == 120
+    r2 = run_pipeline(spark, corpus_path, out, man, num_partitions=4)
+    assert r2["skipped_parts"] == 16
+    assert (r2["docs_total"], r2["spans_total"]) == (r1["docs_total"], r1["spans_total"])
+
+
+def test_entry_contract_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.columns == ["doc_id", "pos", "kind", "text", "media_ref"]
+    assert df.limit(5).count() > 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)  # every oracle has a query

@@ -1,0 +1,151 @@
+"""THE hot-path operator: mapInArrow extraction stage (SURVEY.md B26).
+
+Wraps the golden-validated per-document extractor (xkit.doc.extract_doc)
+in a ``DataFrame.mapInArrow`` stage. Contract points (BASELINE.json
+"no per-row Python anywhere in the hot path"):
+
+* I/O crosses the JVM↔Python boundary as Arrow RecordBatches only;
+  no row-wise ``@udf`` exists anywhere in this repo.
+* Inside a batch, span columns are accessed as *flat* child arrays
+  (one ``to_pylist`` per column per batch — a C-level columnar copy),
+  sliced per document by the list offsets; output spans are assembled
+  as flat arrays + list offsets via ``pa.ListArray.from_arrays`` —
+  no per-row list-of-dict materialization in either direction.
+* Passthrough columns (e.g. ``part`` for checkpointing) are copied
+  column-wise, untouched by Python.
+
+Column pruning: :func:`extract_spans` selects only
+``doc_id, *passthrough, spans`` before the stage, so Catalyst prunes
+everything else out of the parquet scan (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xkit.doc import extract_doc
+from xkit.options import DEFAULT_OPTIONS, ExtractOptions
+
+__all__ = ["SPAN_STRUCT", "SPANS_TYPE", "extract_spans", "make_extract_fn"]
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+SPANS_TYPE = T.ArrayType(SPAN_STRUCT)
+
+_PA_SPAN = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+
+def make_extract_fn(options: ExtractOptions, n_passthrough: int):
+    """Build the Arrow-batch mapper.
+
+    Expects batches with columns ``[doc_id, <n_passthrough cols>, spans]``
+    (enforced by :func:`extract_spans`'s select) and emits the same
+    layout with extracted spans.
+    """
+
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            spans_idx = n_passthrough + 1
+            lists = batch.column(spans_idx)
+            if lists.offset != 0:
+                # re-materialize a sliced array so .offsets indexes .values
+                lists = pa.concat_arrays([lists])
+            offs = lists.offsets.to_pylist()
+            vals = lists.values
+            kind_l = vals.field("kind").to_pylist()
+            text_l = vals.field("text").to_pylist()
+            ref_l = vals.field("media_ref").to_pylist()
+            off_l = vals.field("offset").to_pylist()
+            ok: list = []
+            ot: list = []
+            om: list = []
+            oo: list = []
+            list_offs = [0]
+            nulls = lists.is_valid().to_pylist() if lists.null_count else None
+            for i in range(len(lists)):
+                if nulls is None or nulls[i]:
+                    s, e = offs[i], offs[i + 1]
+                    k, t, m, o = extract_doc(
+                        kind_l[s:e], text_l[s:e], ref_l[s:e], off_l[s:e], options
+                    )
+                    ok += k
+                    ot += t
+                    om += m
+                    oo += o
+                list_offs.append(len(ok))
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(ok, pa.string()),
+                    pa.array(ot, pa.string()),
+                    pa.array(om, pa.string()),
+                    pa.array(oo, pa.int32()),
+                ],
+                fields=list(_PA_SPAN),
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(list_offs, pa.int32()), struct
+            )
+            cols = [batch.column(j) for j in range(spans_idx)] + [spans_out]
+            yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(
+                [batch.schema.field(j) for j in range(spans_idx)]
+                + [pa.field("spans", pa.list_(_PA_SPAN))]
+            ))
+
+    return extract_batches
+
+
+def extract_spans(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """Run main-content extraction over a corpus DataFrame.
+
+    Input: ``doc_id string, spans array<struct<...>>`` (+ any extra
+    columns; those named in ``passthrough`` survive, everything else
+    is pruned before the Python boundary). Output: same shape with
+    extracted spans (kind ∈ {text, media}).
+    """
+    pt = [c for c in passthrough if c in df.columns]
+    pruned = df.select("doc_id", *pt, "spans")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [pruned.schema[c] for c in pt]
+        + [T.StructField("spans", SPANS_TYPE)]
+    )
+    return pruned.mapInArrow(make_extract_fn(options, len(pt)), out_schema)
+
+
+def span_metrics(df: DataFrame) -> DataFrame:
+    """JVM-side per-doc metrics over a spans column (no Python):
+    n_spans, n_text_spans, n_media_spans, n_chars."""
+    spans = F.col("spans")
+    zero = F.lit(0).cast("long")
+    return df.withColumns(
+        {
+            "n_spans": F.size(spans),
+            "n_text_spans": F.size(F.filter(spans, lambda s: s["kind"] == F.lit("text"))),
+            "n_media_spans": F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media"))),
+            "n_chars": F.aggregate(
+                spans, zero, lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), zero)
+            ),
+        }
+    )
