@@ -267,6 +267,197 @@ def _q_embedding_explode(spark, sf_dir):
     ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 5).alias("val_r"))
 
 
+# --------------------------------------- training-data operators (dedup etc.)
+
+
+def _q_token_counts(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import with_token_counts
+
+    d = _read(spark, sf_dir, "documents")
+    return with_token_counts(d).select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+def _q_quality_scores(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import with_quality
+
+    d = _read(spark, sf_dir, "documents")
+    return with_quality(d).select(
+        "doc_id", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _q_lang_guess(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import with_lang_guess
+
+    d = _read(spark, sf_dir, "documents")
+    return with_lang_guess(d).select("doc_id", "lang", "lang_guess")
+
+
+def _q_fingerprints(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import with_fingerprints
+
+    d = _read(spark, sf_dir, "documents")
+    return with_fingerprints(d).select("doc_id", "fp_md5", "fp_roll")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import minhash_signature, shingles_col
+
+    d = _read(spark, sf_dir, "documents")
+    sig = minhash_signature(shingles_col("text", k=3), n_hashes=4)
+    return d.select(
+        "doc_id",
+        sig[0].alias("sig_0"),
+        sig[1].alias("sig_1"),
+        sig[2].alias("sig_2"),
+        sig[3].alias("sig_3"),
+    )
+
+
+def _q_lsh_candidates(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import lsh_candidate_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    # bigram shingles: the synthetic word-soup docs share vocabulary, so
+    # buckets actually collide (≈600 candidate pairs at sf0.01) and the
+    # bucket-join path is genuinely exercised
+    return lsh_candidate_pairs(d, text="text", n_hashes=4, band_size=2, k=2)
+
+
+def _q_jaccard_candidates(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import jaccard_verify, lsh_candidate_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, text="text", n_hashes=4, band_size=2, k=2)
+    return jaccard_verify(pairs, d, text="text", k=2)
+
+
+def _q_simhash(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import simhash_col
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from xhtmlkit_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from xhtmlkit_spark.operators.similarity import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, k=3, n_planes=8)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from xhtmlkit_spark.operators.similarity import cosine
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") > 0.35)
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from xhtmlkit_spark.functions.spans import media_refs
+    from xhtmlkit_spark.operators.multimodal import (
+        media_feature_stage,
+        media_table_from_refs,
+    )
+
+    corpus = spark.read.parquet(_corpus_path(sf_dir))
+    refs = corpus.select(
+        F.explode(media_refs(F.col("spans"))).alias("media_ref")
+    )
+    media = media_table_from_refs(refs)
+    feats = media_feature_stage(media)
+    return feats.select(
+        "media_ref",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "f_sum"
+        ),
+    )
+
+
+def _q_range_join_event_pairs(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def _q_cube_order_stats(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def _q_approx_distinct(spark, sf_dir):
+    # HLL sketch (B12): no cross-engine oracle by nature → rows-only check
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def _q_stream_hourly_counts(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import hourly_counts_stream
+
+    return hourly_counts_stream(spark, sf_dir)
+
+
+def _q_stream_sessions(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import session_windows_stream
+
+    return session_windows_stream(spark, sf_dir)
+
+
+def _q_stream_static_join(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import stream_static_join
+
+    return stream_static_join(spark, sf_dir)
+
+
+def _q_stream_dedup_counts(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": _q_extract_spans,
@@ -286,11 +477,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_lineitem_features": _q_math_lineitem_features,
         "distinct_counts": _q_distinct_counts,
         "embedding_explode": _q_embedding_explode,
+        # training-data operators
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "lang_guess": _q_lang_guess,
+        "fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidates": _q_lsh_candidates,
+        "jaccard_candidates": _q_jaccard_candidates,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "media_features": _q_media_features,
+        "range_join_event_pairs": _q_range_join_event_pairs,
+        "cube_order_stats": _q_cube_order_stats,
+        "approx_distinct": _q_approx_distinct,
+        # structured-streaming operators (availableNow-drained)
+        "stream_hourly_counts": _q_stream_hourly_counts,
+        "stream_sessions": _q_stream_sessions,
+        "stream_static_join": _q_stream_static_join,
+        "stream_dedup_counts": _q_stream_dedup_counts,
     }
+
+
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
+    """DuckDB twin of operators.similarity.lsh_ann_topk: the ±1 plane
+    weights come from the same md5 rule, written inline in SQL."""
+    proj = lambda tbl, j: (
+        "list_sum(list_transform(range(1,%d), i -> (%s.embedding[i]::DOUBLE) * "
+        "((((('0x' || substr(md5(%d || '_' || (i-1)), 1, 2))::BIGINT) %% 2) * 2 - 1)::DOUBLE)))"
+        % (dim + 1, tbl, j)
+    )
+    bucket = lambda tbl: " + ".join(
+        f"(CASE WHEN {proj(tbl, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, ({bucket('embeddings')}) AS bucket
+          FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            round(
+              list_sum(list_transform(range(1,{dim+1}), i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1,{dim+1}), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1,{dim+1}), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
+            , 6) AS cos_sim
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+        SELECT query_id, rnk, neighbor_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh_topk": _ann_lsh_oracle(),
         # extract_spans: no SQL equivalent (Arrow-stage extraction) → rows-only
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -414,5 +659,233 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(0, len(embedding))) AS pos,
                    round(CAST(unnest(embedding) AS DOUBLE), 5) AS val_r
             FROM embeddings
+        """,
+        # ------------------------------ training-data operators
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(list_filter(
+                       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
+                       x -> x != '')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                     length(text) AS n_chr,
+                     length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS n_stop
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN n_tok > 0 THEN n_chr / n_tok ELSE 0.0 END AS mean_tok,
+                     CASE WHEN n_chr > 0 THEN n_punct / n_chr ELSE 0.0 END AS punct_r,
+                     CASE WHEN n_chr > 0 THEN n_upper / n_chr ELSE 0.0 END AS upper_r,
+                     CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_r
+              FROM t)
+            SELECT doc_id,
+                   round(mean_tok, 4) AS mean_token_len,
+                   round(punct_r, 4) AS punct_ratio,
+                   round(stop_r, 4) AS stopword_ratio,
+                   round(least(stop_r * 2.5, 1.0) * 0.4
+                         + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                         + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+                         + (CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END) * 0.1, 4) AS quality_score
+            FROM r
+        """,
+        "lang_guess": """
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_cjk
+              FROM documents),
+            h AS (
+              SELECT doc_id, lang, has_cjk,
+                 len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS h_en,
+                 len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS h_de,
+                 len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], x))) AS h_fr,
+                 len(list_filter(toks, x -> list_contains(['el','la','los','las','es','un','una','que','de','por'], x))) AS h_es
+              FROM t)
+            SELECT doc_id, lang,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM h
+        """,
+        "fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   md5(lower(list_aggregate(toks, 'string_agg', ' '))) AS fp_md5,
+                   list_reduce(
+                     list_concat([{'h': 0::BIGINT, 'p': 1::BIGINT}],
+                       list_transform(toks[1:64],
+                         t -> {'h': (length(t)::BIGINT * 31 + ascii(t)::BIGINT),
+                               'p': 0::BIGINT})),
+                     (acc, x) -> {'h': (acc.h + (x.h * acc.p) % 1000000007) % 1000000007,
+                                  'p': (acc.p * 131) % 1000000007}
+                   ).h AS fp_roll
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(list_aggregate(regexp_split_to_array(trim(text), '\\s+'),
+                                            'string_agg', ' '))) AS content_key,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "minhash_signatures": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            s AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+                  FROM t)
+            SELECT doc_id,
+                   list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS sig_0,
+                   list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS sig_1,
+                   list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS sig_2,
+                   list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS sig_3
+            FROM s
+        """,
+        "lsh_candidates": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                      i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh FROM t),
+            sig AS (SELECT doc_id,
+                     list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
+                     list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,
+                     list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS s2,
+                     list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS s3
+                    FROM s),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_sig FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig)
+            SELECT DISTINCT x.band_idx AS band_idx, x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+             AND x.doc_id < y.doc_id
+        """,
+        "jaccard_candidates": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                      i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh FROM t),
+            sig AS (SELECT doc_id,
+                     list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
+                     list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,
+                     list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS s2,
+                     list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS s3
+                    FROM s),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_sig FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id)
+            SELECT p.id_a, p.id_b,
+                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+            FROM pairs p
+            JOIN s sa ON sa.doc_id = p.id_a
+            JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        "simhash": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+              FROM documents)
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 60),
+                     b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                               THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+            FROM t
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+                round(
+                  list_sum(list_transform(range(1,65), i -> (q.qe[i]::DOUBLE) * (v.embedding[i]::DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1,65), i -> (q.qe[i]::DOUBLE) * (q.qe[i]::DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1,65), i -> (v.embedding[i]::DOUBLE) * (v.embedding[i]::DOUBLE)))))
+                , 6) AS cos_sim
+              FROM embeddings v, q WHERE v.vec_id != q.qid)
+            SELECT query_id, rnk, neighbor_id, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+              FROM scored) WHERE rnk <= 5
+        """,
+        "embedding_neardup": """
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(
+                  list_sum(list_transform(range(1,65), i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1,65), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1,65), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
+                , 6) AS cos_sim
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id)
+            WHERE cos_sim > 0.35
+        """,
+        "range_join_event_pairs": """
+            SELECT a.user_id AS user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+            GROUP BY a.user_id
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        # streaming ops: the availableNow-drained result must equal the
+        # batch computation — which IS the oracle
+        "stream_hourly_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_sessions": """
+            WITH m AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            g AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, grp
+        """,
+        "stream_static_join": """
+            SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "stream_dedup_counts": """
+            SELECT event_type, count(DISTINCT event_id) AS n_events
+            FROM events GROUP BY event_type
         """,
     }

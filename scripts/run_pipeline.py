@@ -26,6 +26,13 @@ def main() -> None:
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument(
+        "--stage-only",
+        action="store_true",
+        help="materialize the extraction stage into a noop sink (no parquet "
+        "write, no manifest) — isolates compute scaling from the single "
+        "local disk the sandbox shares across all parallelism levels",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,6 +47,11 @@ def main() -> None:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        # giant-doc rows: keep columnar read batches small or the
+        # vectorized reader OOMs at high task concurrency
+        "spark.sql.parquet.columnarReaderBatchSize": "256",
+        # avoid the sort-based dynamic-partition writer (full extra sort)
+        "spark.sql.maxConcurrentOutputFileWriters": "40",
     }.items():
         spark.conf.set(k, v)
 
@@ -60,14 +72,25 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    res = run_pipeline(
-        spark,
-        args.input,
-        args.output,
-        manifest_path=args.manifest,
-        num_partitions=args.num_partitions,
-        resume=not args.no_resume,
-    )
+    if args.stage_only:
+        from xhtmlkit_spark.operators.extract_stage import extract_spans
+        from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
+
+        df = derive_part(spark.read.parquet(args.input))
+        n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
+        extract_spans(with_size_salt(df, n)).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        res = {"mode": "stage_only"}
+    else:
+        res = run_pipeline(
+            spark,
+            args.input,
+            args.output,
+            manifest_path=args.manifest,
+            num_partitions=args.num_partitions,
+            resume=not args.no_resume,
+        )
     wall = time.monotonic() - t0
     print(
         json.dumps(

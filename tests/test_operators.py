@@ -1,0 +1,185 @@
+"""Behavioral tests for training-data operators (dedup, similarity,
+text stats, multimodal, streaming) — value-level checks with injected
+duplicates/neighbors, complementing the DuckDB-oracle contract checks
+(scripts/check_contract.py) which pin engine parity."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from xhtmlkit_spark.session import get_spark
+
+    return get_spark("local[2]", shuffle_partitions=4, app_name="op-tests")
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (4, "completely different content about spark shuffle partitions"),
+        (5, "Spark   shuffle  partitions matter a lot  "),  # ws-normalized distinct
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    from xhtmlkit_spark.operators.dedup import exact_dup_groups
+
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dup_groups(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_lsh_finds_near_duplicate(docs):
+    from xhtmlkit_spark.operators.dedup import jaccard_verify, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(docs, n_hashes=8, band_size=2, k=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup shares most bigrams
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_verify(pairs, docs, k=2).collect()}
+    assert j[(1, 2)] == 1.0
+    if (1, 3) in j:
+        assert 0.5 < j[(1, 3)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.dedup import simhash_col
+
+    out = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash_col("text").alias("sh")).collect()}
+    assert out[1] == out[2]  # identical text → identical simhash
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_fingerprints_normalization(spark):
+    from xhtmlkit_spark.operators.text_stats import with_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["fp_md5"], r["fp_roll"]) for r in with_fingerprints(df).collect()}
+    assert out[1][0] == out[2][0]  # case+ws normalized md5 equal
+    assert out[1][0] != out[3][0]
+    assert out[1][1] != out[3][1]  # rolling hash separates
+
+
+def test_lang_guess_stopwords(spark):
+    from xhtmlkit_spark.operators.text_stats import with_lang_guess
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in der schule und das ist gut"),
+            (3, "le chat est dans la maison et il est un ami"),
+            (4, "这是 中文 文本"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "zh"}
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    import random
+
+    from xhtmlkit_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.01) for v in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.where("vec_id = 0"), k=3).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["cos_sim"] > 0.99
+
+
+def test_media_features_deterministic(spark):
+    from xhtmlkit_spark.operators.multimodal import (
+        media_feature_stage,
+        media_table_from_refs,
+    )
+
+    refs = spark.createDataFrame(
+        [("s3://m/a.jpg",), ("s3://m/b.mp4",), ("s3://m/a.jpg",)], "media_ref string"
+    )
+    media = media_table_from_refs(refs, n_bytes=1024)
+    rows = media_feature_stage(media).collect()
+    assert len(rows) == 2  # distinct refs
+    by_ref = {r["media_ref"]: r for r in rows}
+    assert by_ref["s3://m/b.mp4"]["media_type"] == "video"
+    # features are rounded to 6 dp, so the sum can drift by ≤ 16×5e-7
+    assert abs(sum(by_ref["s3://m/a.jpg"]["features"]) - 1.0) < 1e-4
+    # deterministic across invocations
+    rows2 = media_feature_stage(media_table_from_refs(refs, n_bytes=1024)).collect()
+    assert {r["media_ref"]: r["features"] for r in rows2} == {
+        r["media_ref"]: r["features"] for r in rows
+    }
+
+
+def test_decode_media_is_marked_stub():
+    from xhtmlkit_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image")
+    assert decode_media(b"\x00", "image", decoder=lambda p, t: (t, len(p))) == ("image", 1)
+
+
+def test_stream_dedup_removes_duplicates(spark, tmp_path):
+    import datetime
+
+    from xhtmlkit_spark.streaming.jobs import dedup_events_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        ts = base + datetime.timedelta(minutes=i)
+        rows.append((i, ts, i % 3, "click", 1.0, "{}"))
+        if i % 4 == 0:  # duplicate event ids injected
+            rows.append((i, ts, i % 3, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sfX"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = dedup_events_stream(spark, str(d)).collect()
+    assert {r["event_type"]: r["n_events"] for r in out} == {"click": 20}
+
+
+def test_span_functions_roundtrip(spark):
+    from xhtmlkit_spark.functions.spans import (
+        explode_spans,
+        renest_spans,
+        span_text_concat,
+    )
+
+    data = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "alpha", "media_ref": None, "offset": 0},
+                {"kind": "media", "text": None, "media_ref": "m.png", "offset": 1},
+                {"kind": "text", "text": "beta", "media_ref": None, "offset": 2},
+            ],
+        )
+    ]
+    schema = "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>"
+    df = spark.createDataFrame(data, schema)
+    assert df.select(span_text_concat("spans").alias("t")).collect()[0]["t"] == "alpha\nbeta"
+    back = renest_spans(explode_spans(df)).collect()[0]["spans"]
+    assert [s["kind"] for s in back] == ["text", "media", "text"]
+    assert [s["offset"] for s in back] == [0, 1, 2]

@@ -184,30 +184,40 @@ def generate_corpus(
     chunk_docs: int = 2000,
     overwrite: bool = False,
 ) -> str:
-    """Write the corpus parquet at ``path``; returns the path.
+    """Write the corpus as a DIRECTORY of parquet part files; returns path.
 
-    Idempotent: an existing non-empty file is reused unless
-    ``overwrite`` (the content is fully determined by (seed, n_docs,
-    n_parts), so reuse is safe).
+    One file per ``chunk_docs`` docs: a single big file would make the
+    Spark scan (and therefore the shuffle-map stage feeding the
+    extraction) effectively single-task — at corpus scale input is
+    always many files/splits, and the sandbox must mirror that or the
+    scaling measurement is bottlenecked by one reader thread.
+
+    Idempotent: an existing corpus dir is reused unless ``overwrite``
+    (content is fully determined by (seed, n_docs, n_parts) — per-doc
+    RNG, so chunking doesn't change the data).
     """
-    if os.path.exists(path) and not overwrite:
+    done_marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done_marker) and not overwrite:
         return path
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        os.remove(os.path.join(path, old))
     schema = corpus_schema()
-    tmp = path + ".tmp"
-    with pq.ParquetWriter(tmp, schema) as writer:
-        for lo in range(0, n_docs, chunk_docs):
-            hi = min(lo + chunk_docs, n_docs)
-            ids, spans_col, parts = [], [], []
-            for idx in range(lo, hi):
-                doc_id, spans, part = _make_doc(seed, idx, n_parts)
-                ids.append(doc_id)
-                spans_col.append(spans)
-                parts.append(part)
-            writer.write_table(
-                pa.Table.from_pydict(
-                    {"doc_id": ids, "spans": spans_col, "part": parts}, schema=schema
-                )
-            )
-    os.replace(tmp, path)
+    n_chunks = (n_docs + chunk_docs - 1) // chunk_docs
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk_docs, min((ci + 1) * chunk_docs, n_docs)
+        ids, spans_col, parts = [], [], []
+        for idx in range(lo, hi):
+            doc_id, spans, part = _make_doc(seed, idx, n_parts)
+            ids.append(doc_id)
+            spans_col.append(spans)
+            parts.append(part)
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": ids, "spans": spans_col, "part": parts}, schema=schema
+            ),
+            os.path.join(path, "part-%05d.parquet" % ci),
+        )
+    with open(done_marker, "w"):
+        pass
     return path

@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all
+JVM-side (higher-order functions + hash built-ins; zero Python UDFs),
+each designed to be ANSI-SQL-expressible so the DuckDB oracles in
+__spark_entry__ verify them value-for-value.
+
+Scale shapes (the part that matters at 10^12 docs):
+
+* exact: one hash-aggregate on md5(normalized text) — a single shuffle
+  on a short key, map-side partial aggregation free.
+* MinHash+LSH: signatures are computed per-row (no shuffle), candidate
+  generation is a groupBy on (band_idx, band_sig) — i.e. the classic
+  shingle→minhash→band→bucket-join; only docs sharing a band bucket
+  ever meet, so the join never goes quadratic.
+* SimHash: per-row 64→60-bit signature via bit-vote over token hashes;
+  near-dup = equal signature (or banded prefixes for Hamming<k).
+* n-gram Jaccard: exact verification ONLY on LSH candidate pairs.
+
+Hash choice: md5 (same bytes→same hex in every engine) rather than
+Spark's xxhash64/hash, which DuckDB cannot reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "exact_dup_groups",
+    "shingles_col",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "simhash_col",
+    "jaccard_verify",
+]
+
+
+def normalized_text(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.concat_ws(" ", F.split(F.trim(c), "\\s+")))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    keeper (min id) and the duplicate count."""
+    return (
+        df.withColumn("content_key", F.md5(normalized_text(text)))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles (k consecutive whitespace tokens)."""
+    toks = F.split(F.trim(F.col(text) if isinstance(text, str) else text), "\\s+")
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(joined)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature: for hash i, min over shingles of md5(i:shingle).
+
+    min-of-md5-hex is a valid MinHash family (lexicographic order on a
+    uniform hash); md5 keeps it engine-portable.
+    """
+    def _sig(i: int):
+        # closure, NOT a default-arg lambda (pyspark reads 2-arg lambdas
+        # as its (element, index) higher-order-function form)
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+
+    return F.array(*[_sig(i) for i in range(n_hashes)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join candidate pairs.
+
+    Returns (band_idx, id_a, id_b) for every pair sharing a band
+    bucket; downstream verifies with :func:`jaccard_verify`. The
+    self-join is per-bucket (groupBy band value), so cost is
+    Σ bucket_size² — bounded by construction, never all-pairs.
+    """
+    n_bands = n_hashes // band_size
+    sig = minhash_signature(shingles_col(text, k), n_hashes)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.slice(sig, b * band_size + 1, band_size))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.band_idx").alias("band_idx"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_col(text: Column | str = "text", bits: int = 60) -> Column:
+    """SimHash over whitespace tokens.
+
+    token → 60-bit int via the first 15 hex chars of md5; bit b of the
+    signature is 1 when more token-hashes have bit b set than not.
+    60 bits (15 hex) keeps the value comfortably inside BIGINT in both
+    engines (no unsigned/overflow edge cases).
+    """
+    toks = F.split(F.trim(F.col(text) if isinstance(text, str) else text), "\\s+")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hashes)
+    # unrolled per-bit vote (shift amounts must be literals for shiftright;
+    # NB: a default-arg lambda would read as pyspark's 2-arg (elem, idx) form)
+    def _bit_vote(bit: int):
+        def pred(h):
+            return F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+        return F.when(
+            F.size(F.filter(hashes, pred)) * 2 > n, F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    terms = [_bit_vote(bit) for bit in range(bits)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (broadcast-friendly:
+    pairs are few after LSH; docs join twice on the id)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(text, k).alias("sh")
+    )
+    out = (
+        pairs.select("id_a", "id_b")
+        .distinct()
+        .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )

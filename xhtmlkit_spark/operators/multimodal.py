@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata —
+the Spark-side machinery (schemas, Arrow batching via mapInPandas,
+partition shape) is real and tested; the actual codec work is STUBBED
+because no image/audio library exists in this container:
+
+* :func:`decode_media` raises ``NotImplementedError`` unless a
+  decoder is injected — the marked seam for pillow/libav in prod.
+* :func:`fake_fetch_media` / the feature extractor use a
+  deterministic md5-driven byte generator so tests exercise the full
+  distributed path with verifiable values.
+
+Pattern notes for 100 TB: media bytes ride in their own table keyed by
+media_ref (never inline with text spans — they'd destroy scan locality
+for text-only queries); feature extraction is mapInPandas over
+Arrow-sized batches with binary columns, bounded by
+``maxRecordsPerBatch`` to keep worker memory flat.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "fake_fetch_media",
+    "decode_media",
+    "media_feature_stage",
+]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_FEATURE_DIM = 16
+
+
+def fake_fetch_media(media_ref: str, n_bytes: int = 4096) -> bytes:
+    """Deterministic stand-in for object-store fetch: bytes are an
+    md5-keystream of the ref (same ref → same payload everywhere)."""
+    out = bytearray()
+    seed = media_ref.encode()
+    block = b""
+    while len(out) < n_bytes:
+        block = hashlib.md5(seed + block).digest()
+        out.extend(block)
+    return bytes(out[:n_bytes])
+
+
+def decode_media(payload: bytes, media_type: str, decoder=None):
+    """Decode a media payload. STUB: the container ships no codec libs;
+    inject ``decoder(payload, media_type)`` in prod (pillow/libav)."""
+    if decoder is not None:
+        return decoder(payload, media_type)
+    raise NotImplementedError(
+        "media decoding requires a codec library not present in this "
+        "environment; inject `decoder=` (see module docstring)"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic fake 'embedding': 16-bin byte histogram, L1-normalized
+    — numerically checkable end-to-end without a codec.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=_FEATURE_DIM).astype("float64")
+            total = hist.sum() or 1.0
+            feats.append((hist / total).round(6).tolist())
+        yield pd.DataFrame(
+            {
+                "media_ref": pdf["media_ref"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "features": feats,
+            }
+        )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_feature_stage(media_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over a MEDIA_META_SCHEMA frame."""
+    return media_df.select(
+        "media_ref", "media_type", "payload", "n_bytes"
+    ).mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def media_table_from_refs(refs_df: DataFrame, n_bytes: int = 4096) -> DataFrame:
+    """Materialize a media table (fake payloads) from a media_ref column —
+    the sandbox stand-in for the object-store fetch stage. Stays
+    Arrow-batched via mapInPandas; the ref→type rule is suffix-based."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [fake_fetch_media(r, n_bytes) for r in pdf["media_ref"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": [
+                        "video" if r.endswith((".mp4", ".webm")) else
+                        "audio" if r.endswith((".mp3", ".wav")) else "image"
+                        for r in pdf["media_ref"]
+                    ],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return refs_df.select("media_ref").distinct().mapInPandas(gen, MEDIA_META_SCHEMA)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both JVM-side (zip_with/aggregate — no Python UDFs):
+
+* brute-force cosine top-k — exact baseline; the query set is tiny and
+  broadcast, so cost is O(|corpus| × |queries|), one scan, no shuffle
+  beyond the final per-query top-k (TakeOrdered).
+* LSH-bucketed ANN — random-hyperplane signatures (deterministic
+  md5-derived ±1 planes, so the DuckDB oracle reproduces them bit-for-
+  bit); candidates meet only inside a bucket, the scale path when the
+  query set is NOT tiny.
+
+All float math is explicitly widened to double *before* multiplying
+and summed in array order, making Spark and DuckDB bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine", "brute_force_topk", "hyperplane_signature", "lsh_ann_topk"]
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; double math, sequential sums (oracle-exact)."""
+    da, db = _dvec(a), _dvec(b)
+    zero = F.lit(0.0)
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), zero, lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), zero, lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), zero, lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (queries broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH signature as an int (bit j = sign of ⟨v, h_j⟩).
+
+    Plane component h_j[i] ∈ {-1, +1}, derived from md5(f"{j}_{i}") —
+    deterministic, engine-portable, and integer-exact to reproduce.
+    """
+    dv = _dvec(vec)
+    bits = []
+    for j in range(n_planes):
+        # per-plane ±1 weights as a literal array (computed in Python at
+        # plan-build time from the same md5 rule the oracle SQL uses)
+        import hashlib
+
+        ws = [
+            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 1 else -1
+            for i in range(dim)
+        ]
+        warr = F.array(*[F.lit(float(w)) for w in ws])
+        proj = F.aggregate(
+            F.zip_with(dv, warr, lambda x, w: x * w), F.lit(0.0), lambda s, v: s + v
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact cosine top-k *within* each hyperplane bucket.
+
+    At 10^12 scale this is the join that replaces the quadratic one:
+    docs meet only when all n_planes sign bits agree (expected bucket
+    size |corpus| / 2^n_planes).
+    """
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (pyspark.sql.functions only — no Python in any hot
+path): language ID (stopword-hit heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace
+and a BPE-ish regex), and document fingerprinting (md5 of the
+normalized text, plus a polynomial rolling hash over tokens).
+
+Every operator is deliberately expressible in ANSI SQL too, so each
+has a DuckDB oracle twin in __spark_entry__.oracle_sql — the
+fingerprint arithmetic (shift/xor-free, mod-prime polynomial) was
+chosen precisely so both engines compute bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "tokens_col",
+    "with_token_counts",
+    "with_quality",
+    "with_lang_guess",
+    "with_fingerprints",
+]
+
+# tiny per-language stopword tables (heuristic lang-ID; the point is the
+# Spark expression shape, not linguistic accuracy)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "de", "por"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokens of a (trimmed) text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_arr, t)))
+
+
+def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """n_tokens (whitespace) and n_bpe_tokens (regex pieces)."""
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens_col(text)),
+            "n_bpe_tokens": F.size(
+                F.filter(
+                    F.regexp_extract_all(F.col(text), F.lit(BPE_RE), 0),
+                    lambda t: t != F.lit(""),
+                )
+            ),
+        }
+    )
+
+
+def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality-scoring features + one combined score (rounded, oracle-safe).
+
+    mean_token_len, punct_ratio, stopword_ratio, upper_ratio →
+    quality_score ∈ [0,1]-ish (weights frozen; they only need to be
+    deterministic and identical in SQL).
+    """
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    length = F.length(F.col(text))
+    punct = F.length(F.regexp_replace(F.col(text), "[^.!?,;:]", ""))
+    upper = F.length(F.regexp_replace(F.col(text), "[^A-Z]", ""))
+    stop = _stopword_hits(toks, STOPWORDS["en"])
+    mean_tok = F.when(n_tok > 0, length / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, punct / length).otherwise(F.lit(0.0))
+    upper_ratio = F.when(length > 0, upper / length).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(stop_ratio * 2.5, F.lit(1.0)) * 0.4
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 1.0).otherwise(0.0) * 0.3
+        + F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0) * 0.2
+        + F.when(upper_ratio <= 0.3, 1.0).otherwise(0.0) * 0.1
+    )
+    return df.withColumns(
+        {
+            "mean_token_len": F.round(mean_tok, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "stopword_ratio": F.round(stop_ratio, 4),
+            "quality_score": F.round(score, 4),
+        }
+    )
+
+
+def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic language ID: most stopword hits wins (CJK chars → zh).
+
+    Ties broken by a fixed language order — frozen, mirrored in SQL.
+    """
+    toks = tokens_col(text)
+    hits = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    has_cjk = F.length(F.regexp_replace(F.col(text), "[^\\u4e00-\\u9fff]", "")) > 0
+    best = F.greatest(*hits.values())
+    guess = F.when(has_cjk, F.lit("zh"))
+    for lang in ("en", "de", "fr", "es"):  # fixed tie-break order
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    * fp_md5 — md5 of lowercase whitespace-normalized text (exact-dup key)
+    * fp_roll — polynomial rolling hash over the first 64 tokens:
+      h = Σ (len(tok_i)*31 + ascii(first_char)) * 131^i  (mod 1e9+7);
+      the modulus keeps every intermediate product far inside BIGINT so
+      Spark and DuckDB (which errors on overflow) compute identically.
+    """
+    norm = F.lower(F.concat_ws(" ", tokens_col(text)))
+    toks64 = F.slice(tokens_col(text), 1, 64)
+    mod = F.lit(1000000007)
+    fp_roll = F.aggregate(
+        toks64,
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+        lambda acc, t: F.struct(
+            F.pmod(
+                acc["h"]
+                + F.pmod(
+                    (F.length(t).cast("long") * 31 + F.ascii(t).cast("long")) * acc["p"],
+                    mod,
+                ),
+                mod,
+            ).alias("h"),
+            F.pmod(acc["p"] * 131, mod).alias("p"),
+        ),
+        lambda acc: acc["h"],
+    )
+    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll})

@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xhtmlkit_spark.operators.extract_stage import extract_spans, span_metrics
+from xhtmlkit_spark.operators.extract_stage import extract_spans
 from xhtmlkit_spark.sources import io as xio
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 
@@ -101,42 +101,63 @@ def run_pipeline(
             skipped_parts = done.count()
             df = df.join(F.broadcast(done), "part", "left_anti")  # B9 resume
 
+    import time as _time
+
+    t0 = _time.monotonic()
     df = with_size_salt(df, num_partitions)
     out = extract_spans(df, options, passthrough=("part",))
     # column order for the partitioned sink: data cols first, part last
     out = out.select("doc_id", "spans", "part")
     xio.write_spans(out, output_path, fmt)
+    t_extract_write = _time.monotonic() - t0
+    t0 = _time.monotonic()
 
-    # lineage + per-partition metrics (B11/B25) — computed from what
-    # actually landed on disk, then appended atomically per run
+    # lineage + per-partition metrics (B11/B25) — ONE readback pass over
+    # what actually landed on disk; per-part rows are tiny (n_parts),
+    # so totals and the manifest are derived driver-side from them
     landed = xio.read_corpus(spark, output_path, fmt)
-    stats = (
-        span_metrics(landed)
-        .groupBy("part")
+    zero = F.lit(0).cast("long")
+    stats_rows = (
+        landed.groupBy("part")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_spans").alias("n_spans"),
-            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.size("spans")).cast("long").alias("n_spans"),
+            F.sum(
+                F.aggregate(
+                    "spans",
+                    zero,
+                    lambda a, s: a + F.coalesce(F.length(s["text"]).cast("long"), zero),
+                )
+            ).alias("n_chars"),
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("finished_at", F.current_timestamp())
+        .collect()
     )
     if manifest_path:
-        new_parts = stats
         manifest = xio.read_manifest(spark, manifest_path)
-        if manifest is not None:
-            new_parts = stats.join(
-                manifest.select("part").distinct(), "part", "left_anti"
+        done = (
+            {r["part"] for r in manifest.select("part").distinct().collect()}
+            if manifest is not None
+            else set()
+        )
+        new_rows = [
+            (r["part"], r["n_docs"], r["n_spans"], r["n_chars"], run_id)
+            for r in stats_rows
+            if r["part"] not in done
+        ]
+        if new_rows:
+            xio.append_manifest(
+                spark.createDataFrame(
+                    new_rows, "part int, n_docs long, n_spans long, n_chars long, run_id string"
+                ).withColumn("finished_at", F.current_timestamp()),
+                manifest_path,
             )
-        xio.append_manifest(new_parts, manifest_path)
 
-    agg = landed.agg(
-        F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans")
-    ).collect()[0]
     return {
         "run_id": run_id,
-        "docs_total": agg["docs"],
-        "spans_total": agg["spans"],
+        "docs_total": sum(r["n_docs"] for r in stats_rows),
+        "spans_total": sum(r["n_spans"] for r in stats_rows),
         "skipped_parts": skipped_parts,
         "output_path": output_path,
+        "t_extract_write": round(t_extract_write, 2),
+        "t_metrics": round(_time.monotonic() - t0, 2),
     }

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # giant-document corpora: 4096-row columnar batches of multi-MB text
+        # cells OOM the on-heap vectorized reader under full parallelism
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # avoid the sort-based dynamic-partition writer (a full extra
+        # sort of the output) when tasks write several `part` values
+        .config("spark.sql.maxConcurrentOutputFileWriters", "40")
         # partitioned sinks overwrite only the partitions they touch
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -1,0 +1,126 @@
+"""Structured Streaming operators (SURVEY.md Layer J) over the events
+table shape.
+
+Each job reads the same parquet files as a stream (one-file-per-batch
+not needed; ``availableNow`` drains everything and terminates), so the
+batch DuckDB oracle can verify the streamed result value-for-value —
+streaming vs batch equivalence is exactly the guarantee Structured
+Streaming makes for these operators.
+
+Covered: watermarked tumbling/sliding window aggs (J2/J3), session
+windows (J4), stateful dedup within watermark (J5), stream-static
+broadcast join (J6).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "hourly_counts_stream",
+    "session_windows_stream",
+    "dedup_events_stream",
+    "stream_static_join",
+]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source needs a directory: a Spark-written
+    # events.parquet IS one; the driver testdata ships a single file, so
+    # glob-filter the parent for that layout. Watermarks need TIMESTAMP
+    # (ltz); the files carry TIMESTAMP_NTZ.
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a stream with trigger(availableNow) into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:10]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    # materialize before the sink is forgotten; results are small aggs
+    out = spark.createDataFrame(out.collect(), out.schema) if out.columns else out
+    q.stop()
+    return out
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3: watermarked tumbling-window agg, streamed then drained."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # complete mode: append would hold back windows newer than the final
+    # watermark, so the drained result would miss the trailing hour(s)
+    return run_available_now(agg, output_mode="complete")
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """J4: per-user session windows (gap-based)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: stateful dedup on event_id within the watermark; the deduped
+    rows are drained (append) and aggregated as a batch step — chaining
+    a second stateful operator after the dedup is restricted, and the
+    compactness only matters for the comparison."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    drained = run_available_now(deduped, output_mode="append")
+    return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: stream ⋈ static dimension (broadcast), aggregated per nation."""
+    ev = read_events_stream(spark, sf_dir)
+    customers = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    joined = ev.join(
+        F.broadcast(customers), ev.user_id == customers.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_available_now(agg, output_mode="complete")
