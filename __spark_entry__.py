@@ -214,6 +214,18 @@ def _q_json_event_props(spark, sf_dir):
     )
 
 
+def _q_map_event_props(spark, sf_dir):
+    """B22 map functions: JSON → MapType → map_keys/element_at/size."""
+    e = _read(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
 def _q_hourly_event_stats(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     return (
@@ -472,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_stats": _q_rollup_order_stats,
         "except_custkeys": _q_except_custkeys,
         "json_event_props": _q_json_event_props,
+        "map_event_props": _q_map_event_props,
         "hourly_event_stats": _q_hourly_event_stats,
         "string_part_features": _q_string_part_features,
         "math_lineitem_features": _q_math_lineitem_features,
@@ -622,6 +635,13 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events
             GROUP BY event_type
+        """,
+        "map_event_props": """
+            SELECT event_id,
+                   array_to_string(json_keys(props), ',') AS keys_joined,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+                   len(json_keys(props)) AS n_keys
+            FROM events
         """,
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -35,6 +35,10 @@ HEADLINE = [
     "hourly_event_stats",
     "except_custkeys",
     "embedding_explode",
+    "dedup_exact",
+    "minhash_signatures",
+    "cosine_topk",
+    "token_counts",
 ]
 
 
