@@ -160,6 +160,29 @@ def test_stream_dedup_removes_duplicates(spark, tmp_path):
     assert {r["event_type"]: r["n_events"] for r in out} == {"click": 20}
 
 
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.streaming.jobs import streaming_extract
+
+    corpus = generate_corpus(str(tmp_path / "corpus"), 60, seed=11, chunk_docs=20)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    streaming_extract(spark, corpus, out, chk, max_files_per_trigger=1)
+    streamed = {
+        r["doc_id"]: str(r["spans"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: str(r["spans"])
+        for r in extract_spans(spark.read.parquet(corpus)).collect()
+    }
+    assert streamed == batch
+    # exactly-once: draining again with the same checkpoint adds nothing
+    streaming_extract(spark, corpus, out, chk, max_files_per_trigger=1)
+    assert spark.read.parquet(out).count() == len(batch)
+
+
 def test_span_functions_roundtrip(spark):
     from xhtmlkit_spark.functions.spans import (
         explode_spans,

@@ -66,20 +66,35 @@ def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
     return F.array_distinct(joined)
 
 
+_MINHASH_SENTINEL = "\uffff"  # sorts above any md5 hex digit
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
     """MinHash signature: for hash i, min over shingles of md5(i:shingle).
 
     min-of-md5-hex is a valid MinHash family (lexicographic order on a
-    uniform hash); md5 keeps it engine-portable.
+    uniform hash); md5 keeps it engine-portable. Implemented as ONE
+    fold over the shingle array carrying all n mins — n separate
+    array_min(transform(...)) expressions made Catalyst re-evaluate the
+    (expensive) shingle construction once per hash (measured ~4x cost).
     """
-    def _sig(i: int):
-        # closure, NOT a default-arg lambda (pyspark reads 2-arg lambdas
-        # as its (element, index) higher-order-function form)
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+    init = F.array(*[F.lit(_MINHASH_SENTINEL) for _ in range(n_hashes)])
+
+    def step(acc, s):
+        # closures over i, NOT default-arg lambdas (pyspark reads 2-arg
+        # lambdas as its (element, index) higher-order-function form)
+        return F.array(
+            *[
+                F.least(acc[i], F.md5(F.concat(F.lit(f"{i}:"), s)))
+                for i in range(n_hashes)
+            ]
         )
 
-    return F.array(*[_sig(i) for i in range(n_hashes)])
+    sig = F.aggregate(shingles, init, step)
+    # empty shingle set -> null components (matches array_min over empty)
+    return F.transform(
+        sig, lambda x: F.when(x == F.lit(_MINHASH_SENTINEL), F.lit(None)).otherwise(x)
+    )
 
 
 def lsh_candidate_pairs(

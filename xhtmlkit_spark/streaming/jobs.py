@@ -112,6 +112,46 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+def streaming_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """J1 + A2 analogue: extraction as a continuous ingestion job.
+
+    The reference parses documents WHILE downloading ([P:
+    XHtmlKit.Network/HttpClientExtensions.cs GetTextReaderAsync]); the
+    Spark-native analogue is a file-stream over the landing zone with
+    the same mapInArrow stage per micro-batch via foreachBatch —
+    exactly-once per file thanks to the checkpointed source log, and
+    every batch reuses the batch pipeline's partition-atomic sink.
+    Drains with availableNow (sandbox); on a cluster, drop the trigger
+    and it runs forever as data lands.
+    """
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.plans.pipeline import derive_part
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_spans(derive_part(batch_df)).select("doc_id", "spans", "part")
+        out.write.mode("append").partitionBy("part").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: stream ⋈ static dimension (broadcast), aggregated per nation."""
     ev = read_events_stream(spark, sf_dir)
