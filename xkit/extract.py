@@ -1,8 +1,13 @@
 """Boilerplate strip + ordered span emission (SURVEY.md A22–A25).
 
-Streaming consumer of the repaired event stream (xkit.dom.repair):
-one forward pass, O(depth) state, no tree allocation — the Spark-side
-hot path runs this per document inside an Arrow batch.
+Single fused pass: the tag-soup repair rules (xkit.dom: implicit
+sibling closes, void/self-close units, stray-close handling, EOF
+recovery) are folded directly into the extraction consumer, so no
+intermediate event list is materialized per document — the Spark-side
+hot path runs this per document inside an Arrow batch. ``xkit.dom.
+repair`` remains the reference implementation of the repair rules
+(used by the serialization goldens); the fusion is behavior-identical
+and differentially fuzz-tested against the two-pass pipeline.
 
 Pipeline-spec heuristics (authoritative: BASELINE.json north_star
 "boilerplate-strip heuristics (script/style/comment removal,
@@ -10,8 +15,8 @@ text-density scoring)"; the reference itself keeps script/style in
 the DOM and lets users strip via XPath — [P: XHtmlKit README.md]):
 
 * A22 hard-dropped subtrees: script, style, noscript, template, head,
-  title, nav, footer, aside; elements with a ``hidden`` attribute or
-  ``aria-hidden="true"``; comments and DOCTYPE.
+  title, nav, footer, aside, textarea, select; elements with a
+  ``hidden`` attribute or ``aria-hidden="true"``; comments, DOCTYPE.
 * A23 text-density scoring per block: ``chars / (1 + inline_tags)``
   must reach ``min_text_density``, and link density
   ``anchor_chars / chars`` must not exceed ``max_link_density``
@@ -33,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from xkit.dom import repair
+from xkit.dom import VOID_TAGS, _closes
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
@@ -55,6 +60,7 @@ BLOCK_TAGS = frozenset(
 # A24 — media-bearing elements; span's media_ref comes from @src.
 MEDIA_TAGS = frozenset("img video audio source embed iframe".split())
 
+
 def _collapse(s: str) -> str:
     # ' '.join(split()) == regex r'\s+'→' ' + strip (both use the Unicode
     # whitespace definition) but allocates far less in the hot path
@@ -75,6 +81,7 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
     anchor_depth = 0
     opt = options
     base = opt.base_url
+    stack: list = []  # open-element stack (repair state, A14–A17)
 
     def flush() -> None:
         nonlocal pieces, anchor_pieces, inline_tags
@@ -94,53 +101,81 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
         anchor_pieces = []
         inline_tags = 0
 
-    for ev in repair(tokenize(html)):
-        kind = ev[0]
-        if kind == "text":
+    def close_one(tag: str) -> None:
+        nonlocal drop_depth, anchor_depth
+        if drop_depth > 0:
+            drop_depth -= 1
+            return
+        if tag in MEDIA_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            flush()
+        elif tag == "a" and anchor_depth > 0:
+            anchor_depth -= 1
+
+    for tok in tokenize(html):
+        k = tok[0]
+        if k == "text":
             if drop_depth == 0:
-                pieces.append(ev[1])
+                pieces.append(tok[1])
                 if anchor_depth > 0:
-                    anchor_pieces.append(ev[1])
-        elif kind == "open":
-            tag = ev[1]
-            attrs = ev[2]
+                    anchor_pieces.append(tok[1])
+        elif k == "open":
+            tag = tok[1]
+            # A15: implicit sibling closes, repeated on the stack top
+            while stack and _closes(stack[-1], tag):
+                close_one(stack.pop())
+            # void elements / explicit <x/> behave as an open+close unit
+            is_unit = tag in VOID_TAGS or tok[3]
             if drop_depth > 0:
-                drop_depth += 1
+                if not is_unit:
+                    drop_depth += 1
+                    stack.append(tag)
                 continue
+            attrs = tok[2]
             if (
                 tag in DROP_TAGS
                 or "hidden" in attrs
                 or attrs.get("aria-hidden") == "true"
             ):
                 flush()
-                drop_depth = 1
+                if not is_unit:
+                    drop_depth = 1
+                    stack.append(tag)
                 continue
             if tag in MEDIA_TAGS:
                 src = attrs.get("src", "")
                 if src:
                     flush()
                     out.append(("media", None, urljoin(base, src) if base else src))
-                if tag == "iframe":
-                    drop_depth = 1  # iframe children are fallback-only, never rendered
-                continue  # media elements contribute no text block of their own
+                if not is_unit:
+                    stack.append(tag)
+                    if tag == "iframe":
+                        # iframe children are fallback-only, never rendered
+                        drop_depth = 1
+                continue
             if tag in BLOCK_TAGS:
                 flush()
             else:
-                if tag == "a":
+                if tag == "a" and not is_unit:  # <a/> opens+closes: net zero
                     anchor_depth += 1
                 if pieces:
                     inline_tags += 1
-        elif kind == "close":
-            tag = ev[1]
-            if drop_depth > 0:
-                drop_depth -= 1
-                continue
-            if tag in MEDIA_TAGS:
-                continue
-            if tag in BLOCK_TAGS:
-                flush()
-            elif tag == "a" and anchor_depth > 0:
-                anchor_depth -= 1
-        # comments / doctype dropped (A22)
+            if not is_unit:
+                stack.append(tag)
+        elif k == "close":
+            tag = tok[1]
+            if tag in VOID_TAGS:
+                continue  # A16: </br> and friends dropped
+            if tag in stack:
+                while True:  # A16: pop through to the matching ancestor
+                    top = stack.pop()
+                    close_one(top)
+                    if top == tag:
+                        break
+            # else: stray close with no open match → dropped (A16)
+        # comments / doctype dropped (A22/A9)
+    while stack:  # A17: EOF recovery
+        close_one(stack.pop())
     flush()
     return out
