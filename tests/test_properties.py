@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis): the parser must never raise and
+must maintain structural invariants on ARBITRARY input — the A17
+never-fail discipline as an executable property, beyond what the
+example-based goldens pin."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xkit.doc import extract_doc
+from xkit.dom import repair, serialize
+from xkit.encoding import decode_html_bytes
+from xkit.extract import extract_html
+from xkit.tokenizer import tokenize
+
+# text biased toward markup metacharacters so the generator actually
+# explores parser states instead of plain prose
+_markupish = st.text(
+    alphabet=st.sampled_from(list("<>&;/!-=\"' \n\tabPdiv[]#x0¢中𝄞")), max_size=300
+)
+_any_text = st.one_of(_markupish, st.text(max_size=200))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_text)
+def test_extract_never_raises_and_is_well_formed(s):
+    spans = extract_html(s)
+    for kind, text, ref in spans:
+        assert kind in ("text", "media")
+        if kind == "text":
+            assert text and ref is None
+            assert text == " ".join(text.split())  # A25 collapse invariant
+        else:
+            assert ref and text is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_text)
+def test_repair_produces_balanced_events(s):
+    depth = 0
+    for ev in repair(tokenize(s)):
+        if ev[0] == "open":
+            depth += 1
+        elif ev[0] == "close":
+            depth -= 1
+        assert depth >= 0  # close never precedes its open
+    assert depth == 0  # A17: EOF closes everything
+
+
+@settings(max_examples=200, deadline=None)
+@given(_any_text)
+def test_repair_is_idempotent_on_serialized_form(s):
+    """Serialized repaired output is already well-formed: reparsing and
+    re-repairing it must be a fixed point (tag structure stable)."""
+    once = serialize(repair(tokenize(s)))
+    twice = serialize(repair(tokenize(once)))
+    assert once == twice
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_bytes_never_raises(b):
+    decode_html_bytes(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["html", "pdf", "media", "junk"]),
+            st.one_of(st.none(), _any_text),
+            st.one_of(st.none(), st.text(max_size=30)),
+        ),
+        max_size=6,
+    )
+)
+def test_extract_doc_offsets_contiguous(spans):
+    kinds = [s[0] for s in spans]
+    texts = [s[1] for s in spans]
+    refs = [s[2] for s in spans]
+    offs = list(range(len(spans)))
+    k, t, m, o = extract_doc(kinds, texts, refs, offs)
+    assert o == list(range(len(k)))  # output ordinals 0..m-1
+    assert len(k) == len(t) == len(m)
