@@ -105,7 +105,11 @@ def tokenize(html: str) -> list:
             # A6/A7: open tag
             m = _TAG_NAME_RE.match(s, i)
             tag = m.group(0).lower()
-            i, attrs, self_closing, terminated = _read_attrs(s, m.end())
+            j = m.end()
+            if j < n and s[j] == ">":  # bare tag: <p>, </i>… (majority case)
+                i, attrs, self_closing, terminated = j + 1, {}, False, True
+            else:
+                i, attrs, self_closing, terminated = _read_attrs(s, j)
             append(("open", tag, attrs, self_closing))
             if not terminated:
                 break
