@@ -76,6 +76,7 @@ CASES = {
         ),
         ("supplementary_plane", "<p>emoji &#x1F600; end of line</p>"),
         ("c1_windows_remap", "<p>dash &#151; remapped here</p>"),
+        ("numeric_out_of_range", "<p>big &#x7FFFFFFF; and &#xFFFFFF; refs</p>"),
     ],
     "rcdata": [
         (
@@ -90,6 +91,15 @@ CASES = {
         ),
         ("script_unterminated", "<p>before script</p><script>var x = 1; // never closed"),
         ("script_case_insensitive_close", "<script>x=1</SCRIPT><p>after mixed case</p>"),
+        (
+            "script_close_prefix_not_terminator",
+            "<script>a</scriptx>b</script><p>after prefix case</p>",
+        ),
+        ("script_close_with_space", "<script>x=1</script ><p>close with space text</p>"),
+        (
+            "entity_lt_never_reparsed",
+            "<p>&lt;script&gt;not code&lt;/script&gt; stays visible text</p>",
+        ),
     ],
     "comments": [
         ("comment_dropped", "<p>first paragraph</p><!-- hidden comment --><p>second paragraph</p>"),
@@ -121,6 +131,12 @@ CASES = {
         ("source_in_video", '<video><source src="v.webm"><source src="v.mp4"></video>'),
         ("hidden_img_dropped", '<img src="h.png" hidden><p>visible paragraph text</p>'),
         ("unquoted_slash_value", "<img src=x.png/>"),
+        ("source_in_audio", '<audio><source src="a.mp3"></audio><p>after audio block</p>'),
+        (
+            "nested_table_soup",
+            "<table><tr><td>outer first cell<table><tr><td>inner cell text</table>"
+            "outer continues<tr><td>outer second row</table>",
+        ),
     ],
     "boilerplate_density": [
         (

@@ -114,10 +114,19 @@ def tokenize(html: str) -> list:
             if not terminated:
                 break
             if not self_closing and (tag in RAWTEXT_TAGS or tag in RCDATA_TAGS):
-                # A13: raw scan to the matching '</tag' (case-insensitive)
+                # A13: raw scan to the matching '</tag' (case-insensitive).
+                # The name must END there too: '</scriptx>' is still
+                # script CONTENT (HTML5: close-tag name must be followed
+                # by whitespace, '/' or '>').
                 if s_lower is None:
                     s_lower = s.lower()
                 end = s_lower.find("</" + tag, i)
+                boundary = len(tag) + 2
+                while end >= 0:
+                    nxt = s_lower[end + boundary : end + boundary + 1]
+                    if nxt == "" or nxt in "\t\n\f\r />":
+                        break
+                    end = s_lower.find("</" + tag, end + 1)
                 if end < 0:
                     raw = s[i:]
                     if raw:
