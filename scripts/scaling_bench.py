@@ -161,7 +161,11 @@ def main() -> None:
     sp_stage = round(b_stage[32]["docs_per_sec"] / b_stage[8]["docs_per_sec"], 2)
     sp_full = round(b_full[32]["docs_per_sec"] / b_full[8]["docs_per_sec"], 2)
     sp_hw = ceiling["mp_speedup_8_to_32"]
-    eff_stage = round(sp_stage / sp_hw, 3)
+    # the shared host's steal bursts give both measurements ±30-40% noise;
+    # an engine speedup at or above the mp ceiling means "no measurable
+    # engine-attributable scaling loss" — clamp at 1.0 rather than report
+    # a nonsensical >1 efficiency
+    eff_stage = round(min(1.0, sp_stage / sp_hw), 3)
     summary = {
         "docs": full[8][0]["docs"],
         "mb": full[8][0]["mb"],
@@ -202,8 +206,10 @@ top-1% ≈ 100× median — real skew for the salting to flatten).
 | full pipeline (+ partitioned write + manifest) | {b_full[8]['mb_per_sec']} MB/s ({b_full[8]['wall_sec']}s) | {b_full[32]['mb_per_sec']} MB/s ({b_full[32]['wall_sec']}s) | {sp_full}× |
 
 **Scaling efficiency of the engine's compute stage, normalized to the
-hardware ceiling: {sp_stage} / {sp_hw} = {eff_stage}** (gate ≥ 0.8 →
-{"PASS" if eff_stage >= 0.8 else "FAIL"}). Raw vs an ideal 4×:
+hardware ceiling: min(1, {sp_stage} / {sp_hw}) = {eff_stage}** (gate ≥ 0.8 →
+{"PASS" if eff_stage >= 0.8 else "FAIL"}; a stage speedup at/above the
+mp ceiling means no measurable engine-attributable scaling loss — both
+measurements carry ±30-40% shared-host noise). Raw vs an ideal 4×:
 {summary['efficiency_stage_raw_vs_4x']}.
 
 Why the normalization is the honest number: on ONE box, quadrupling
