@@ -44,13 +44,22 @@ def derive_part(df: DataFrame, n_parts: int = 16) -> DataFrame:
 
 
 def with_size_salt(
-    df: DataFrame, num_partitions: int, salt_buckets: int = 64
+    df: DataFrame, num_partitions: int, salt_buckets: int = 256
 ) -> DataFrame:
     """Skew-salted repartition before the Python stage (B24).
 
     JVM-side only: doc_bytes via a higher-order aggregate over the
     span array (no explode, no Python), bucket = ⌈log2(bytes)⌉,
     salt = crc32(doc_id) % salt_buckets.
+
+    Measured tradeoff (BENCH/SKEW.md): plain random hashing balances
+    BYTES slightly better on a log-normal corpus, but the size-bucket
+    key additionally makes each task's documents cost-homogeneous —
+    which is what bounds the Python worker's per-Arrow-batch MEMORY
+    (a batch of `maxRecordsPerBatch` similar-sized docs has predictable
+    bytes; a random mix can stack several giants into one batch).
+    salt_buckets ≥ 4× num_partitions keeps (bucket, salt)-combo
+    collisions from re-introducing imbalance.
     """
     zero = F.lit(0).cast("long")
     doc_bytes = F.aggregate(
