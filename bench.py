@@ -71,14 +71,25 @@ def main() -> None:
     n_docs, n_chars = row["docs"], row["chars"]
 
     qs = entry.queries()
-    # JVM/Python-worker warmup so the first timed query isn't cold
+    # Warmup so the first timed query isn't cold: q01 exercises the JVM
+    # (codegen, parquet reader); the smoke-scale extract spins up all
+    # Python workers and their imports (pyarrow/pandas/xkit), which
+    # otherwise cost ~10 s inside the first timed mapInArrow stage.
     materialize(qs["q01_pricing_summary"](spark, sf_dir))
+    materialize(entry.entry(spark))
 
+    # Best-of-2 per query: the sandbox is a shared host with sporadic
+    # CPU-steal bursts (±30% wall-time noise — see BENCH/BASELINE.md);
+    # min approximates the uncontended machine, same methodology as the
+    # scaling bench.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
 
     ext = times["extract_spans"]
     out = {
