@@ -323,12 +323,16 @@ def _q_minhash_signatures(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     sig = minhash_signature(shingles_col("text", k=3), n_hashes=4)
-    return d.select(
+    # two-step projection: materialize the signature array once, then
+    # extract components — a single select of sig[0..3] makes Catalyst
+    # evaluate the whole shingle+minhash fold four times (CollapseProject
+    # keeps the split because the alias is non-cheap and multi-referenced)
+    return d.withColumn("sig", sig).select(
         "doc_id",
-        sig[0].alias("sig_0"),
-        sig[1].alias("sig_1"),
-        sig[2].alias("sig_2"),
-        sig[3].alias("sig_3"),
+        F.col("sig")[0].alias("sig_0"),
+        F.col("sig")[1].alias("sig_1"),
+        F.col("sig")[2].alias("sig_2"),
+        F.col("sig")[3].alias("sig_3"),
     )
 
 

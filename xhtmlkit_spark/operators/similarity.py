@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xhtmlkit_spark.functions.binding import bind
+
 __all__ = ["cosine", "brute_force_topk", "hyperplane_signature", "lsh_ann_topk"]
 
 
@@ -28,13 +30,27 @@ def _dvec(c: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; double math, sequential sums (oracle-exact)."""
-    da, db = _dvec(a), _dvec(b)
+    """Cosine similarity; double math, sequential sums (oracle-exact).
+
+    Both double-cast vectors are let-bound (dot product and norm each
+    reference them again — captured directly they'd be re-cast per use).
+    """
     zero = F.lit(0.0)
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), zero, lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), zero, lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), zero, lambda s, v: s + v))
-    return dot / (na * nb)
+
+    def body(p: Column) -> Column:
+        da, db = p["a"], p["b"]
+        dot = F.aggregate(
+            F.zip_with(da, db, lambda x, y: x * y), zero, lambda s, v: s + v
+        )
+        na = F.sqrt(
+            F.aggregate(F.transform(da, lambda x: x * x), zero, lambda s, v: s + v)
+        )
+        nb = F.sqrt(
+            F.aggregate(F.transform(db, lambda x: x * x), zero, lambda s, v: s + v)
+        )
+        return dot / (na * nb)
+
+    return bind(F.struct(_dvec(a).alias("a"), _dvec(b).alias("b")), body)
 
 
 def brute_force_topk(
@@ -74,26 +90,34 @@ def hyperplane_signature(
     Plane component h_j[i] ∈ {-1, +1}, derived from md5(f"{j}_{i}") —
     deterministic, engine-portable, and integer-exact to reproduce.
     """
-    dv = _dvec(vec)
-    bits = []
-    for j in range(n_planes):
-        # per-plane ±1 weights as a literal array (computed in Python at
-        # plan-build time from the same md5 rule the oracle SQL uses)
-        import hashlib
+    import hashlib
 
-        ws = [
-            1 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 1 else -1
-            for i in range(dim)
-        ]
-        warr = F.array(*[F.lit(float(w)) for w in ws])
-        proj = F.aggregate(
-            F.zip_with(dv, warr, lambda x, w: x * w), F.lit(0.0), lambda s, v: s + v
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    # let-bind the double-cast vector: the n_planes projections below
+    # would each re-cast it when captured directly
+    def body(dv: Column) -> Column:
+        bits = []
+        for j in range(n_planes):
+            # per-plane ±1 weights as a literal array (computed in Python
+            # at plan-build time from the same md5 rule the oracle SQL uses)
+            ws = [
+                1
+                if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 1
+                else -1
+                for i in range(dim)
+            ]
+            warr = F.array(*[F.lit(float(w)) for w in ws])
+            proj = F.aggregate(
+                F.zip_with(dv, warr, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+
+    return bind(_dvec(vec), body)
 
 
 def lsh_ann_topk(
