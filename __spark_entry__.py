@@ -25,8 +25,13 @@ from pyspark.sql.window import Window
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
-# corpus size by driver scale: smoke / correctness / bench
-_SF_DOCS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}
+# corpus size by driver scale: smoke / correctness / bench. The bench
+# corpus (sf0.1) is 120k docs / ~800 MB of span text — the same input
+# the scaling bench uses — so the throughput measurement is dominated
+# by steady-state extraction, not by fixed job overhead (scan spin-up,
+# one salt shuffle, Arrow stage setup ≈ 1 s, which at 20k docs was a
+# third of the wall time).
+_SF_DOCS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 120000}
 
 
 def _corpus_path(sf_dir: str) -> str:
@@ -35,7 +40,7 @@ def _corpus_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
     n_docs = _SF_DOCS.get(tag, 500)
     path = os.path.join(DATA_DIR, f"corpus_{tag}_{n_docs}.parquet")
-    return generate_corpus(path, n_docs, seed=42)
+    return generate_corpus(path, n_docs, seed=42, chunk_docs=1000)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

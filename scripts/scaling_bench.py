@@ -125,8 +125,10 @@ def main() -> None:
 
     from xhtmlkit_spark.datagen import generate_corpus
 
+    # same corpus (path + chunking) as bench.py's sf0.1 input, so the
+    # two benchmarks share one on-disk corpus and measure the same job
     corpus = generate_corpus(
-        os.path.join(REPO, "data", f"corpus_scaling_{args.docs}.parquet"),
+        os.path.join(REPO, "data", f"corpus_sf0.1_{args.docs}.parquet"),
         args.docs,
         seed=42,
         chunk_docs=1000,

@@ -35,7 +35,7 @@ def main() -> None:
 
     n_partitions = 64
     corpus = generate_corpus(
-        os.path.join(REPO, "data", "corpus_scaling_120000.parquet"),
+        os.path.join(REPO, "data", "corpus_sf0.1_120000.parquet"),
         120000,
         seed=42,
         chunk_docs=1000,
