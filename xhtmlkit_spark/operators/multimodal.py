@@ -48,15 +48,14 @@ _FEATURE_DIM = 16
 
 
 def fake_fetch_media(media_ref: str, n_bytes: int = 4096) -> bytes:
-    """Deterministic stand-in for object-store fetch: bytes are an
-    md5-keystream of the ref (same ref → same payload everywhere)."""
-    out = bytearray()
-    seed = media_ref.encode()
-    block = b""
-    while len(out) < n_bytes:
-        block = hashlib.md5(seed + block).digest()
-        out.extend(block)
-    return bytes(out[:n_bytes])
+    """Deterministic stand-in for object-store fetch: a PCG64 byte
+    stream seeded from md5(ref) — same ref → same payload everywhere.
+    (A chained-md5 keystream did the same job ~15x slower: 256 Python
+    hash calls per 4 KB payload.)"""
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(media_ref.encode()).digest(), "big")
+    return np.random.Generator(np.random.PCG64(seed)).bytes(n_bytes)
 
 
 def decode_media(payload: bytes, media_type: str, decoder=None):
