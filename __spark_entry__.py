@@ -366,6 +366,23 @@ def _q_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_col("text").alias("simhash"))
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import simhash_band_pairs
+
+    # derived corpus with known near-dups: a quarter of the docs (stable
+    # md5 rule, reproducible in SQL) get a copy with a short suffix —
+    # a few flipped signature bits — so the banded Hamming join has
+    # real positives to find
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    v = d.where(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1", "2", "3")).select(
+        F.concat(F.col("doc_id"), F.lit("~v")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup pad")).alias("text"),
+    )
+    return simhash_band_pairs(d.unionByName(v), n_bands=6, max_hamming=5)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from xhtmlkit_spark.operators.similarity import brute_force_topk
 
@@ -513,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
         "range_join_event_pairs": _q_range_join_event_pairs,
@@ -831,6 +849,33 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        "simhash_neardup": """
+            WITH corpus AS (
+              SELECT doc_id::VARCHAR AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || '~v', text || ' near dup pad' FROM documents
+              WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+            ),
+            sigs AS (
+              SELECT doc_id,
+                     (SELECT list_sum(list_transform(range(0, 60),
+                        b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                                  THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
+                      FROM (SELECT list_transform(regexp_split_to_array(trim(corpus.text), '\\s+'),
+                              tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs)) AS sig
+              FROM corpus),
+            banded AS (
+              SELECT doc_id, sig, t.range AS band_idx,
+                     (sig >> (t.range::INT * 10)) & 1023 AS band_val
+              FROM sigs CROSS JOIN range(0, 6) t),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.sig, b.sig))::INT AS hamming
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5
         """,
         "simhash": """
             WITH t AS (

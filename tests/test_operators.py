@@ -62,6 +62,22 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far  # near-dup closer in hamming space
 
 
+def test_simhash_band_pairs_pigeonhole(spark, docs):
+    from xhtmlkit_spark.operators.dedup import simhash_band_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_band_pairs(
+            docs, id_col="doc_id", n_bands=6, max_hamming=5
+        ).collect()
+    }
+    # identical text → hamming 0, must ALWAYS be found (pigeonhole
+    # guarantees recall for hamming < n_bands)
+    assert got[(1, 2)] == 0
+    # every reported pair satisfies the threshold
+    assert all(h <= 5 for h in got.values())
+
+
 def test_fingerprints_normalization(spark):
     from xhtmlkit_spark.operators.text_stats import with_fingerprints
 

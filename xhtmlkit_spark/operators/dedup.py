@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "simhash_col",
+    "simhash_band_pairs",
     "jaccard_verify",
 ]
 
@@ -193,6 +194,68 @@ def simhash_col(text: Column | str = "text", bits: int = 60) -> Column:
         return out
 
     return bind(hashes, body)
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    bits: int = 60,
+    n_bands: int = 6,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming join.
+
+    The signature is split into ``n_bands`` equal bit-bands; two docs
+    within Hamming distance ``max_hamming`` < n_bands must agree on at
+    least one whole band (pigeonhole), so the band-bucket equi-join has
+    100% recall while candidates only ever meet inside a bucket —
+    the join never goes quadratic at corpus scale. Pairs are then
+    verified exactly with ``bit_count(xor)``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole recall needs max_hamming < n_bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sigd = df.select(
+        F.col(id_col).alias("id"), simhash_col(text, bits).alias("sig")
+    )
+    # sig is referenced once per band below — let-bound so the banding
+    # array doesn't re-run the signature computation
+    bands = bind(
+        F.col("sig"),
+        lambda s: F.array(
+            *[
+                F.shiftright(s, b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ]
+        ),
+    )
+    banded = sigd.select(
+        "id", "sig", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def jaccard_verify(
