@@ -262,8 +262,21 @@ def jaccard_verify(
     pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (broadcast-friendly:
-    pairs are few after LSH; docs join twice on the id)."""
-    sh = docs.select(
+    pairs are few after LSH; docs join twice on the id).
+
+    The docs side is semi-join-pruned to ids that appear in a candidate
+    pair BEFORE shingling — after LSH, candidates are a small fraction
+    of the corpus, so shingling everything would do ~|corpus|/|cands|
+    times the needed work (the semi-join itself pushes into the scan)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("cid"))
+        .union(pairs.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    pruned = docs.join(
+        cand_ids, docs[id_col] == cand_ids["cid"], "left_semi"
+    )
+    sh = pruned.select(
         F.col(id_col).alias("id"), shingles_col(text, k).alias("sh")
     )
     out = (
