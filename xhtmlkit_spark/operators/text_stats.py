@@ -70,9 +70,12 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
 
     mean_token_len, punct_ratio, stopword_ratio, upper_ratio →
     quality_score ∈ [0,1]-ish (weights frozen; they only need to be
-    deterministic and identical in SQL).
+    deterministic and identical in SQL). The token array is
+    materialized once (`_toks`) — the ratios reference it five times
+    and Catalyst does not CSE sibling splits.
     """
-    toks = tokens_col(text)
+    df = df.withColumn("_toks", tokens_col(text))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     length = F.length(F.col(text))
     punct = F.length(F.regexp_replace(F.col(text), "[^.!?,;:]", ""))
@@ -95,7 +98,7 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
             "stopword_ratio": F.round(stop_ratio, 4),
             "quality_score": F.round(score, 4),
         }
-    )
+    ).drop("_toks")
 
 
 def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
@@ -103,14 +106,21 @@ def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
 
     Ties broken by a fixed language order — frozen, mirrored in SQL.
     """
-    toks = tokens_col(text)
-    hits = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    # materialize tokens, then the per-language hit counts, so the
+    # best-of comparison doesn't re-run the split or the filters
+    df = df.withColumn("_toks", tokens_col(text)).withColumn(
+        "_hits",
+        F.array(
+            *[_stopword_hits(F.col("_toks"), STOPWORDS[lang]) for lang in ("en", "de", "fr", "es")]
+        ),
+    )
+    hits = {lang: F.col("_hits")[i] for i, lang in enumerate(("en", "de", "fr", "es"))}
     has_cjk = F.length(F.regexp_replace(F.col(text), "[^\\u4e00-\\u9fff]", "")) > 0
     best = F.greatest(*hits.values())
     guess = F.when(has_cjk, F.lit("zh"))
     for lang in ("en", "de", "fr", "es"):  # fixed tie-break order
         guess = guess.when(hits[lang] == best, F.lit(lang))
-    return df.withColumn("lang_guess", guess)
+    return df.withColumn("lang_guess", guess).drop("_toks", "_hits")
 
 
 def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
@@ -122,8 +132,9 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
       the modulus keeps every intermediate product far inside BIGINT so
       Spark and DuckDB (which errors on overflow) compute identically.
     """
-    norm = F.lower(F.concat_ws(" ", tokens_col(text)))
-    toks64 = F.slice(tokens_col(text), 1, 64)
+    df = df.withColumn("_toks", tokens_col(text))
+    norm = F.lower(F.concat_ws(" ", F.col("_toks")))
+    toks64 = F.slice(F.col("_toks"), 1, 64)
     mod = F.lit(1000000007)
     fp_roll = F.aggregate(
         toks64,
@@ -141,4 +152,4 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
         ),
         lambda acc: acc["h"],
     )
-    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll})
+    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll}).drop("_toks")
