@@ -83,20 +83,22 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
     base = opt.base_url
     stack: list = []  # open-element stack (repair state, A14–A17)
 
+    # Invariant relied on by every `if pieces: flush()` guard below:
+    # inline_tags is only incremented and anchor_pieces only appended
+    # while pieces is non-empty, so empty pieces ⟹ nothing to reset.
     def flush() -> None:
         nonlocal pieces, anchor_pieces, inline_tags
-        if pieces:
-            text = _collapse("".join(pieces))
-            if len(text) >= opt.min_block_chars and text:
-                chars = len(text)
-                density = chars / (1.0 + inline_tags)
-                link = (
-                    len(_collapse("".join(anchor_pieces))) / chars
-                    if anchor_pieces
-                    else 0.0
-                )
-                if density >= opt.min_text_density and link <= opt.max_link_density:
-                    out.append(("text", text, None))
+        text = _collapse("".join(pieces))
+        if len(text) >= opt.min_block_chars:
+            chars = len(text)
+            density = chars / (1.0 + inline_tags)
+            link = (
+                len(_collapse("".join(anchor_pieces))) / chars
+                if anchor_pieces
+                else 0.0
+            )
+            if density >= opt.min_text_density and link <= opt.max_link_density:
+                out.append(("text", text, None))
         pieces = []
         anchor_pieces = []
         inline_tags = 0
@@ -109,7 +111,8 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
         if tag in MEDIA_TAGS:
             return
         if tag in BLOCK_TAGS:
-            flush()
+            if pieces:
+                flush()
         elif tag == "a" and anchor_depth > 0:
             anchor_depth -= 1
 
@@ -138,7 +141,8 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
                 or "hidden" in attrs
                 or attrs.get("aria-hidden") == "true"
             ):
-                flush()
+                if pieces:
+                    flush()
                 if not is_unit:
                     drop_depth = 1
                     stack.append(tag)
@@ -146,7 +150,8 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
             if tag in MEDIA_TAGS:
                 src = attrs.get("src", "")
                 if src:
-                    flush()
+                    if pieces:
+                        flush()
                     out.append(("media", None, urljoin(base, src) if base else src))
                 if not is_unit:
                     stack.append(tag)
@@ -155,7 +160,8 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
                         drop_depth = 1
                 continue
             if tag in BLOCK_TAGS:
-                flush()
+                if pieces:
+                    flush()
             else:
                 if tag == "a" and not is_unit:  # <a/> opens+closes: net zero
                     anchor_depth += 1
@@ -177,5 +183,6 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
         # comments / doctype dropped (A22/A9)
     while stack:  # A17: EOF recovery
         close_one(stack.pop())
-    flush()
+    if pieces:
+        flush()
     return out
