@@ -39,3 +39,20 @@ def test_non_pdf_returns_nothing():
 def test_bytes_and_str_agree():
     pdf = make_fixture_pdf([["same either way"]])
     assert extract_pdf_text(pdf) == extract_pdf_text(pdf.encode("latin-1"))
+
+
+def test_flate_compressed_stream():
+    blocks = [["compressed block one"], ["and block two"]]
+    plain = make_fixture_pdf(blocks)
+    packed = make_fixture_pdf(blocks, compress=True)
+    assert packed != plain
+    assert extract_pdf_text(packed) == extract_pdf_text(plain)
+    # survives the string column round trip (latin-1 is byte-preserving)
+    assert extract_pdf_text(packed.encode("latin-1")) == extract_pdf_text(plain)
+
+
+def test_flate_corrupt_skips_never_raises():
+    packed = make_fixture_pdf([["will be corrupted"]], compress=True)
+    i = packed.index("stream\n") + 10
+    corrupt = packed[:i] + "XX" + packed[i + 2 :]
+    assert extract_pdf_text(corrupt) == []

@@ -6,7 +6,9 @@ The north rule requires "PDF/layout parsing" in the pipeline
 for a *documented dialect subset* co-designed with the fixture
 generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 
-* uncompressed PDF (no stream filters),
+* uncompressed streams, plus ``/Filter /FlateDecode`` streams
+  (inflated with stdlib zlib — the filter that covers the vast
+  majority of real-world PDF content streams),
 * content streams using only ``BT``/``ET`` text objects with ``Tf``,
   ``Td`` and ``Tj``/``TJ`` (array form) show-text operators,
 * strings in parenthesis form with ``\\(`` ``\\)`` ``\\\\`` and octal
@@ -23,6 +25,7 @@ documented here and in FIXTURES.md.
 from __future__ import annotations
 
 import re
+import zlib
 
 __all__ = ["extract_pdf_text", "make_fixture_pdf"]
 
@@ -65,7 +68,17 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
         return []
     blocks: list[str] = []
     for stream in _STREAM_RE.finditer(data):
-        for bt in _BT_RE.finditer(stream.group(1)):
+        body = stream.group(1)
+        # /Filter /FlateDecode in the object dict preceding the stream
+        # keyword → inflate; corrupt deflate data skips the stream
+        # (A17 never-fail), it does not raise
+        head = data[max(0, stream.start() - 512) : stream.start()]
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        for bt in _BT_RE.finditer(body):
             parts: list[str] = []
             pending: list[str] = []  # strings seen since the last show op
             for m in _OP_RE.finditer(bt.group(1)):
@@ -84,12 +97,14 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     return blocks
 
 
-def make_fixture_pdf(blocks: list[list[str]]) -> str:
+def make_fixture_pdf(blocks: list[list[str]], compress: bool = False) -> str:
     """Build a dialect PDF: one BT…ET object per block, one Td+Tj per line.
 
     Deterministic; used by the test goldens and the corpus generator
     (FIXTURES.md §6). Returns latin-1-safe ``str`` suitable for the
-    ``spans.text`` column.
+    ``spans.text`` column (latin-1 maps bytes 1:1, so a compressed
+    stream round-trips through the string column losslessly).
+    ``compress=True`` emits the content stream as /FlateDecode.
     """
 
     def esc(s: str) -> str:
@@ -106,13 +121,24 @@ def make_fixture_pdf(blocks: list[list[str]]) -> str:
         body_parts.append("\n".join(lines))
         y -= 100
     content = "\n".join(body_parts)
+    if compress:
+        # level fixed for determinism; latin-1 keeps the bytes intact
+        content = zlib.compress(content.encode("latin-1"), 6).decode("latin-1")
+        stream_obj = (
+            "4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj"
+            % (len(content), content)
+        )
+    else:
+        stream_obj = "4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj" % (
+            len(content),
+            content,
+        )
     objs = [
         "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
         "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj",
         "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
         "/MediaBox [0 0 612 792] >>\nendobj",
-        "4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
-        % (len(content), content),
+        stream_obj,
     ]
     out = ["%PDF-1.4"]
     offsets = []
