@@ -498,6 +498,12 @@ def _q_stream_dedup_counts(spark, sf_dir):
     return dedup_events_stream(spark, sf_dir)
 
 
+def _q_stream_running_totals(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import running_totals_stream
+
+    return running_totals_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": _q_extract_spans,
@@ -541,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": _q_stream_sessions,
         "stream_static_join": _q_stream_static_join,
         "stream_dedup_counts": _q_stream_dedup_counts,
+        "stream_running_totals": _q_stream_running_totals,
     }
 
 
@@ -964,5 +971,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_counts": """
             SELECT event_type, count(DISTINCT event_id) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "stream_running_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
         """,
     }

@@ -176,6 +176,35 @@ def test_stream_dedup_removes_duplicates(spark, tmp_path):
     assert {r["event_type"]: r["n_events"] for r in out} == {"click": 20}
 
 
+def test_running_totals_state_accumulates_across_batches(spark, tmp_path):
+    import datetime
+
+    from xhtmlkit_spark.streaming.jobs import running_totals_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), i % 3, "click", float(i), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sfY"
+    d.mkdir()
+    # three parquet files + maxFilesPerTrigger=1 → three micro-batches,
+    # so the GroupState must carry totals BETWEEN batches to be right
+    df.repartition(3).write.parquet(str(d / "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in running_totals_stream(spark, str(d), max_files_per_trigger=1).collect()
+    }
+    expect = {}
+    for i in range(30):
+        n, s = expect.get(i % 3, (0, 0.0))
+        expect[i % 3] = (n + 1, s + float(i))
+    assert out == {u: (n, round(s, 2)) for u, (n, s) in expect.items()}
+
+
 def test_streaming_extract_matches_batch(spark, tmp_path):
     from xhtmlkit_spark.datagen import generate_corpus
     from xhtmlkit_spark.operators.extract_stage import extract_spans

@@ -8,8 +8,9 @@ streaming vs batch equivalence is exactly the guarantee Structured
 Streaming makes for these operators.
 
 Covered: watermarked tumbling/sliding window aggs (J2/J3), session
-windows (J4), stateful dedup within watermark (J5), stream-static
-broadcast join (J6).
+windows (J4), stateful dedup within watermark (J5), custom arbitrary
+state via applyInPandasWithState (J5), stream-static broadcast join
+(J6).
 """
 
 from __future__ import annotations
@@ -26,11 +27,14 @@ __all__ = [
     "hourly_counts_stream",
     "session_windows_stream",
     "dedup_events_stream",
+    "running_totals_stream",
     "stream_static_join",
 ]
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file-stream source needs a directory: a Spark-written
@@ -38,6 +42,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob-filter the parent for that layout. Watermarks need TIMESTAMP
     # (ltz); the files carry TIMESTAMP_NTZ.
     reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isdir(path):
         stream = reader.load(path)
     else:
@@ -110,6 +116,58 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     drained = run_available_now(deduped, output_mode="append")
     return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+def running_totals_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """J5 custom state: per-user running totals via applyInPandasWithState.
+
+    The GroupState holds (n_events, sum_value) per user and is updated
+    Arrow-batched per micro-batch; each batch emits the user's totals
+    so far. Drained with availableNow the final emission per user
+    equals the batch group-by — which is exactly what the DuckDB twin
+    checks, while the state machinery (create/get/update through the
+    GroupState API) runs for real. On an unbounded stream the same
+    operator emits monotone running totals per user per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    totals = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_available_now(totals, output_mode="append")
+    # keep only the final emission per user (one batch in the sandbox
+    # drain, but stay correct if the source splits into several)
+    import pyspark.sql.functions as SF
+
+    last = SF.max(SF.struct("n_events", "sum_value")).alias("last")
+    return (
+        drained.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            SF.col("last.n_events").alias("n_events"),
+            SF.round(SF.col("last.sum_value"), 2).alias("sum_value"),
+        )
+    )
 
 
 def streaming_extract(
