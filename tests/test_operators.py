@@ -62,6 +62,23 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far  # near-dup closer in hamming space
 
 
+def test_lsh_null_docs_never_pair(spark):
+    from xhtmlkit_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "shared text content here"), (4, "shared text content here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, text="text", n_hashes=4, band_size=2, k=2).collect()
+    }
+    # NULL text yields NULL shingles/signature → never a candidate
+    # (concat_ws semantics would otherwise bucket ALL null docs together)
+    assert (1, 2) not in pairs
+    assert (3, 4) in pairs
+
+
 def test_simhash_band_pairs_pigeonhole(spark, docs):
     from xhtmlkit_spark.operators.dedup import simhash_band_pairs
 

@@ -66,7 +66,8 @@ def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
     the regex split once per shingle (measured 6x cost on the sf0.1
     documents table).
     """
-    toks = F.split(F.trim(F.col(text) if isinstance(text, str) else text), "\\s+")
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), "\\s+")
 
     def body(t: Column) -> Column:
         return F.transform(
@@ -74,7 +75,11 @@ def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i, k)),
         )
 
-    return F.array_distinct(bind(toks, body))
+    # NULL text → NULL shingles (matching SQL semantics), not {""}:
+    # greatest(NULL-k,1)=1 and the null-skipping concat_ws would give
+    # every null doc the identical single empty shingle, making all of
+    # them MinHash-collide into one quadratic LSH bucket
+    return F.when(c.isNotNull(), F.array_distinct(bind(toks, body)))
 
 
 _MINHASH_SENTINEL = "\uffff"  # sorts above any md5 hex digit
@@ -124,17 +129,26 @@ def lsh_candidate_pairs(
     Σ bucket_size² — bounded by construction, never all-pairs.
     """
     n_bands = n_hashes // band_size
+
+    def band_expr(s: Column, b: int) -> Column:
+        # null-PROPAGATING concat (SQL || semantics), NOT concat_ws: an
+        # empty doc has all-null signature components, and concat_ws
+        # silently turns those into the SAME "" band signature for
+        # every empty doc — one quadratic bucket at corpus scale, and a
+        # divergence from the SQL oracle whose NULLs drop from the join
+        parts: list[Column] = []
+        for j in range(band_size):
+            if j:
+                parts.append(F.lit("|"))
+            parts.append(s[b * band_size + j])
+        return F.concat(*parts)
+
     sig = minhash_signature(shingles_col(text, k), n_hashes)
-    # let-bind the signature: the n_bands slices below would otherwise
-    # each re-run the whole shingle+minhash fold
+    # let-bind the signature: the n_bands band expressions would
+    # otherwise each re-run the whole shingle+minhash fold
     bands = bind(
         sig,
-        lambda s: F.array(
-            *[
-                F.concat_ws("|", F.slice(s, b * band_size + 1, band_size))
-                for b in range(n_bands)
-            ]
-        ),
+        lambda s: F.array(*[band_expr(s, b) for b in range(n_bands)]),
     )
     banded = df.select(
         F.col(id_col).alias("id"),
