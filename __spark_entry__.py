@@ -871,7 +871,7 @@ def oracle_sql() -> dict[str, str]:
                                   THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
                       FROM (SELECT list_transform(regexp_split_to_array(trim(corpus.text), '\\s+'),
                               tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs)) AS sig
-              FROM corpus),
+              FROM corpus WHERE text IS NOT NULL),
             banded AS (
               SELECT doc_id, sig, t.range AS band_idx,
                      (sig >> (t.range::INT * 10)) & 1023 AS band_val

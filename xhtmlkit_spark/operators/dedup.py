@@ -235,9 +235,12 @@ def simhash_band_pairs(
         raise ValueError("pigeonhole recall needs max_hamming < n_bands")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sigd = df.select(
-        F.col(id_col).alias("id"), simhash_col(text, bits).alias("sig")
-    )
+    # null-text docs all evaluate to signature 0 (every bit vote is a
+    # null→0 CASE) — without this filter they'd meet in one quadratic
+    # band bucket at corpus scale while carrying no comparable content
+    sigd = df.where(
+        (F.col(text) if isinstance(text, str) else text).isNotNull()
+    ).select(F.col(id_col).alias("id"), simhash_col(text, bits).alias("sig"))
     # sig is referenced once per band below — let-bound so the banding
     # array doesn't re-run the signature computation
     bands = bind(
