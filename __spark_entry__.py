@@ -566,7 +566,7 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     return f"""
         WITH sig AS (
           SELECT vec_id, embedding, ({bucket('embeddings')}) AS bucket
-          FROM embeddings),
+          FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
             round(

@@ -171,7 +171,9 @@ def lsh_ann_topk(
     docs meet only when all n_planes sign bits agree (expected bucket
     size |corpus| / 2^n_planes).
     """
-    sig = vectors.select(
+    # null vectors all project to 0 on every plane → they'd share
+    # bucket 0 (one overfull bucket at scale) yet rank with null cosine
+    sig = vectors.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
