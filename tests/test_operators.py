@@ -29,6 +29,30 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_bind_equivalence_and_single_evaluation(spark):
+    """bind(col, body) must equal the direct (captured) expression for
+    every input shape — null, empty, normal — while evaluating col once."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.functions.binding import bind
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("a b c",), ("  x  ",), ("one two three four five",)],
+        "text string",
+    )
+    toks = F.split(F.trim("text"), "\\s+")
+    direct = F.concat_ws("|", F.transform(toks, lambda t: F.upper(t)))
+    bound = bind(toks, lambda t: F.concat_ws("|", F.transform(t, lambda x: F.upper(x))))
+    rows = df.select(direct.alias("d"), bound.alias("b")).collect()
+    assert all(r["d"] == r["b"] for r in rows), rows
+    # nested bind + struct field access
+    nested = bind(
+        F.struct(toks.alias("t"), F.size(toks).alias("n")),
+        lambda p: bind(p["t"], lambda t: F.size(t) == p["n"]),
+    )
+    assert all(r[0] in (True, None) for r in df.select(nested).collect())
+
+
 def test_exact_dedup_groups(docs):
     from xhtmlkit_spark.operators.dedup import exact_dup_groups
 
