@@ -53,6 +53,18 @@ def test_bind_equivalence_and_single_evaluation(spark):
     assert all(r[0] in (True, None) for r in df.select(nested).collect())
 
 
+def test_derive_part_matches_datagen(spark):
+    """pipeline.derive_part (Spark crc32) must reproduce datagen.doc_part
+    (zlib.crc32) exactly — resume-by-part silently corrupts otherwise."""
+    from xhtmlkit_spark.datagen import doc_part
+    from xhtmlkit_spark.plans.pipeline import derive_part
+
+    ids = [f"d{i:012d}" for i in range(50)] + ["", "héllo", "a/b|c", "中文id"]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {r["doc_id"]: r["part"] for r in derive_part(df, n_parts=16).collect()}
+    assert got == {i: doc_part(i, 16) for i in ids}
+
+
 def test_exact_dedup_groups(docs):
     from xhtmlkit_spark.operators.dedup import exact_dup_groups
 
