@@ -93,6 +93,27 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         times[name] = round(best, 3)
 
+    # Host-state indicator: the sandbox is a multi-tenant box whose
+    # co-tenant load varies 3-5x across hours (BENCH/BASELINE.md
+    # appendix). This ~10 s mp.Pool control measures what the machine
+    # itself delivers RIGHT NOW for the identical per-document work —
+    # quiet reference ≈ 200-270 — so a degraded headline is
+    # attributable to the box, not the engine.
+    # (subprocess, not in-process mp.Pool: forking the JVM-attached
+    # driver is deadlock-prone)
+    try:
+        import subprocess
+
+        res = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "scripts", "host_probe.py"),
+             "--widths", "32", "--repeats", "2"],
+            capture_output=True, text=True, timeout=120,
+        )
+        host = json.loads(res.stdout.strip().splitlines()[-1])["mp32_mb_per_sec"]
+    except Exception:
+        host = None
+
     ext = times["extract_spans"]
     out = {
         "metric": "headline_queries_total",
@@ -105,6 +126,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / ext, 1) if ext else None,
         "mb_per_sec": round(n_chars / 1e6 / ext, 2) if ext else None,
         "cpus": int(cpus),
+        "host_mp32_mb_per_sec": host,
     }
     print(json.dumps(out))
 

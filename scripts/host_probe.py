@@ -66,12 +66,17 @@ def probe(widths=(8, 32), repeats: int = 3) -> dict:
 
 
 def main() -> None:
+    import json
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-mb32", type=float, default=150.0)
+    ap.add_argument("--widths", default="8,32")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
-    r = probe()
-    quiet = r["mp32_mb_per_sec"] >= args.min_mb32
-    print({**r, "quiet": quiet})
+    widths = tuple(int(w) for w in args.widths.split(","))
+    r = probe(widths=widths, repeats=args.repeats)
+    quiet = r.get("mp32_mb_per_sec", 0) >= args.min_mb32
+    print(json.dumps({**r, "quiet": quiet}))
     sys.exit(0 if quiet else 1)
 
 
