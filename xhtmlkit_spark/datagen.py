@@ -39,6 +39,11 @@ from xkit.pdfmini import make_fixture_pdf
 
 __all__ = ["generate_corpus", "corpus_schema", "doc_part"]
 
+# Bump whenever _make_doc/fragment content changes: the on-disk corpus
+# cache is keyed by (name, n_docs) only, so without this stamp a
+# content change would silently keep serving stale cached corpora.
+DATAGEN_VERSION = 1
+
 _WORDS = (
     "the quick brown fox jumps over lazy dog data span table query content "
     "article review stream batch parser token entity offset media corpus "
@@ -198,7 +203,13 @@ def generate_corpus(
     """
     done_marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(done_marker) and not overwrite:
-        return path
+        try:
+            with open(done_marker) as f:
+                if f.read().strip() == str(DATAGEN_VERSION):
+                    return path
+        except OSError:
+            pass
+        # stale generator version (or pre-version marker) → regenerate
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):
         os.remove(os.path.join(path, old))
@@ -218,6 +229,6 @@ def generate_corpus(
             ),
             os.path.join(path, "part-%05d.parquet" % ci),
         )
-    with open(done_marker, "w"):
-        pass
+    with open(done_marker, "w") as f:
+        f.write(str(DATAGEN_VERSION))
     return path
