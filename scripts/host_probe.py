@@ -36,8 +36,14 @@ def probe(widths=(8, 32), repeats: int = 3) -> dict:
 
     from xhtmlkit_spark.datagen import generate_corpus
 
+    # chunk_docs MUST match __spark_entry__._corpus_path: whoever runs
+    # first materializes this path, and a single-file corpus silently
+    # serializes every later Spark scan of it (CLAUDE.md)
     corpus = generate_corpus(
-        os.path.join(REPO, "data", "corpus_sf0.01_2000.parquet"), 2000, seed=42
+        os.path.join(REPO, "data", "corpus_sf0.01_2000.parquet"),
+        2000,
+        seed=42,
+        chunk_docs=1000,
     )
     tbl = pq.read_table(corpus, columns=["spans"])
     docs = tbl.column("spans").combine_chunks().to_pylist()[:1000]

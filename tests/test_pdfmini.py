@@ -56,3 +56,35 @@ def test_flate_corrupt_skips_never_raises():
     i = packed.index("stream\n") + 10
     corrupt = packed[:i] + "XX" + packed[i + 2 :]
     assert extract_pdf_text(corrupt) == []
+
+
+def test_flate_stream_ending_in_eol_byte():
+    # the stream-body regex must not eat a compressed tail byte that
+    # happens to be \r or \n (~1/128 of flate streams)
+    import zlib
+    for i in range(60000):
+        content = f"BT\n/F1 12 Tf\n0 700 Td\n(line {i} payload) Tj\nET"
+        if zlib.compress(content.encode("latin-1"), 6)[-1:] in (b"\r", b"\n"):
+            packed = make_fixture_pdf([[f"line {i} payload"]], compress=True)
+            assert extract_pdf_text(packed) == [f"line {i} payload"]
+            return
+    raise AssertionError("no EOL-tail sample found in 60k tries")
+
+
+def test_filter_lookback_stops_at_object_boundary():
+    # an uncompressed stream right after a compressed object must not
+    # inherit the earlier object's /FlateDecode
+    import zlib
+    pdf = (
+        "%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 5 >>\nstream\n"
+        + zlib.compress(b"BT (secret-A) Tj ET").decode("latin-1")
+        + "\nendstream\nendobj\n2 0 obj\n<< /Length 20 >>\nstream\nBT (plain-B) Tj ET\nendstream\nendobj"
+    )
+    assert extract_pdf_text(pdf) == ["secret-A", "plain-B"]
+
+
+def test_whitespace_anchor_block_min_chars_zero():
+    from xkit.extract import extract_html
+    from xkit.options import ExtractOptions
+
+    assert extract_html("<p><a href=x>   </a></p>", ExtractOptions(min_block_chars=0)) == []

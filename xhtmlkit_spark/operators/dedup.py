@@ -230,7 +230,7 @@ def simhash_band_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     if bits % n_bands:
-        raise ValueError("bits must divide evenly into n_bands")
+        raise ValueError("n_bands must divide bits evenly")
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole recall needs max_hamming < n_bands")
     width = bits // n_bands

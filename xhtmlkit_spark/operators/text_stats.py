@@ -74,8 +74,8 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
     materialized once (`_toks`) — the ratios reference it five times
     and Catalyst does not CSE sibling splits.
     """
-    df = df.withColumn("_toks", tokens_col(text))
-    toks = F.col("_toks")
+    df = df.withColumn("__xk_toks", tokens_col(text))
+    toks = F.col("__xk_toks")
     n_tok = F.size(toks)
     length = F.length(F.col(text))
     punct = F.length(F.regexp_replace(F.col(text), "[^.!?,;:]", ""))
@@ -98,7 +98,7 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
             "stopword_ratio": F.round(stop_ratio, 4),
             "quality_score": F.round(score, 4),
         }
-    ).drop("_toks")
+    ).drop("__xk_toks")
 
 
 def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
@@ -108,19 +108,19 @@ def with_lang_guess(df: DataFrame, text: str = "text") -> DataFrame:
     """
     # materialize tokens, then the per-language hit counts, so the
     # best-of comparison doesn't re-run the split or the filters
-    df = df.withColumn("_toks", tokens_col(text)).withColumn(
-        "_hits",
+    df = df.withColumn("__xk_toks", tokens_col(text)).withColumn(
+        "__xk_hits",
         F.array(
-            *[_stopword_hits(F.col("_toks"), STOPWORDS[lang]) for lang in ("en", "de", "fr", "es")]
+            *[_stopword_hits(F.col("__xk_toks"), STOPWORDS[lang]) for lang in ("en", "de", "fr", "es")]
         ),
     )
-    hits = {lang: F.col("_hits")[i] for i, lang in enumerate(("en", "de", "fr", "es"))}
+    hits = {lang: F.col("__xk_hits")[i] for i, lang in enumerate(("en", "de", "fr", "es"))}
     has_cjk = F.length(F.regexp_replace(F.col(text), "[^\\u4e00-\\u9fff]", "")) > 0
     best = F.greatest(*hits.values())
     guess = F.when(has_cjk, F.lit("zh"))
     for lang in ("en", "de", "fr", "es"):  # fixed tie-break order
         guess = guess.when(hits[lang] == best, F.lit(lang))
-    return df.withColumn("lang_guess", guess).drop("_toks", "_hits")
+    return df.withColumn("lang_guess", guess).drop("__xk_toks", "__xk_hits")
 
 
 def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
@@ -132,9 +132,9 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
       the modulus keeps every intermediate product far inside BIGINT so
       Spark and DuckDB (which errors on overflow) compute identically.
     """
-    df = df.withColumn("_toks", tokens_col(text))
-    norm = F.lower(F.concat_ws(" ", F.col("_toks")))
-    toks64 = F.slice(F.col("_toks"), 1, 64)
+    df = df.withColumn("__xk_toks", tokens_col(text))
+    norm = F.lower(F.concat_ws(" ", F.col("__xk_toks")))
+    toks64 = F.slice(F.col("__xk_toks"), 1, 64)
     mod = F.lit(1000000007)
     fp_roll = F.aggregate(
         toks64,
@@ -152,4 +152,4 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
         ),
         lambda acc: acc["h"],
     )
-    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll}).drop("_toks")
+    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll}).drop("__xk_toks")

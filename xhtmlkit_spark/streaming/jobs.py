@@ -137,10 +137,15 @@ def running_totals_stream(
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        # s stays None until a non-null value arrives: SQL sum() over
+        # all NULLs is NULL, and pandas .sum() would silently say 0.0 —
+        # a latent oracle divergence for all-null users
+        n, s = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            vals = pdf["value"].dropna()
+            if len(vals):
+                s = (s or 0.0) + float(vals.sum())
         state.update((n, s))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}

@@ -89,7 +89,10 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
     def flush() -> None:
         nonlocal pieces, anchor_pieces, inline_tags
         text = _collapse("".join(pieces))
-        if len(text) >= opt.min_block_chars:
+        # `text and` matters when min_block_chars=0: a whitespace-only
+        # block collapses to "" (chars=0 would divide-by-zero in the
+        # link ratio, and A25 says empty blocks emit nothing)
+        if text and len(text) >= opt.min_block_chars:
             chars = len(text)
             density = chars / (1.0 + inline_tags)
             link = (

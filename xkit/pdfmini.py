@@ -29,7 +29,11 @@ import zlib
 
 __all__ = ["extract_pdf_text", "make_fixture_pdf"]
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# no EOL requirement before `endstream`: a compressed body whose final
+# byte happens to be 0x0D/0x0A would lose it to `\r?\n` and fail to
+# inflate (~1/128 of FlateDecode streams, silently). Trailing EOL is
+# stripped per-filter below instead.
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # (string) Tj   |   [ (a) -120 (b) ] TJ   |   Td line moves
 _OP_RE = re.compile(
@@ -69,13 +73,20 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     blocks: list[str] = []
     for stream in _STREAM_RE.finditer(data):
         body = stream.group(1)
-        # /Filter /FlateDecode in the object dict preceding the stream
-        # keyword → inflate; corrupt deflate data skips the stream
-        # (A17 never-fail), it does not raise
+        # /Filter /FlateDecode in THIS stream's object dict → inflate;
+        # corrupt deflate data skips the stream (A17 never-fail). The
+        # lookback is clipped at the previous object boundary so an
+        # uncompressed stream right after a compressed one is never
+        # misclassified by the earlier object's /Filter.
         head = data[max(0, stream.start() - 512) : stream.start()]
+        boundary = max(head.rfind(b"endstream"), head.rfind(b"obj"))
+        if boundary >= 0:
+            head = head[boundary:]
         if b"/FlateDecode" in head:
             try:
-                body = zlib.decompress(body)
+                # decompressobj tolerates the trailing EOL before
+                # `endstream` as unused data (plain decompress raises)
+                body = zlib.decompressobj().decompress(body)
             except zlib.error:
                 continue
         for bt in _BT_RE.finditer(body):
