@@ -59,3 +59,23 @@ def test_decode_never_raises():
 def test_decode_1252():
     raw = "<p>caf\xe9</p>".encode("cp1252")
     assert "café" in decode_html_bytes(b"<meta charset=windows-1252>" + raw)
+
+
+def test_endianness_agnostic_header_pins_codec_from_bom():
+    import codecs
+
+    from xkit.encoding import sniff
+
+    # stripping the BOM while keeping plain 'utf-16' would decode the
+    # whole document little-endian
+    assert sniff(codecs.BOM_UTF16_BE + "hello".encode("utf-16-be"),
+                 http_charset="utf-16") == ("utf-16-be", 2)
+    assert sniff(codecs.BOM_UTF16_LE + "hello".encode("utf-16-le"),
+                 http_charset="utf-16") == ("utf-16-le", 2)
+
+
+def test_non_pragma_meta_content_cannot_hijack_charset():
+    from xkit.encoding import sniff
+
+    data = b'<meta name="description" content="set charset=koi8-r here"><meta charset="utf-8">'
+    assert sniff(data) == ("utf-8", 0)

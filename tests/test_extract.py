@@ -110,3 +110,16 @@ def test_empty_input():
 def test_threshold_overrides():
     # with a zero density floor even 1-char blocks survive
     assert texts("<div><b>x</b></div>", min_text_density=0.0) == ["x"]
+
+
+def test_null_offset_spans_never_crash():
+    from xkit.doc import extract_doc
+
+    k, t, m, o = extract_doc(
+        ["html", "html"],
+        ["<p>first paragraph words here ok", "<p>second paragraph words here ok"],
+        [None, None],
+        [None, 0],
+    )
+    # null offsets sort last, stable; batch must not die on None<int
+    assert k == ["text", "text"] and "second" in t[0] and "first" in t[1]

@@ -88,3 +88,18 @@ def test_whitespace_anchor_block_min_chars_zero():
     from xkit.options import ExtractOptions
 
     assert extract_html("<p><a href=x>   </a></p>", ExtractOptions(min_block_chars=0)) == []
+
+
+def test_operator_substring_inside_string_not_terminator():
+    # 'ET' inside (GET STARTED) must not end the text object
+    pdf = make_fixture_pdf([["GET STARTED today"], ["normal line"]])
+    assert extract_pdf_text(pdf) == ["GET STARTED today", "normal line"]
+    packed = make_fixture_pdf([["GET STARTED today"]], compress=True)
+    assert extract_pdf_text(packed) == ["GET STARTED today"]
+
+
+def test_escaped_backslash_before_digits_or_letters():
+    # (a\\101b) is backslash + '101', NOT octal \101; escapes resolve
+    # left-to-right in one pass
+    assert extract_pdf_text(make_fixture_pdf([["a\\101b"]])) == ["a\\101b"]
+    assert extract_pdf_text(make_fixture_pdf([["a\\nb"]])) == ["a\\nb"]

@@ -114,3 +114,9 @@ def test_unterminated_open_tag_at_eof():
 def test_never_raises_on_garbage():
     for s in ["<", "<>", "< >", "</", "</>", "<!", "<!-", "<a<b>", "&", "&#;", "&#x;"]:
         tokenize(s)  # must not raise (A17)
+
+
+def test_pi_doctype_lookalike_is_comment():
+    from xkit.tokenizer import tokenize
+
+    assert tokenize("<?doctype html?>x")[0][0] == "comment"

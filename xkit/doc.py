@@ -41,7 +41,13 @@ def extract_doc(
     Returns ``(kinds, texts, media_refs, offsets)`` of the output
     spans, offsets = 0..m-1.
     """
-    order = sorted(range(len(kinds)), key=lambda i: offsets[i])
+    # null offsets sort after the real ones, stable by input position —
+    # the schema allows them and a None<int comparison would kill the
+    # whole Arrow batch (A17 never-fail)
+    order = sorted(
+        range(len(kinds)),
+        key=lambda i: (offsets[i] is None, offsets[i] if offsets[i] is not None else 0, i),
+    )
     ok: list = []
     ot: list = []
     om: list = []

@@ -34,30 +34,36 @@ __all__ = ["extract_pdf_text", "make_fixture_pdf"]
 # inflate (~1/128 of FlateDecode streams, silently). Trailing EOL is
 # stripped per-filter below instead.
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# (string) Tj   |   [ (a) -120 (b) ] TJ   |   Td line moves
-_OP_RE = re.compile(
+# One combined token scan per content stream: strings are matched FIRST
+# so an operator-looking substring INSIDE a string ('GET' contains
+# 'ET') can never terminate a text object — the old split-on-BT..ET
+# approach silently lost such blocks.
+_CONTENT_RE = re.compile(
     rb"""(?P<str>\((?P<body>(?:\\.|[^\\()])*)\))
-      | (?P<tj>Tj)
-      | (?P<TJ>TJ)
-      | (?P<td>-?[0-9.]+\s+-?[0-9.]+\s+Td)
+      | \b(?P<bt>BT)\b
+      | \b(?P<et>ET)\b
+      | \b(?P<tj>Tj)\b
+      | \b(?P<TJ>TJ)\b
+      | (?P<td>-?[0-9.]+\s+-?[0-9.]+\s+Td)\b
     """,
     re.VERBOSE | re.DOTALL,
 )
-_OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
+# single left-to-right pass: octal, named escapes, escaped delimiters,
+# and unknown \x (backslash dropped per the PDF rule) — sequential
+# .replace() passes corrupted strings like (\\101), resolving the
+# octal against an already-escaped backslash
+_ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
+_NAMED_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t"}
 
 
 def _unescape_pdf_string(body: bytes) -> str:
-    body = _OCTAL_RE.sub(lambda m: bytes([int(m.group(1), 8) & 0xFF]), body)
-    body = (
-        body.replace(rb"\(", b"(")
-        .replace(rb"\)", b")")
-        .replace(rb"\n", b"\n")
-        .replace(rb"\r", b"\r")
-        .replace(rb"\t", b"\t")
-        .replace(b"\\\\", b"\\")
-    )
-    return body.decode("latin-1", errors="replace")
+    def sub(m: re.Match) -> bytes:
+        g = m.group(1)
+        if len(g) > 1 or g in b"01234567":
+            return bytes([int(g, 8) & 0xFF])
+        return _NAMED_ESC.get(g, g)
+
+    return _ESC_RE.sub(sub, body).decode("latin-1", errors="replace")
 
 
 def extract_pdf_text(data: bytes | str) -> list[str]:
@@ -68,7 +74,9 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     """
     if isinstance(data, str):
         data = data.encode("latin-1", errors="replace")
-    if not data.lstrip()[:5].startswith(b"%PDF-"):
+    # bounded copy: lstrip() on the full payload would duplicate a
+    # multi-MB document to check a 5-byte magic
+    if not data[:1024].lstrip()[:5].startswith(b"%PDF-"):
         return []
     blocks: list[str] = []
     for stream in _STREAM_RE.finditer(data):
@@ -89,22 +97,30 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
                 body = zlib.decompressobj().decompress(body)
             except zlib.error:
                 continue
-        for bt in _BT_RE.finditer(body):
-            parts: list[str] = []
-            pending: list[str] = []  # strings seen since the last show op
-            for m in _OP_RE.finditer(bt.group(1)):
-                if m.group("str") is not None:
+        in_bt = False
+        parts: list[str] = []
+        pending: list[str] = []  # strings seen since the last show op
+        for m in _CONTENT_RE.finditer(body):
+            if m.group("str") is not None:
+                if in_bt:
                     pending.append(_unescape_pdf_string(m.group("body")))
-                elif m.group("tj") or m.group("TJ"):
-                    if pending:
-                        parts.append("".join(pending))
-                        pending = []
-                elif m.group("td"):
-                    if parts and not parts[-1].endswith(" "):
-                        parts.append(" ")
-            text = "".join(parts).strip()
-            if text:
-                blocks.append(text)
+            elif m.group("bt"):
+                in_bt, parts, pending = True, [], []
+            elif m.group("et"):
+                if in_bt:
+                    text = "".join(parts).strip()
+                    if text:
+                        blocks.append(text)
+                in_bt = False
+            elif not in_bt:
+                continue
+            elif m.group("tj") or m.group("TJ"):
+                if pending:
+                    parts.append("".join(pending))
+                    pending = []
+            elif m.group("td"):
+                if parts and not parts[-1].endswith(" "):
+                    parts.append(" ")
     return blocks
 
 

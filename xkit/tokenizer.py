@@ -162,7 +162,9 @@ def _read_markup_decl(s: str, lt: int):
     else:
         body = s[lt : gt + 1]
         gt_end = gt + 1
-    if len(s) >= lt + 9 and s[lt + 2 : lt + 9].lower() == "doctype":
+    # only a <!doctype form is a doctype; <?doctype ...?> stays a
+    # comment-like PI per the documented token forms
+    if s[lt + 1] == "!" and len(s) >= lt + 9 and s[lt + 2 : lt + 9].lower() == "doctype":
         return gt_end, ("doctype", body)
     return gt_end, ("comment", body)
 
