@@ -565,15 +565,14 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     )
     return f"""
         WITH sig AS (
-          SELECT vec_id, embedding, ({bucket('embeddings')}) AS bucket
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv,
+                 ({bucket('embeddings')}) AS bucket
           FROM embeddings WHERE embedding IS NOT NULL),
         scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-            round(
-              list_sum(list_transform(range(1,{dim+1}), i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))
-              / (sqrt(list_sum(list_transform(range(1,{dim+1}), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE))))
-               * sqrt(list_sum(list_transform(range(1,{dim+1}), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE)))))
-            , 6) AS cos_sim
+            round(list_sum(list_transform(range(1,{dim+1}), i -> a.uv[i] * b.uv[i])), 6) AS cos_sim
           FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
         SELECT query_id, rnk, neighbor_id, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -897,15 +896,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "cosine_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            WITH u AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE /
+                       sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, uv AS qu FROM u WHERE vec_id < 10),
             scored AS (
               SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
-                round(
-                  list_sum(list_transform(range(1,65), i -> (q.qe[i]::DOUBLE) * (v.embedding[i]::DOUBLE)))
-                  / (sqrt(list_sum(list_transform(range(1,65), i -> (q.qe[i]::DOUBLE) * (q.qe[i]::DOUBLE))))
-                   * sqrt(list_sum(list_transform(range(1,65), i -> (v.embedding[i]::DOUBLE) * (v.embedding[i]::DOUBLE)))))
-                , 6) AS cos_sim
-              FROM embeddings v, q WHERE v.vec_id != q.qid)
+                round(list_sum(list_transform(range(1,65), i -> q.qu[i] * v.uv[i])), 6) AS cos_sim
+              FROM u v, q WHERE v.vec_id != q.qid)
             SELECT query_id, rnk, neighbor_id, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk

@@ -115,7 +115,9 @@ def test_null_spans_row():
     fn = make_extract_fn(DEFAULT_OPTIONS, 0)
     (out,) = list(fn(iter([batch])))
     rows = out.column(1).to_pylist()
-    assert rows[0] == [] and rows[1][0]["text"] == "kept text"
+    # NULL input spans stay NULL (not []) — the output ListArray carries
+    # the null through, preserving the input's null-vs-empty distinction
+    assert rows[0] is None and rows[1][0]["text"] == "kept text"
 
 
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):

@@ -202,14 +202,18 @@ def generate_corpus(
     RNG, so chunking doesn't change the data).
     """
     done_marker = os.path.join(path, "_SUCCESS")
+    # the marker pins everything the content depends on — version AND
+    # parameters — so a call with the same path but a different seed or
+    # partition modulus can never silently reuse a stale corpus
+    stamp = f"{DATAGEN_VERSION}:{seed}:{n_docs}:{n_parts}"
     if os.path.exists(done_marker) and not overwrite:
         try:
             with open(done_marker) as f:
-                if f.read().strip() == str(DATAGEN_VERSION):
+                if f.read().strip() == stamp:
                     return path
         except OSError:
             pass
-        # stale generator version (or pre-version marker) → regenerate
+        # stale version/params (or pre-version marker) → regenerate
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):
         os.remove(os.path.join(path, old))
@@ -230,5 +234,5 @@ def generate_corpus(
             os.path.join(path, "part-%05d.parquet" % ci),
         )
     with open(done_marker, "w") as f:
-        f.write(str(DATAGEN_VERSION))
+        f.write(stamp)
     return path

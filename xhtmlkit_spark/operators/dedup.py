@@ -42,7 +42,11 @@ __all__ = [
 
 def normalized_text(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.lower(F.concat_ws(" ", F.split(F.trim(c), "\\s+")))
+    # null-propagating (SQL string_agg semantics): null-skipping
+    # concat_ws would hash NULL text to md5(''), grouping null docs as
+    # exact duplicates of genuinely-empty docs and diverging from the
+    # oracle (DuckDB's list_aggregate over NULL is NULL)
+    return F.when(c.isNotNull(), F.lower(F.concat_ws(" ", F.split(F.trim(c), "\\s+"))))
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -128,6 +132,8 @@ def lsh_candidate_pairs(
     self-join is per-bucket (groupBy band value), so cost is
     Σ bucket_size² — bounded by construction, never all-pairs.
     """
+    if n_hashes % band_size:
+        raise ValueError("band_size must divide n_hashes evenly")
     n_bands = n_hashes // band_size
 
     def band_expr(s: Column, b: int) -> Column:

@@ -31,7 +31,13 @@ from pyspark.sql import types as T
 from xkit.doc import extract_doc
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 
-__all__ = ["SPAN_STRUCT", "SPANS_TYPE", "extract_spans", "make_extract_fn"]
+__all__ = [
+    "SPAN_STRUCT",
+    "SPANS_TYPE",
+    "extract_spans",
+    "make_extract_fn",
+    "span_metrics",
+]
 
 SPAN_STRUCT = T.StructType(
     [
@@ -78,10 +84,14 @@ def make_extract_fn(options: ExtractOptions, n_passthrough: int):
             ot: list = []
             om: list = []
             oo: list = []
-            list_offs = [0]
+            # a None start offset marks the row's output list as NULL
+            # (pyarrow reads the row's end from the next non-null
+            # offset) — NULL input spans stay NULL, not []
+            list_offs: list = []
             nulls = lists.is_valid().to_pylist() if lists.null_count else None
             for i in range(len(lists)):
                 if nulls is None or nulls[i]:
+                    list_offs.append(len(ok))
                     s, e = offs[i], offs[i + 1]
                     k, t, m, o = extract_doc(
                         kind_l[s:e], text_l[s:e], ref_l[s:e], off_l[s:e], options
@@ -90,7 +100,9 @@ def make_extract_fn(options: ExtractOptions, n_passthrough: int):
                     ot += t
                     om += m
                     oo += o
-                list_offs.append(len(ok))
+                else:
+                    list_offs.append(None)
+            list_offs.append(len(ok))
             struct = pa.StructArray.from_arrays(
                 [
                     pa.array(ok, pa.string()),

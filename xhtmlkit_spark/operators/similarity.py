@@ -98,17 +98,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query vector (queries broadcast)."""
+    """Exact top-k neighbors per query vector (queries broadcast).
+
+    Both sides are unit-normalized per ROW before the join, so the
+    per-pair work is a bare dot product (cosine() per pair would redo
+    both norms and double-casts |queries| times per corpus vector)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), unit_vector(vec_col).alias("q_u")
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("neighbor_id"), unit_vector(vec_col).alias("n_u")
     )
     scored = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        F.round(dot(F.col("q_u"), F.col("n_u")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -164,19 +168,27 @@ def lsh_ann_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """ANN: exact cosine top-k *within* each hyperplane bucket.
 
     At 10^12 scale this is the join that replaces the quadratic one:
     docs meet only when all n_planes sign bits agree (expected bucket
-    size |corpus| / 2^n_planes).
+    size |corpus| / 2^n_planes). ``dim`` MUST match the embedding
+    width: shorter planes leave trailing components unprojected, and a
+    plane longer than the vector null-poisons every projection so all
+    rows share bucket 0 — the quadratic join this function exists to
+    avoid.
     """
     # null vectors all project to 0 on every plane → they'd share
     # bucket 0 (one overfull bucket at scale) yet rank with null cosine
+    # unit-normalize once per row (bucket sign is normalization-
+    # invariant, so the signature still uses the raw vector); in-bucket
+    # scoring is then a bare dot product per pair
     sig = vectors.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+        unit_vector(vec_col).alias("u"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     scored = (
@@ -187,7 +199,7 @@ def lsh_ann_topk(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -133,7 +133,10 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
       Spark and DuckDB (which errors on overflow) compute identically.
     """
     df = df.withColumn("__xk_toks", tokens_col(text))
-    norm = F.lower(F.concat_ws(" ", F.col("__xk_toks")))
+    # null-propagating like the SQL twin (string_agg over NULL is NULL)
+    norm = F.when(
+        F.col(text).isNotNull(), F.lower(F.concat_ws(" ", F.col("__xk_toks")))
+    )
     toks64 = F.slice(F.col("__xk_toks"), 1, 64)
     mod = F.lit(1000000007)
     fp_roll = F.aggregate(

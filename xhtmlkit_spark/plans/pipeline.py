@@ -113,6 +113,11 @@ def run_pipeline(
     import time as _time
 
     t0 = _time.monotonic()
+    # parts this run actually processes (post-resume-filter): the
+    # metrics readback below is pruned to them, so a resumed run never
+    # rescans output it didn't write (a column-pruned scan of the int
+    # part column here is ~free next to rereading the span data)
+    run_parts = [r["part"] for r in df.select("part").distinct().collect()]
     df = with_size_salt(df, num_partitions)
     out = extract_spans(df, options, passthrough=("part",))
     # column order for the partitioned sink: data cols first, part last
@@ -122,22 +127,21 @@ def run_pipeline(
     t0 = _time.monotonic()
 
     # lineage + per-partition metrics (B11/B25) — ONE readback pass over
-    # what actually landed on disk; per-part rows are tiny (n_parts),
-    # so totals and the manifest are derived driver-side from them
+    # what THIS RUN landed on disk (partition-pruned to run_parts: it
+    # both validates the written data and feeds the manifest); per-part
+    # rows are tiny (n_parts), so totals are derived driver-side
+    from xhtmlkit_spark.operators.extract_stage import span_metrics
+
     landed = xio.read_corpus(spark, output_path, fmt)
-    zero = F.lit(0).cast("long")
+    if run_parts:
+        landed = landed.where(F.col("part").isin(run_parts))
     stats_rows = (
-        landed.groupBy("part")
+        span_metrics(landed)
+        .groupBy("part")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size("spans")).cast("long").alias("n_spans"),
-            F.sum(
-                F.aggregate(
-                    "spans",
-                    zero,
-                    lambda a, s: a + F.coalesce(F.length(s["text"]).cast("long"), zero),
-                )
-            ).alias("n_chars"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_chars").alias("n_chars"),
         )
         .collect()
     )

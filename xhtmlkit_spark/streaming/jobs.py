@@ -109,13 +109,30 @@ def session_windows_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minu
 
 def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: stateful dedup on event_id within the watermark; the deduped
-    rows are drained (append) and aggregated as a batch step — chaining
-    a second stateful operator after the dedup is restricted, and the
-    compactness only matters for the comparison."""
+    rows drain through the exactly-once FILE sink and are aggregated as
+    a batch step — chaining a second stateful operator after the dedup
+    is restricted, and a memory-sink drain would materialize every
+    deduped ROW on the driver (fine for aggregates, not for row
+    streams at scale)."""
+    import tempfile
+
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
-    drained = run_available_now(deduped, output_mode="append")
-    return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    out = tempfile.mkdtemp(prefix="xk_dedup_rows_")
+    chk = tempfile.mkdtemp(prefix="xk_dedup_chk_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
 
 
 def running_totals_stream(
@@ -187,9 +204,11 @@ def streaming_extract(
     The reference parses documents WHILE downloading ([P:
     XHtmlKit.Network/HttpClientExtensions.cs GetTextReaderAsync]); the
     Spark-native analogue is a file-stream over the landing zone with
-    the same mapInArrow stage per micro-batch via foreachBatch —
-    exactly-once per file thanks to the checkpointed source log, and
-    every batch reuses the batch pipeline's partition-atomic sink.
+    the same mapInArrow stage applied to the stream, draining into
+    Spark's native file sink — whose per-batch commit log
+    (``_spark_metadata``) makes the output EXACTLY-once even when a
+    replayed micro-batch rewrites files (a foreachBatch append sink
+    would duplicate replayed batches: foreachBatch is at-least-once).
     Drains with availableNow (sandbox); on a cluster, drop the trigger
     and it runs forever as data lands.
     """
@@ -202,13 +221,12 @@ def streaming_extract(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.load(input_dir)
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_spans(derive_part(batch_df)).select("doc_id", "spans", "part")
-        out.write.mode("append").partitionBy("part").parquet(output_dir)
-
+    out = extract_spans(derive_part(stream)).select("doc_id", "spans", "part")
     q = (
-        stream.writeStream.foreachBatch(_process)
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part")
         .trigger(availableNow=True)
         .start()
     )
