@@ -59,19 +59,12 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xhtmlkit_spark.operators.extract_stage import extract_spans
     from xhtmlkit_spark.plans.pipeline import with_size_salt
 
+    from xhtmlkit_spark.functions.spans import explode_spans
+
     df = spark.read.parquet(_corpus_path(sf_dir))
     df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
-    out = extract_spans(df)
     # flat, stable schema for the driver's smoke/row checks
-    return out.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select(
-        "doc_id",
-        "pos",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-    )
+    return explode_spans(extract_spans(df))
 
 
 # ------------------------------------------------- relational operators (B*)
@@ -235,7 +228,11 @@ def _q_hourly_event_stats(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", "ts").alias("hour_start"),
+            # NTZ result: the parquet ts column arrives as a UTC
+            # instant, and collect() renders instants through the
+            # PROCESS timezone — the wall-clock cast (session tz is
+            # pinned UTC) matches DuckDB's naive reading everywhere
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
         )
         .agg(
@@ -551,6 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _shingle_sig_cte(k: int) -> str:
+    """Shared DuckDB CTEs (t → s → sig → bands) for the MinHash oracle
+    family — ONE source for the shingle/signature/banding rule, exactly
+    mirroring dedup.shingles_col / minhash_signature /
+    lsh_candidate_pairs (n_hashes=4, band_size=2)."""
+    grams = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-{k - 1}, 1)+1),
+                      i -> concat_ws(' ', {grams}))) AS sh FROM t),
+            sig AS (SELECT doc_id,
+                     list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
+                     list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,
+                     list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS s2,
+                     list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS s3
+                    FROM s),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_sig FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig)"""
+
+
 def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     """DuckDB twin of operators.similarity.lsh_ann_topk: the ±1 plane
     weights come from the same md5 rule, written inline in SQL."""
@@ -797,52 +815,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
-        "minhash_signatures": """
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-            s AS (SELECT doc_id,
-                    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
-                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-                  FROM t)
-            SELECT doc_id,
-                   list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS sig_0,
-                   list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS sig_1,
-                   list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS sig_2,
-                   list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS sig_3
-            FROM s
+        "minhash_signatures": f"""
+            WITH {_shingle_sig_cte(3)}
+            SELECT doc_id, s0 AS sig_0, s1 AS sig_1, s2 AS sig_2, s3 AS sig_3
+            FROM sig
         """,
-        "lsh_candidates": """
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
-                      i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh FROM t),
-            sig AS (SELECT doc_id,
-                     list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
-                     list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,
-                     list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS s2,
-                     list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS s3
-                    FROM s),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_sig FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig)
+        "lsh_candidates": f"""
+            WITH {_shingle_sig_cte(2)}
             SELECT DISTINCT x.band_idx AS band_idx, x.doc_id AS id_a, y.doc_id AS id_b
             FROM bands x JOIN bands y
               ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
              AND x.doc_id < y.doc_id
         """,
-        "jaccard_candidates": """
-            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
-                      i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh FROM t),
-            sig AS (SELECT doc_id,
-                     list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
-                     list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,
-                     list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS s2,
-                     list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS s3
-                    FROM s),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_sig FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig),
+        "jaccard_candidates": f"""
+            WITH {_shingle_sig_cte(2)},
             pairs AS (
               SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
               FROM bands x JOIN bands y
@@ -948,13 +934,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_sessions": """
             WITH m AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events),
+            -- g must order by the SAME (ts, event_id) key as m's lag:
+            -- a ts-only frame is ambiguous on tied timestamps and can
+            -- split sessions differently than the flag computation
             g AS (SELECT user_id, ts,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS grp
                   FROM m)
             SELECT user_id,

@@ -38,6 +38,14 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # deterministic across deploy environments: the events table is
+        # TIMESTAMP_NTZ cast to ltz for watermarks, and epoch-aligned
+        # windows shift by the session offset on non-whole-hour zones;
+        # the JVM zone must be pinned too — collect() converts
+        # timestamps through the JVM default, not the session setting
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

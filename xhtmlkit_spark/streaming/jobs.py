@@ -79,7 +79,10 @@ def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.col("w.start").alias("hour_start"),
+            # NTZ: instants render through the PROCESS timezone at
+            # collect(); the wall-clock cast (session tz pinned UTC)
+            # is what the tz-naive oracle sees on any box
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -99,8 +102,8 @@ def session_windows_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minu
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
     )
@@ -128,11 +131,19 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
+    agg = (
         spark.read.parquet(out)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+    # materialize the (tiny) aggregate eagerly so the temp row copy and
+    # checkpoint can be removed instead of leaking per invocation
+    import shutil
+
+    result = spark.createDataFrame(agg.collect(), agg.schema)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    return result
 
 
 def running_totals_stream(
