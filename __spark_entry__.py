@@ -554,9 +554,15 @@ def _shingle_sig_cte(k: int) -> str:
     mirroring dedup.shingles_col / minhash_signature /
     lsh_candidate_pairs (n_hashes=4, band_size=2)."""
     grams = ", ".join(f"toks[i+{j}]" for j in range(k))
-    return f"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-            s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-{k - 1}, 1)+1),
-                      i -> concat_ws(' ', {grams}))) AS sh FROM t),
+    # NULL text must yield NULL shingles (mirroring shingles_col's
+    # F.when(c.isNotNull(), ...)): without the CASE, DuckDB's
+    # greatest() ignores the NULL len and concat_ws('') turns every
+    # null-text doc into the identical [''] shingle set — all of them
+    # would MinHash-collide into one bucket while Spark drops them
+    return f"""t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            s AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                      ELSE list_distinct(list_transform(range(1, greatest(len(toks)-{k - 1}, 1)+1),
+                      i -> concat_ws(' ', {grams}))) END AS sh FROM t),
             sig AS (SELECT doc_id,
                      list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS s0,
                      list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS s1,

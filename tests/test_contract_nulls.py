@@ -1,0 +1,77 @@
+"""Spark ≡ DuckDB parity on NULL/empty text for the shingle family.
+
+The driver's documents.parquet has zero NULL-text rows at every scale
+factor, so the oracle gate can never see a NULL-handling divergence —
+this fixture plants NULL text, empty text, whitespace-only text, and
+an exact duplicate, then runs the SAME queries()/oracle_sql() pairs
+the driver runs, against the planted table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+QUERIES = [
+    "minhash_signatures",
+    "lsh_candidates",
+    "jaccard_candidates",
+    "dedup_exact",
+    "simhash",
+    "token_counts",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from xhtmlkit_spark.session import get_spark
+
+    return get_spark("local[2]", shuffle_partitions=4, app_name="null-contract")
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(spark, tmp_path_factory):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+        (3, None, "en", "web", 0),
+        (4, None, "en", "web", 0),
+        (5, "", "en", "web", 0),
+        (6, "   ", "en", "web", 3),
+        (7, "entirely different words in this one", "en", "web", 36),
+    ]
+    d = tmp_path_factory.mktemp("nulldocs")
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_null_text_parity(spark, null_sf_dir, name):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_contract import row_multiset
+
+    sdf = entry.queries()[name](spark, null_sf_dir)
+    spark_ms = row_multiset(sdf.columns, sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{null_sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(entry.oracle_sql()[name])
+    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
+
+    assert spark_ms == oracle_ms, (
+        f"{name}: NULL/empty-text divergence\nspark={spark_ms}\noracle={oracle_ms}"
+    )

@@ -229,6 +229,39 @@ def test_stream_dedup_removes_duplicates(spark, tmp_path):
     assert {r["event_type"]: r["n_events"] for r in out} == {"click": 20}
 
 
+def test_stream_dedup_empty_source_returns_empty(spark, tmp_path):
+    from xhtmlkit_spark.streaming.jobs import dedup_events_stream
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sfE"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    # zero input files drained → file sink writes nothing; the readback
+    # must use the known schema instead of failing inference
+    assert dedup_events_stream(spark, str(d)).collect() == []
+
+
+def test_run_available_now_refuses_row_streams(spark, tmp_path):
+    import datetime
+
+    import pytest as _pytest
+
+    from xhtmlkit_spark.streaming.jobs import read_events_stream, run_available_now
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tmp_path / "sfR"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    row_stream = read_events_stream(spark, str(d)).select("event_id", "value")
+    with _pytest.raises(ValueError, match="row-shaped"):
+        run_available_now(row_stream)
+
+
 def test_running_totals_state_accumulates_across_batches(spark, tmp_path):
     import datetime
 

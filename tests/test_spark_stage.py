@@ -129,7 +129,11 @@ def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     assert r1["skipped_parts"] == 0 and r1["docs_total"] == 120
     r2 = run_pipeline(spark, corpus_path, out, man, num_partitions=4)
     assert r2["skipped_parts"] == 16
-    assert (r2["docs_total"], r2["spans_total"]) == (r1["docs_total"], r1["spans_total"])
+    # fully resumed: nothing processed, nothing rescanned — totals are
+    # for THIS run (zero), not the whole landed corpus
+    assert (r2["docs_total"], r2["spans_total"]) == (0, 0)
+    # the landed output itself is untouched by the no-op rerun
+    assert spark.read.parquet(out).count() == r1["docs_total"]
 
 
 def test_entry_contract_smoke(spark):

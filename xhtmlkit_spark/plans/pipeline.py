@@ -132,19 +132,26 @@ def run_pipeline(
     # rows are tiny (n_parts), so totals are derived driver-side
     from xhtmlkit_spark.operators.extract_stage import span_metrics
 
-    landed = xio.read_corpus(spark, output_path, fmt)
     if run_parts:
-        landed = landed.where(F.col("part").isin(run_parts))
-    stats_rows = (
-        span_metrics(landed)
-        .groupBy("part")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_spans").cast("long").alias("n_spans"),
-            F.sum("n_chars").alias("n_chars"),
+        landed = xio.read_corpus(spark, output_path, fmt).where(
+            F.col("part").isin(run_parts)
         )
-        .collect()
-    )
+        stats_rows = (
+            span_metrics(landed)
+            .groupBy("part")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans").cast("long").alias("n_spans"),
+                F.sum("n_chars").alias("n_chars"),
+            )
+            .collect()
+        )
+    else:
+        # fully-resumed rerun (or empty input): nothing was written, so
+        # there is nothing to read back — without this short-circuit the
+        # unfiltered scan would reread the ENTIRE landed output and
+        # report whole-corpus totals for a run that processed zero docs
+        stats_rows = []
     if manifest_path:
         manifest = xio.read_manifest(spark, manifest_path)
         done = (

@@ -53,7 +53,27 @@ def read_events_stream(
 
 def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a stream with trigger(availableNow) into a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    AGGREGATE-SHAPED STREAMS ONLY: the memory sink materializes every
+    emitted row on the driver, which is fine for per-group aggregates
+    (bounded by group count) but would collect the whole stream for a
+    row-shaped plan — at corpus scale, a driver OOM. Row streams
+    (projections, filters, dedup) must drain through the exactly-once
+    FILE sink instead (see :func:`dedup_events_stream` for the
+    pattern); this helper refuses them outright.
+    """
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    if not any(
+        marker in plan
+        for marker in ("Aggregate", "FlatMapGroupsInPandasWithState")
+    ):
+        raise ValueError(
+            "run_available_now drains through a driver-side memory sink "
+            "and only accepts aggregate-shaped streams (per-group "
+            "bounded output); this plan is row-shaped — drain it "
+            "through a file sink (see dedup_events_stream)."
+        )
     name = "s" + uuid.uuid4().hex[:10]
     q = (
         stream_df.writeStream.format("memory")
@@ -131,8 +151,10 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # explicit schema: an empty source drains zero files into the sink,
+    # and schema inference over the empty directory would raise
     agg = (
-        spark.read.parquet(out)
+        spark.read.schema(deduped.schema).parquet(out)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
