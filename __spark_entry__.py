@@ -395,23 +395,14 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    from xhtmlkit_spark.operators.similarity import dot, unit_vector
+    from xhtmlkit_spark.operators.similarity import hyperplane_neardup_pairs
 
-    # normalize each vector ONCE before the n² join (unit_vector
-    # docstring has the numbers); per pair only a dot product remains
-    u = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", unit_vector("embedding").alias("u")
-    )
-    a, b = u.alias("a"), u.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") > 0.35)
-    )
+    # hyperplane-bucket candidates + exact cosine verify — the former
+    # all-pairs `a.vec_id < b.vec_id` self-join was a nested-loop over
+    # the full cross product, correct at 500 vectors and a scale-killer
+    # at 100×; candidates now meet only inside a (salted) sign bucket
+    emb = _read(spark, sf_dir, "embeddings")
+    return hyperplane_neardup_pairs(emb, threshold=0.35, n_planes=8, n_plane_sets=2)
 
 
 def _q_media_features(spark, sf_dir):
@@ -575,18 +566,25 @@ def _shingle_sig_cte(k: int) -> str:
               SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig)"""
 
 
+def _bucket_sql(tbl: str, n_planes: int, dim: int, salt: str | None = None) -> str:
+    """DuckDB expression for the hyperplane sign-bucket of ``tbl``'s
+    embedding — the same md5-derived ±1 plane weights as
+    operators.similarity.hyperplane_signature (optionally salted)."""
+    prefix = "" if salt is None else f"{salt}_"
+    proj = lambda j: (
+        "list_sum(list_transform(range(1,%d), i -> (%s.embedding[i]::DOUBLE) * "
+        "((((('0x' || substr(md5('%s' || %d || '_' || (i-1)), 1, 2))::BIGINT) %% 2) * 2 - 1)::DOUBLE)))"
+        % (dim + 1, tbl, prefix, j)
+    )
+    return " + ".join(
+        f"(CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+
+
 def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     """DuckDB twin of operators.similarity.lsh_ann_topk: the ±1 plane
     weights come from the same md5 rule, written inline in SQL."""
-    proj = lambda tbl, j: (
-        "list_sum(list_transform(range(1,%d), i -> (%s.embedding[i]::DOUBLE) * "
-        "((((('0x' || substr(md5(%d || '_' || (i-1)), 1, 2))::BIGINT) %% 2) * 2 - 1)::DOUBLE)))"
-        % (dim + 1, tbl, j)
-    )
-    bucket = lambda tbl: " + ".join(
-        f"(CASE WHEN {proj(tbl, j)} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(n_planes)
-    )
+    bucket = lambda tbl: _bucket_sql(tbl, n_planes, dim)
     return f"""
         WITH sig AS (
           SELECT vec_id,
@@ -602,6 +600,40 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
           FROM scored) WHERE rnk <= {k}
+    """
+
+
+def _embedding_neardup_oracle(
+    threshold: float = 0.35, n_planes: int = 8, n_plane_sets: int = 2, dim: int = 64
+) -> str:
+    """DuckDB twin of similarity.hyperplane_neardup_pairs: the same
+    salted plane sets gate candidates before the exact cosine verify."""
+    buckets = ",\n                 ".join(
+        f"({_bucket_sql('embeddings', n_planes, dim, salt=f'p{s}')}) AS b{s}"
+        for s in range(n_plane_sets)
+    )
+    unions = "\n          UNION\n".join(
+        f"""          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.b{s} = b.b{s} AND a.vec_id < b.vec_id"""
+        for s in range(n_plane_sets)
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv,
+                 {buckets}
+          FROM embeddings WHERE embedding IS NOT NULL),
+        pairs AS (
+{unions}),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 round(list_sum(list_transform(range(1,{dim + 1}),
+                       i -> sa.uv[i] * sb.uv[i])), 6) AS cos_sim
+          FROM pairs p
+          JOIN sig sa ON sa.vec_id = p.id_a
+          JOIN sig sb ON sb.vec_id = p.id_b)
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim > {threshold}
     """
 
 
@@ -903,19 +935,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
               FROM scored) WHERE rnk <= 5
         """,
-        "embedding_neardup": """
-            WITH u AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> x::DOUBLE /
-                       sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
-              FROM embeddings)
-            SELECT * FROM (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_sum(list_transform(range(1,65), i -> a.uv[i] * b.uv[i])), 6) AS cos_sim
-              FROM u a, u b
-              WHERE a.vec_id < b.vec_id)
-            WHERE cos_sim > 0.35
-        """,
+        "embedding_neardup": _embedding_neardup_oracle(),
         "range_join_event_pairs": """
             SELECT a.user_id AS user_id, count(*) AS n_pairs
             FROM events a JOIN events b

@@ -176,6 +176,31 @@ def test_brute_force_topk_finds_planted_neighbor(spark):
     assert out[0]["neighbor_id"] == 1 and out[0]["cos_sim"] > 0.99
 
 
+def test_hyperplane_neardup_finds_planted_neighbor(spark):
+    import random
+
+    from xhtmlkit_spark.operators.similarity import hyperplane_neardup_pairs
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.005) for v in base]  # cos ≈ 0.9999
+    rows = [(0, base), (1, near), (2, None)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hyperplane_neardup_pairs(df, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    # a true near-dup projects to the same sign on every plane of at
+    # least one set (perturbation ≪ any projection margin here), so the
+    # bucket join must surface it
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    # the whole point of the re-route: candidates meet via bucket
+    # EQUI-joins, never a nested-loop over the cross product
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_media_features_deterministic(spark):
     from xhtmlkit_spark.operators.multimodal import (
         media_feature_stage,

@@ -28,6 +28,7 @@ __all__ = [
     "unit_vector",
     "brute_force_topk",
     "hyperplane_signature",
+    "hyperplane_neardup_pairs",
     "lsh_ann_topk",
 ]
 
@@ -125,14 +126,18 @@ def brute_force_topk(
 
 
 def hyperplane_signature(
-    vec: Column, n_planes: int = 8, dim: int = 64
+    vec: Column, n_planes: int = 8, dim: int = 64, salt: str | None = None
 ) -> Column:
     """Random-hyperplane LSH signature as an int (bit j = sign of ⟨v, h_j⟩).
 
-    Plane component h_j[i] ∈ {-1, +1}, derived from md5(f"{j}_{i}") —
-    deterministic, engine-portable, and integer-exact to reproduce.
+    Plane component h_j[i] ∈ {-1, +1}, derived from md5(f"{j}_{i}")
+    (md5(f"{salt}_{j}_{i}") when ``salt`` is given — independent plane
+    sets for multi-probe recall) — deterministic, engine-portable, and
+    integer-exact to reproduce.
     """
     import hashlib
+
+    prefix = "" if salt is None else f"{salt}_"
 
     # let-bind the double-cast vector: the n_planes projections below
     # would each re-cast it when captured directly
@@ -143,7 +148,8 @@ def hyperplane_signature(
             # at plan-build time from the same md5 rule the oracle SQL uses)
             ws = [
                 1
-                if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 1
+                if int(hashlib.md5(f"{prefix}{j}_{i}".encode()).hexdigest()[:2], 16) % 2
+                == 1
                 else -1
                 for i in range(dim)
             ]
@@ -160,6 +166,69 @@ def hyperplane_signature(
         return out.cast("int")
 
     return bind(_dvec(vec), body)
+
+
+def hyperplane_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    n_plane_sets: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-bucket candidates + exact
+    cosine verify — the scale path that replaces the all-pairs O(n²)
+    self-join (which Catalyst executes as a nested-loop over the full
+    cross product; correct at 500 vectors, a non-starter at 10^12).
+
+    Candidates come from ``n_plane_sets`` independent salted plane
+    sets: a pair is considered when ALL ``n_planes`` sign bits agree in
+    at least one set (equi-join per set, union, distinct). Expected
+    bucket size is |corpus| / 2^n_planes per set, so join cost stays
+    Σ bucket² — bounded by construction. Recall is probabilistic:
+    P(found) = 1 - (1 - (1 - θ/π)^n_planes)^n_plane_sets, ≈ 0.99+ for
+    true near-dups (cos ≥ 0.99) at the defaults and intentionally low
+    for mid-similarity pairs; raise n_plane_sets (more recall, more
+    candidate cost) or lower n_planes (more recall, bigger buckets —
+    watch the bucket² term) to tune.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim > threshold.
+    """
+    sig = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
+        *[
+            hyperplane_signature(F.col(vec_col), n_planes, dim, salt=f"p{s}").alias(
+                f"b{s}"
+            )
+            for s in range(n_plane_sets)
+        ],
+    )
+    # candidate ids only (no vectors through the shuffle): per-set
+    # bucket equi-joins, unioned and deduped; the (tiny) candidate set
+    # then fetches each side's unit vector with two hash joins
+    ids = sig.select("id", *[f"b{s}" for s in range(n_plane_sets)])
+    cand = None
+    for s in range(n_plane_sets):
+        a, b = ids.alias("a"), ids.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.b{s}") == F.col(f"b.b{s}")) & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = p if cand is None else cand.union(p)
+    pairs = cand.distinct()
+    uv = sig.select("id", "u")
+    return (
+        pairs.join(uv.withColumnsRenamed({"id": "id_a", "u": "u_a"}), "id_a")
+        .join(uv.withColumnsRenamed({"id": "id_b", "u": "u_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("u_a"), F.col("u_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > threshold)
+    )
 
 
 def lsh_ann_topk(
