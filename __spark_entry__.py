@@ -356,6 +356,16 @@ def _q_jaccard_candidates(spark, sf_dir):
     return jaccard_verify(pairs, d, text="text", k=2)
 
 
+def _q_dedup_groups(spark, sf_dir):
+    from xhtmlkit_spark.operators.dedup import lsh_candidate_pairs, near_dup_groups
+
+    # pairs → transitive closure → one group_id (the keeper: min doc_id
+    # reachable) per doc; singletons resolve to themselves
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, text="text", n_hashes=4, band_size=2, k=2)
+    return near_dup_groups(d, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from xhtmlkit_spark.operators.dedup import simhash_col
 
@@ -521,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_candidates": _q_jaccard_candidates,
+        "dedup_groups": _q_dedup_groups,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -879,6 +890,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE {_shingle_sig_cte(2)},
+            prs AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM prs),
+            -- (node, reachable-label) closure; plain UNION dedups, so
+            -- the recursion terminates at the fixpoint
+            reach AS (
+              SELECT doc_id AS id, doc_id AS lbl FROM documents
+              UNION
+              SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+            SELECT id AS doc_id, min(lbl) AS group_id FROM reach GROUP BY id
         """,
         "simhash_neardup": """
             WITH corpus AS (

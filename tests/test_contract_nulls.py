@@ -22,6 +22,7 @@ QUERIES = [
     "minhash_signatures",
     "lsh_candidates",
     "jaccard_candidates",
+    "dedup_groups",
     "dedup_exact",
     "simhash",
     "token_counts",

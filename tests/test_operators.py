@@ -86,6 +86,22 @@ def test_lsh_finds_near_duplicate(docs):
         assert 0.5 < j[(1, 3)] < 1.0
 
 
+def test_connected_components_planted_chain(spark):
+    from xhtmlkit_spark.operators.dedup import connected_components, near_dup_groups
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # chain A~B, B~C with NO direct A~C edge: transitive closure must
+    # still put all three in one group; 4~5 a separate pair; 6 singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {r["id"]: r["group_id"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    # empty pair set → every doc is its own group
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    docs = nodes.withColumnRenamed("id", "doc_id")
+    got2 = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, empty).collect()}
+    assert got2 == {i: i for i in range(1, 7)}
+
+
 def test_simhash_properties(spark, docs):
     from pyspark.sql import functions as F
 

@@ -37,6 +37,8 @@ __all__ = [
     "simhash_col",
     "simhash_band_pairs",
     "jaccard_verify",
+    "connected_components",
+    "near_dup_groups",
 ]
 
 
@@ -278,6 +280,78 @@ def simhash_band_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → duplicate GROUPS.
+
+    Pure-DataFrame iterative min-label propagation (no GraphX/GraphFrames
+    — neither ships with PySpark): every node starts labeled with
+    itself; each round, each node takes the min of its own label and
+    its neighbors' labels; fixpoint when no label changes. The label is
+    then the minimum id reachable — the canonical "keep" doc per group.
+
+    Inputs: ``nodes`` with column ``id`` (every doc, so singletons
+    resolve to themselves), ``pairs`` with ``id_a``/``id_b`` (any
+    near-dup pair source: lsh_candidates, simhash_band_pairs,
+    hyperplane_neardup_pairs, or their union).
+
+    Scale shape: each round is one shuffle join on id + one min-agg;
+    rounds = graph diameter. Near-dup graphs are overwhelmingly tiny
+    cliques/chains (diameter ≤ ~3), so this beats the O(log n)
+    large-star/small-star alternation in practice — at 10^12 docs the
+    per-round cost, not the round count, dominates, and each round here
+    shuffles only (id, label) longs, never text. ``localCheckpoint``
+    truncates the growing lineage each round (an iterative join plan
+    re-analyzed from scratch each round goes quadratic in planning
+    time; checkpointing keeps planning O(1) per round).
+
+    Returns (id, group_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    return labels.select("id", F.col("lbl").alias("group_id"))
+
+
+def near_dup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-doc groups: (doc_id, group_id)
+    for every doc, group_id = min doc id in the doc's connected
+    component (singletons map to themselves) — the answer to "which doc
+    do I keep" that pair lists alone can't give."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    return connected_components(nodes, pairs).select(
+        F.col("id").alias(id_col), "group_id"
     )
 
 
