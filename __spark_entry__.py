@@ -67,6 +67,20 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(extract_spans(df))
 
 
+def _q_select_spans(spark, sf_dir):
+    """A27 analogue: CSS-selector-lite over the repaired DOM. No SQL
+    twin exists (selection needs the from-scratch parser), so this is a
+    rows-only check — value-level correctness is pinned by the frozen
+    selector goldens + the Spark≡pure-Python equality test."""
+    from xhtmlkit_spark.functions.spans import explode_spans
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    return explode_spans(select_spans(df, "table td, img"))
+
+
 # ------------------------------------------------- relational operators (B*)
 
 
@@ -505,6 +519,7 @@ def _q_stream_running_totals(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": _q_extract_spans,
+        "select_spans": _q_select_spans,
         "q01_pricing_summary": _q01_pricing_summary,
         "q03_top_unshipped": _q03_top_unshipped,
         "q05_region_revenue": _q05_region_revenue,

@@ -1,0 +1,103 @@
+"""Selector-lite gate: frozen goldens (authored-as-spec, like the 89
+extraction cases), parse-error behavior, never-raise fuzz, and
+Spark-stage ≡ pure-Python equality for select_spans."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from xkit.options import ExtractOptions
+from xkit.selector import parse_selector, select_doc, select_html
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "selector", "selectors.json")
+
+with open(GOLDEN) as f:
+    _CASES = [
+        pytest.param(c, id=c["name"]) for c in json.load(f)["cases"]
+    ]
+
+
+@pytest.mark.parametrize("case", _CASES)
+def test_selector_golden(case):
+    opts = (
+        ExtractOptions(base_url=case["base_url"])
+        if case.get("base_url")
+        else ExtractOptions()
+    )
+    got = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(
+            select_html(case["html"], case["selector"], opts)
+        )
+    ]
+    assert got == case["expected_spans"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "  ", ",", "p,", "p..x", "p.#", "[=v]", "p[unterminated", "@content",
+     "p @", "p @a b", 'p[q="unclosed]'],
+)
+def test_selector_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_selector(bad)
+
+
+def test_selector_never_raises_on_documents():
+    import random
+
+    rng = random.Random(3)
+    alphabet = '<>/="\' abcdiv&;#x-'
+    sel = parse_selector("div.a p, img, meta[name=x] @content")
+    for _ in range(200):
+        junk = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300)))
+        for k, t, m in select_html(junk, sel):
+            assert (k == "text") == (m is None)
+
+
+def test_select_doc_skips_non_html_spans():
+    k, t, m, o = select_doc(
+        ["html", "media", "pdf", "wat", "html"],
+        ["<p>a</p>", None, "%PDF", None, "<p>b</p>"],
+        [None, "m.png", None, None, None],
+        [0, 1, 2, 3, 4],
+        "p",
+    )
+    assert list(zip(k, t, m, o)) == [
+        ("text", "a", None, 0),
+        ("text", "b", None, 1),
+    ]
+
+
+@pytest.mark.spark
+def test_spark_select_stage_matches_pure_python(tmp_path):
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.session import get_spark
+
+    spark = get_spark("local[2]", shuffle_partitions=4, app_name="sel-tests")
+    corpus = generate_corpus(str(tmp_path / "corpus"), 40, seed=5, chunk_docs=20)
+    df = spark.read.parquet(corpus)
+    sel = "table td, img"
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in select_spans(df, sel).collect()
+    }
+    rows = df.collect()
+    expect = {}
+    for r in rows:
+        spans = r["spans"]
+        k, t, m, o = select_doc(
+            [s["kind"] for s in spans],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+            [s["offset"] for s in spans],
+            sel,
+        )
+        expect[r["doc_id"]] = list(zip(k, t, m, o))
+    assert got == expect
+    # at least some docs genuinely matched (the corpus plants tables/images)
+    assert any(v for v in got.values())

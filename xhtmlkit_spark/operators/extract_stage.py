@@ -35,7 +35,9 @@ __all__ = [
     "SPAN_STRUCT",
     "SPANS_TYPE",
     "extract_spans",
+    "make_doc_stage_fn",
     "make_extract_fn",
+    "run_doc_stage",
     "span_metrics",
 ]
 
@@ -59,12 +61,14 @@ _PA_SPAN = pa.struct(
 )
 
 
-def make_extract_fn(options: ExtractOptions, n_passthrough: int):
-    """Build the Arrow-batch mapper.
+def make_doc_stage_fn(doc_fn, n_passthrough: int):
+    """Build an Arrow-batch mapper around any per-doc parallel-list
+    function ``doc_fn(kinds, texts, refs, offsets) -> (k, t, m, o)``
+    (extract_doc, selector.select_doc, ...).
 
     Expects batches with columns ``[doc_id, <n_passthrough cols>, spans]``
-    (enforced by :func:`extract_spans`'s select) and emits the same
-    layout with extracted spans.
+    (enforced by :func:`run_doc_stage`'s select) and emits the same
+    layout with the function's output spans.
     """
 
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -93,8 +97,8 @@ def make_extract_fn(options: ExtractOptions, n_passthrough: int):
                 if nulls is None or nulls[i]:
                     list_offs.append(len(ok))
                     s, e = offs[i], offs[i + 1]
-                    k, t, m, o = extract_doc(
-                        kind_l[s:e], text_l[s:e], ref_l[s:e], off_l[s:e], options
+                    k, t, m, o = doc_fn(
+                        kind_l[s:e], text_l[s:e], ref_l[s:e], off_l[s:e]
                     )
                     ok += k
                     ot += t
@@ -124,6 +128,30 @@ def make_extract_fn(options: ExtractOptions, n_passthrough: int):
     return extract_batches
 
 
+def make_extract_fn(options: ExtractOptions, n_passthrough: int):
+    """Arrow-batch mapper for main-content extraction (the flagship
+    doc_fn); see :func:`make_doc_stage_fn` for the batch contract."""
+
+    def doc_fn(kinds, texts, refs, offsets):
+        return extract_doc(kinds, texts, refs, offsets, options)
+
+    return make_doc_stage_fn(doc_fn, n_passthrough)
+
+
+def run_doc_stage(df: DataFrame, batch_fn, passthrough: tuple) -> DataFrame:
+    """Prune to ``doc_id, *passthrough, spans`` (Catalyst pushes the
+    column pruning into the scan) and run an Arrow-batch mapper built
+    by :func:`make_doc_stage_fn` over it."""
+    pt = [c for c in passthrough if c in df.columns]
+    pruned = df.select("doc_id", *pt, "spans")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [pruned.schema[c] for c in pt]
+        + [T.StructField("spans", SPANS_TYPE)]
+    )
+    return pruned.mapInArrow(batch_fn(len(pt)), out_schema)
+
+
 def extract_spans(
     df: DataFrame,
     options: ExtractOptions = DEFAULT_OPTIONS,
@@ -136,14 +164,9 @@ def extract_spans(
     is pruned before the Python boundary). Output: same shape with
     extracted spans (kind ∈ {text, media}).
     """
-    pt = [c for c in passthrough if c in df.columns]
-    pruned = df.select("doc_id", *pt, "spans")
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.StringType())]
-        + [pruned.schema[c] for c in pt]
-        + [T.StructField("spans", SPANS_TYPE)]
+    return run_doc_stage(
+        df, lambda n_pt: make_extract_fn(options, n_pt), passthrough
     )
-    return pruned.mapInArrow(make_extract_fn(options, len(pt)), out_schema)
 
 
 def span_metrics(df: DataFrame) -> DataFrame:

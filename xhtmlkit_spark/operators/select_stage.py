@@ -1,0 +1,51 @@
+"""Tree-selection operator: CSS-selector-lite over the repaired DOM,
+as a mapInArrow stage (SURVEY.md A27 analogue).
+
+The reference's query surface is XPath over the repaired tree ([P:
+XHtmlKit README.md] SelectNodes); :mod:`xkit.selector` re-expresses
+the high-frequency subset ("all ``<table>`` text",
+"``meta[property=og:title]``") as a selector evaluated on the event
+stream, and this module distributes it with the exact same Arrow
+plumbing as extraction: flat child arrays in, list offsets out, no
+per-row Python objects at the boundary.
+
+Scale shape = extract_spans' shape: one column-pruned scan, the
+optional size-salt shuffle, one MapInArrow node. The selector string
+is parsed ON THE DRIVER (a malformed selector fails the job before any
+executor spins up), then shipped pre-parsed inside the closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from xhtmlkit_spark.operators.extract_stage import make_doc_stage_fn, run_doc_stage
+from xkit.options import DEFAULT_OPTIONS, ExtractOptions
+from xkit.selector import parse_selector, select_doc
+
+__all__ = ["select_spans"]
+
+
+def select_spans(
+    df: DataFrame,
+    selector: str,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """Evaluate ``selector`` over every document's html spans.
+
+    Input/output shape is identical to
+    :func:`~xhtmlkit_spark.operators.extract_stage.extract_spans`:
+    ``doc_id, *passthrough, spans`` in, same layout out with one span
+    per selector match (document order; see xkit.selector for the
+    per-match span rule).
+    """
+    parsed = parse_selector(selector)  # driver-side validation
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            return select_doc(kinds, texts, refs, offsets, parsed, options)
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    return run_doc_stage(df, batch_fn, passthrough)

@@ -1,0 +1,322 @@
+"""CSS-selector-lite over the repaired DOM (SURVEY.md A27 analogue).
+
+The reference's user-facing query surface is XPath/LINQ over the
+repaired tree ([P: XHtmlKit README.md] — parse, then query with
+``SelectNodes``/LINQ). This module re-expresses the high-frequency
+subset of that capability as a small CSS-style selector evaluated over
+the same repaired event stream the extractor consumes — no XmlDocument
+is ever built (SURVEY.md §1.2 span-first architecture).
+
+Supported grammar (frozen by tests/golden/selector/selectors.json):
+
+    group    := selector ("," selector)*          match any alternative
+    selector := compound (ws compound)* (ws "@" name)?
+    compound := [tag | "*"] ("#" id)? ("." class)* ("[" name ("=" value)? "]")*
+
+* whitespace between compounds is the DESCENDANT combinator
+* ``@name`` (trailing) projects an ATTRIBUTE of the matched element
+  instead of its subtree text — e.g. ``meta[property=og:title] @content``
+* values may be bare, 'single'- or "double"-quoted; matching is exact
+  and case-sensitive (tag/attr NAMES are lowercased by the tokenizer,
+  so selectors are case-insensitive there, like HTML)
+
+Semantics (querySelectorAll-like, frozen by the goldens):
+
+* matches are emitted in document order of the element OPEN
+* every matched element yields one span: media elements with a
+  non-empty ``src`` yield ``("media", None, src)`` (absolutized
+  against ``options.base_url`` when set); ``@attr`` projections yield
+  ``("text", attr_value, None)`` (element skipped when the attribute
+  is absent); everything else yields the element's whitespace-collapsed
+  subtree text as ``("text", text, None)`` — empty text included,
+  because a selector match is a fact about the document even when the
+  element is empty
+* nested matches each yield their own span (their texts overlap, as
+  with querySelectorAll + textContent)
+* selection runs over the FULL repaired DOM — script/style/nav are NOT
+  stripped (mirroring the reference, which keeps them in the tree and
+  lets the query decide); RAWTEXT content is therefore selectable
+
+Never-raise applies to DOCUMENTS (any input HTML is handled); a
+malformed SELECTOR raises ``ValueError`` at parse time — that is a
+caller bug, and the Spark operator parses once on the driver before
+any executor sees it.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from xkit.dom import repair
+from xkit.extract import MEDIA_TAGS, _collapse
+from xkit.options import DEFAULT_OPTIONS, ExtractOptions
+from xkit.tokenizer import tokenize
+
+__all__ = ["parse_selector", "select_html", "select_doc"]
+
+
+class _Simple:
+    """One compound selector: tag/id/classes/attr tests."""
+
+    __slots__ = ("tag", "id", "classes", "attrs")
+
+    def __init__(self, tag, id_, classes, attrs):
+        self.tag = tag  # None = any
+        self.id = id_
+        self.classes = classes  # tuple[str, ...]
+        self.attrs = attrs  # tuple[(name, value-or-None), ...]
+
+    def matches(self, tag: str, attrs: dict) -> bool:
+        if self.tag is not None and tag != self.tag:
+            return False
+        if self.id is not None and attrs.get("id") != self.id:
+            return False
+        if self.classes:
+            have = attrs.get("class", "").split()
+            for c in self.classes:
+                if c not in have:
+                    return False
+        for name, value in self.attrs:
+            if name not in attrs:
+                return False
+            if value is not None and attrs[name] != value:
+                return False
+        return True
+
+
+_NAME_END = frozenset(" \t\n\r\f.#[@,")
+
+
+def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
+    n = len(s)
+    tag = None
+    id_ = None
+    classes: list = []
+    attrs: list = []
+    start = i
+    while i < n and s[i] not in _NAME_END and s[i] != "]":
+        i += 1
+    if i > start:
+        t = s[start:i].lower()
+        tag = None if t == "*" else t
+    elif i < n and s[i] == "*":  # lone * (defensive; loop consumes it above)
+        i += 1
+    matched_any = i > start
+    while i < n:
+        c = s[i]
+        if c == ".":
+            i += 1
+            j = i
+            while j < n and s[j] not in _NAME_END and s[j] != "]":
+                j += 1
+            if j == i:
+                raise ValueError(f"empty class name at {i} in selector {s!r}")
+            classes.append(s[i:j])
+            i = j
+            matched_any = True
+        elif c == "#":
+            i += 1
+            j = i
+            while j < n and s[j] not in _NAME_END and s[j] != "]":
+                j += 1
+            if j == i:
+                raise ValueError(f"empty id at {i} in selector {s!r}")
+            id_ = s[i:j]
+            i = j
+            matched_any = True
+        elif c == "[":
+            i += 1
+            j = i
+            while j < n and s[j] not in "=]":
+                j += 1
+            name = s[i:j].strip().lower()
+            if not name:
+                raise ValueError(f"empty attribute name at {i} in selector {s!r}")
+            if j < n and s[j] == "=":
+                j += 1
+                if j < n and s[j] in "\"'":
+                    quote = s[j]
+                    j += 1
+                    k = s.find(quote, j)
+                    if k < 0:
+                        raise ValueError(f"unterminated quote in selector {s!r}")
+                    value = s[j:k]
+                    j = k + 1
+                else:
+                    k = s.find("]", j)
+                    if k < 0:
+                        raise ValueError(f"unterminated [ in selector {s!r}")
+                    value = s[j:k]
+                    j = k
+                if j >= n or s[j] != "]":
+                    raise ValueError(f"expected ] at {j} in selector {s!r}")
+                i = j + 1
+            else:
+                if j >= n or s[j] != "]":
+                    raise ValueError(f"unterminated [ in selector {s!r}")
+                value = None
+                i = j + 1
+            attrs.append((name, value))
+            matched_any = True
+        else:
+            break
+    if not matched_any:
+        raise ValueError(f"expected selector at {start} in {s!r}")
+    return _Simple(tag, id_, tuple(classes), tuple(attrs)), i
+
+
+def parse_selector(selector: str) -> list:
+    """Parse a selector group → list of (chain, proj_attr) alternatives;
+    chain is a tuple of _Simple (descendant combinator between them),
+    proj_attr is the ``@name`` attribute projection or None."""
+    out = []
+    for alt in selector.split(","):
+        s = alt.strip()
+        if not s:
+            raise ValueError(f"empty alternative in selector {selector!r}")
+        proj = None
+        at = s.rfind("@")
+        # a projection is "<ws>@name" at the END — an @ inside an
+        # attribute value ([href=mailto:x@y]) is never preceded by
+        # whitespace outside brackets, so it stays part of the value
+        if at > 0 and s[at - 1] in " \t\n\r\f":
+            proj = s[at + 1 :].strip().lower()
+            if not proj or any(ch in _NAME_END for ch in proj) or "]" in proj:
+                raise ValueError(f"bad @attr projection in selector {selector!r}")
+            s = s[:at].strip()
+            if not s:
+                raise ValueError(f"@attr needs a selector in {selector!r}")
+        elif at == 0:
+            raise ValueError(f"@attr needs a selector in {selector!r}")
+        chain = []
+        i = 0
+        n = len(s)
+        while i < n:
+            while i < n and s[i] in " \t\n\r\f":
+                i += 1
+            if i >= n:
+                break
+            simple, i = _parse_compound(s, i)
+            chain.append(simple)
+        if not chain:
+            raise ValueError(f"empty selector in {selector!r}")
+        out.append((tuple(chain), proj))
+    return out
+
+
+def _chain_matches(stack: list, chain: tuple) -> bool:
+    """stack: list of (tag, attrs) with the candidate element on top.
+    The chain's last compound must match the top; earlier compounds
+    must match ancestors in order (descendant combinator — greedy
+    backward scan is sufficient for existence)."""
+    tag, attrs = stack[-1]
+    if not chain[-1].matches(tag, attrs):
+        return False
+    ci = len(chain) - 2
+    si = len(stack) - 2
+    while ci >= 0:
+        while si >= 0 and not chain[ci].matches(stack[si][0], stack[si][1]):
+            si -= 1
+        if si < 0:
+            return False
+        ci -= 1
+        si -= 1
+    return True
+
+
+def select_html(
+    html: str, selector, options: ExtractOptions = DEFAULT_OPTIONS
+) -> list:
+    """Evaluate a selector over one HTML document.
+
+    ``selector`` is a string or a pre-parsed :func:`parse_selector`
+    result. Returns ordered ``(kind, text, media_ref)`` spans (see
+    module doc for the per-match span rule).
+    """
+    groups = parse_selector(selector) if isinstance(selector, str) else selector
+    base = options.base_url
+    stack: list = []  # (tag, attrs) of open elements
+    captures: list = []  # [depth, proj, tag, attrs, texts-or-None, seq]
+    results: list = []  # (seq, kind, text, media_ref)
+    seq = 0
+    for ev in repair(tokenize(html)):
+        k = ev[0]
+        if k == "text":
+            t = ev[1]
+            for cap in captures:
+                if cap[4] is not None:
+                    cap[4].append(t)
+        elif k == "open":
+            tag, attrs = ev[1], ev[2]
+            stack.append((tag, attrs))
+            projs_here = set()
+            for chain, proj in groups:
+                if proj in projs_here:
+                    continue  # dedupe: element matched by 2 alternatives
+                if _chain_matches(stack, chain):
+                    projs_here.add(proj)
+                    wants_text = proj is None and not (
+                        tag in MEDIA_TAGS and attrs.get("src")
+                    )
+                    captures.append(
+                        [len(stack), proj, tag, attrs, [] if wants_text else None, seq]
+                    )
+            seq += 1
+        elif k == "close":
+            depth = len(stack)
+            tag, attrs = stack.pop()
+            # finalize captures opened at this depth (appended in order,
+            # so they sit at the tail)
+            while captures and captures[-1][0] == depth:
+                _, proj, ctag, cattrs, texts, cseq = captures.pop()
+                if proj is not None:
+                    value = cattrs.get(proj)
+                    if value is not None:
+                        results.append((cseq, "text", value, None))
+                elif texts is None:  # media element with non-empty src
+                    src = cattrs["src"]
+                    results.append(
+                        (cseq, "media", None, urljoin(base, src) if base else src)
+                    )
+                else:
+                    results.append((cseq, "text", _collapse("".join(texts)), None))
+        # comments / doctype: not selectable, contribute no text
+    results.sort(key=lambda r: r[0])
+    return [(k, t, m) for _, k, t, m in results]
+
+
+def select_doc(
+    kinds: list,
+    texts: list,
+    media_refs: list,
+    offsets: list,
+    selector,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+) -> tuple[list, list, list, list]:
+    """Doc-level twin of :func:`xkit.doc.extract_doc` for selection:
+    runs the selector over every ``html`` input span in offset order
+    (pdf/media spans have no DOM — skipped), re-deriving output offsets
+    as 0..m-1. Same parallel-list contract, same Arrow-stage plumbing.
+    """
+    from xkit.encoding import decode_html_bytes
+
+    order = sorted(
+        range(len(kinds)),
+        key=lambda i: (offsets[i] is None, offsets[i] if offsets[i] is not None else 0, i),
+    )
+    ok: list = []
+    ot: list = []
+    om: list = []
+    for i in order:
+        if kinds[i] != "html":
+            continue
+        raw = texts[i]
+        if raw is None:
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = decode_html_bytes(bytes(raw))
+        for k, t, m in select_html(raw, selector, options):
+            ok.append(k)
+            ot.append(t)
+            om.append(m)
+    return ok, ot, om, list(range(len(ok)))
