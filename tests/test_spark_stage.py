@@ -136,6 +136,35 @@ def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     assert spark.read.parquet(out).count() == r1["docs_total"]
 
 
+def test_pipeline_observed_metrics_match_landed_output(spark, corpus_path, tmp_path):
+    """The in-flight observe() metrics must equal what a readback scan
+    of the landed output would compute (the previous source of truth)."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.extract_stage import span_metrics
+    from xhtmlkit_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    run_pipeline(spark, corpus_path, out, man, num_partitions=4)
+    readback = {
+        r["part"]: (r["n_docs"], r["n_spans"], r["n_chars"])
+        for r in span_metrics(spark.read.parquet(out))
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    }
+    manifest = {
+        r["part"]: (r["n_docs"], r["n_spans"], r["n_chars"])
+        for r in spark.read.parquet(man).collect()
+    }
+    assert manifest == readback
+
+
 def test_entry_contract_smoke(spark):
     import __spark_entry__ as e
 

@@ -112,45 +112,67 @@ def run_pipeline(
 
     import time as _time
 
+    from pyspark.sql import Observation
+
     t0 = _time.monotonic()
-    # parts this run actually processes (post-resume-filter): the
-    # metrics readback below is pruned to them, so a resumed run never
-    # rescans output it didn't write (a column-pruned scan of the int
-    # part column here is ~free next to rereading the span data)
+    # parts this run actually processes (post-resume-filter): per-part
+    # metrics are observed IN-FLIGHT on the write pass below, so a
+    # resumed run never touches output it didn't write (a column-pruned
+    # scan of the int part column here is ~free next to the span data)
     run_parts = [r["part"] for r in df.select("part").distinct().collect()]
     df = with_size_salt(df, num_partitions)
     out = extract_spans(df, options, passthrough=("part",))
     # column order for the partitioned sink: data cols first, part last
     out = out.select("doc_id", "spans", "part")
+
+    # lineage + per-partition metrics (B11/B25) ride the write job via
+    # observe() — exact for batch queries, and it removes what used to
+    # be a SECOND full scan of everything this run just wrote (at 100 TB
+    # of output, a second 100 TB job). n_spans/n_chars are materialized
+    # as columns ONCE before the per-part conditional sums: referenced
+    # directly inside n_parts sum(when(part=p, ...)) expressions,
+    # Catalyst would re-evaluate the span aggregate once per part per
+    # row (no CSE across sibling aggregates), then they are projected
+    # away before the sink.
+    obs = Observation(f"xk_metrics_{run_id}")
+    if run_parts:
+        zero = F.lit(0).cast("long")
+        n_chars = F.aggregate(
+            F.col("spans"),
+            zero,
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), zero),
+        )
+        out = out.withColumns(
+            {"_n_spans": F.size("spans").cast("long"), "_n_chars": n_chars}
+        )
+        exprs = []
+        for p in run_parts:
+            cond = F.col("part") == F.lit(p)
+            exprs += [
+                F.sum(F.when(cond, F.lit(1).cast("long"))).alias(f"d_{p}"),
+                F.sum(F.when(cond, F.col("_n_spans"))).alias(f"s_{p}"),
+                F.sum(F.when(cond, F.col("_n_chars"))).alias(f"c_{p}"),
+            ]
+        out = out.observe(obs, *exprs).drop("_n_spans", "_n_chars")
     xio.write_spans(out, output_path, fmt)
     t_extract_write = _time.monotonic() - t0
     t0 = _time.monotonic()
 
-    # lineage + per-partition metrics (B11/B25) — ONE readback pass over
-    # what THIS RUN landed on disk (partition-pruned to run_parts: it
-    # both validates the written data and feeds the manifest); per-part
-    # rows are tiny (n_parts), so totals are derived driver-side
-    from xhtmlkit_spark.operators.extract_stage import span_metrics
-
     if run_parts:
-        landed = xio.read_corpus(spark, output_path, fmt).where(
-            F.col("part").isin(run_parts)
-        )
-        stats_rows = (
-            span_metrics(landed)
-            .groupBy("part")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_spans").cast("long").alias("n_spans"),
-                F.sum("n_chars").alias("n_chars"),
-            )
-            .collect()
-        )
+        m = obs.get
+        stats_rows = [
+            {
+                "part": p,
+                "n_docs": m[f"d_{p}"] or 0,
+                "n_spans": m[f"s_{p}"] or 0,
+                "n_chars": m[f"c_{p}"] or 0,
+            }
+            for p in run_parts
+            if m[f"d_{p}"]  # parts that produced no rows stay unfinished
+        ]
     else:
-        # fully-resumed rerun (or empty input): nothing was written, so
-        # there is nothing to read back — without this short-circuit the
-        # unfiltered scan would reread the ENTIRE landed output and
-        # report whole-corpus totals for a run that processed zero docs
+        # fully-resumed rerun (or empty input): nothing written, nothing
+        # to observe — totals are zero for a run that processed zero docs
         stats_rows = []
     if manifest_path:
         manifest = xio.read_manifest(spark, manifest_path)
