@@ -36,6 +36,33 @@ PDF_TJ = (
     "BT\n/F1 12 Tf\n0 700 Td\n[ (Hello ) -250 (world via TJ) ] TJ\nET\n"
     "endstream\nendobj\n%%EOF"
 )
+# /Contents array: the page's 3 streams concatenate into ONE content
+# stream (the line-granular split puts a BT and its ET in different
+# streams — the concatenation rule is what keeps the block whole)
+PDF_MULTI_STREAM = make_fixture_pdf(
+    [["stream split alpha", "stream split beta", "stream split gamma"]],
+    streams_per_page=3,
+)
+# content objects written in REVERSE byte order: only the xref-table +
+# page-tree walk yields document order (a byte-order scan reverses it)
+PDF_PAGE_ORDER = make_fixture_pdf(
+    pages=[[["page one text"]], [["page two text"]], [["page three text"]]],
+    reverse_content=True,
+)
+# an unreferenced stream (fake font file) containing text-operator
+# bytes: reachable-only extraction must skip it
+PDF_UNREFERENCED = make_fixture_pdf(
+    [["only real content"]], extra_stream="BT (FONT JUNK) Tj ET"
+)
+# same document with the xref table and trailer cut off: the fallback
+# byte-order scan still extracts (and DOES see the junk stream — the
+# price of having no page tree, frozen here as documented behavior)
+PDF_NO_XREF = PDF_UNREFERENCED[: PDF_UNREFERENCED.find("xref")]
+# octal escapes IN the source string (the generator's esc() writes
+# literal backslashes, so hand-patch a raw \101\040 sequence in)
+PDF_OCTAL = make_fixture_pdf([["OCTMARKER"]]).replace(
+    "(OCTMARKER)", r"(\101\040via\040octal \7)"
+)
 
 # case = (name, spans | html | raw_b64 [, base_url])
 CASES = {
@@ -62,6 +89,29 @@ CASES = {
         ("close_void_ignored", "<p>line one</br> continues same block</p>"),
         ("head_implicit_close", "<head><meta charset=utf-8><p>body starts here implicitly"),
         ("lone_lt_literal", "<p>math: a < b and c<3 stays literal</p>"),
+        (
+            "dt_dd_implicit_close",
+            "<dl><dt>term alpha word<dd>definition beta gamma text<dt>term two word"
+            "<dd>second definition text here</dl>",
+        ),
+        (
+            "th_td_cell_close",
+            "<table><tr><th>head col one<th>head col two<tr><td>data cell one"
+            "<td>data cell two</table>",
+        ),
+        (
+            "tr_closes_tr",
+            "<table><tr><td>row one cell data<tr><td>row two cell data</table>",
+        ),
+        (
+            "option_select_recovery",
+            "<select><option>never shown</select><p>after select content paragraph here",
+        ),
+        (
+            "div_after_open_p",
+            "<p>first paragraph content here<div>nested div content paragraph text</div>"
+            "trailing text after div block",
+        ),
     ],
     "entities": [
         ("named", "<p>fish &amp; chips caf&eacute; &lt;tag&gt;</p>"),
@@ -77,6 +127,18 @@ CASES = {
         ("supplementary_plane", "<p>emoji &#x1F600; end of line</p>"),
         ("c1_windows_remap", "<p>dash &#151; remapped here</p>"),
         ("numeric_out_of_range", "<p>big &#x7FFFFFFF; and &#xFFFFFF; refs</p>"),
+        (
+            "uppercase_entity_names",
+            "x &AMP; y &LT; z &GT; w &QUOT; and enough words to keep this block",
+        ),
+        (
+            "entity_nul_and_overrange",
+            "null &#0; and over &#x110000; surrounded by enough words to keep the block here",
+        ),
+        (
+            "noncharacter_dropped",
+            "max plane char &#x10FFFF; dropped per WHATWG but block text stays intact here",
+        ),
     ],
     "rcdata": [
         (
@@ -136,6 +198,18 @@ CASES = {
             "nested_table_soup",
             "<table><tr><td>outer first cell<table><tr><td>inner cell text</table>"
             "outer continues<tr><td>outer second row</table>",
+        ),
+        (
+            "attr_missing_name",
+            "<p =broken >paragraph with degenerate attribute still works fine",
+        ),
+        (
+            "attr_gt_in_quoted_value",
+            '<p title="a>b">quoted greater than inside attr value paragraph</p>',
+        ),
+        (
+            "nested_anchor_density",
+            "<div><a href=/a>one <a href=/b>two</a> three</a> only links here</div>",
         ),
     ],
     "boilerplate_density": [
@@ -222,6 +296,11 @@ CASES = {
         ("pdf_two_blocks", [("pdf", PDF2, None)]),
         ("pdf_escapes_octal", [("pdf", PDF_ESC, None)]),
         ("pdf_tj_array_form", [("pdf", PDF_TJ, None)]),
+        ("pdf_multi_content_streams", [("pdf", PDF_MULTI_STREAM, None)]),
+        ("pdf_pages_out_of_byte_order", [("pdf", PDF_PAGE_ORDER, None)]),
+        ("pdf_unreferenced_stream_skipped", [("pdf", PDF_UNREFERENCED, None)]),
+        ("pdf_no_xref_fallback_scans_all", [("pdf", PDF_NO_XREF, None)]),
+        ("pdf_octal_escapes_in_stream", [("pdf", PDF_OCTAL, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
 }

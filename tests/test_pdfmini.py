@@ -103,3 +103,45 @@ def test_escaped_backslash_before_digits_or_letters():
     # left-to-right in one pass
     assert extract_pdf_text(make_fixture_pdf([["a\\101b"]])) == ["a\\101b"]
     assert extract_pdf_text(make_fixture_pdf([["a\\nb"]])) == ["a\\nb"]
+
+
+def test_incremental_update_overrides_offset():
+    """A later xref section re-pointing an object wins (classic
+    incremental-update semantics)."""
+    from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
+
+    base = make_fixture_pdf([["original text here"]])
+    # append a replacement content object + an update xref section
+    replacement = (
+        "4 0 obj\n<< /Length 44 >>\nstream\n"
+        "BT\n/F1 12 Tf\n0 700 Td\n(updated text) Tj\nET\nendstream\nendobj"
+    )
+    off = len(base) + 1
+    updated = (
+        base
+        + "\n"
+        + replacement
+        + "\nxref\n4 1\n%010d 00000 n \ntrailer\n<< /Size 5 /Root 1 0 R >>\n%%%%EOF"
+        % off
+    )
+    assert extract_pdf_text(updated) == ["updated text"]
+
+
+def test_corrupt_xref_falls_back_to_byte_scan():
+    from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
+
+    pdf = make_fixture_pdf([["survives corruption"]])
+    # wreck every xref offset; the page walk fails, byte-order scan runs
+    import re
+
+    broken = re.sub(r"\d{10} 00000 n", "9999999999 00000 n", pdf)
+    assert extract_pdf_text(broken) == ["survives corruption"]
+
+
+def test_multi_stream_bt_et_across_boundary():
+    from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
+
+    pdf = make_fixture_pdf(
+        [["alpha line", "beta line", "gamma line"]], streams_per_page=2
+    )
+    assert extract_pdf_text(pdf) == ["alpha line beta line gamma line"]
