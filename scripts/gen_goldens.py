@@ -303,6 +303,34 @@ CASES = {
         ("pdf_octal_escapes_in_stream", [("pdf", PDF_OCTAL, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
+    # A18/§3.3 fragment mode: snippets keep head/title content and the
+    # head auto-close rule is off; boilerplate heuristics still apply
+    "fragment_mode": [
+        (
+            "fragment_keeps_title_text",
+            "<title>Snippet title words</title><p>fragment body paragraph text</p>",
+            None,
+            {"fragment": True},
+        ),
+        (
+            "fragment_head_not_autoclosed",
+            "<head><p>content inside literal head stays visible</p></head>",
+            None,
+            {"fragment": True},
+        ),
+        (
+            "fragment_boilerplate_still_dropped",
+            "<nav><a href=/x>nav link</a></nav><p>real fragment content here</p>"
+            "<script>var x;</script>",
+            None,
+            {"fragment": True},
+        ),
+        (
+            "full_page_same_input_drops_head",
+            "<title>Snippet title words</title><p>fragment body paragraph text</p>",
+            None,
+        ),
+    ],
 }
 
 ENCODING_CASES = [
@@ -346,6 +374,8 @@ def main() -> None:
         for case in cases:
             name, payload = case[0], case[1]
             base_url = case[2] if len(case) > 2 and isinstance(payload, str) else None
+            # optional 4th element: extra ExtractOptions kwargs
+            opt_kwargs = dict(case[3]) if len(case) > 3 else {}
             if isinstance(payload, str):
                 spans = [("html", payload, None)]
                 rec: dict = {"name": name, "html": payload, "base_url": base_url}
@@ -364,7 +394,11 @@ def main() -> None:
                     ],
                     "base_url": None,
                 }
-            opt = ExtractOptions(base_url=base_url) if base_url else ExtractOptions()
+            if opt_kwargs:
+                rec["options"] = opt_kwargs
+            if base_url:
+                opt_kwargs["base_url"] = base_url
+            opt = ExtractOptions(**opt_kwargs)
             k, t, m, o = extract_doc(*_spans_to_lists(spans), options=opt)
             rec["expected_spans"] = [
                 {"kind": k[i], "text": t[i], "media_ref": m[i], "offset": o[i]}

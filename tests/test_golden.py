@@ -47,11 +47,10 @@ def _input_lists(case):
 
 @pytest.mark.parametrize("case", _ALL_CASES)
 def test_golden_span_sequence_equality(case):
-    opts = (
-        ExtractOptions(base_url=case["base_url"])
-        if case.get("base_url")
-        else ExtractOptions()
-    )
+    kwargs = dict(case.get("options") or {})
+    if case.get("base_url"):
+        kwargs["base_url"] = case["base_url"]
+    opts = ExtractOptions(**kwargs)
     k, t, m, o = extract_doc(*_input_lists(case), options=opts)
     got = [
         {"kind": k[i], "text": t[i], "media_ref": m[i], "offset": o[i]}

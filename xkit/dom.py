@@ -68,8 +68,10 @@ _HEAD_ONLY = frozenset(
 )
 
 
-def _closes(top: str, tag: str) -> bool:
-    if top == "head":
+def _closes(top: str, tag: str, fragment: bool = False) -> bool:
+    if top == "head" and not fragment:
+        # full-page A18 rule only: a fragment has no head/body
+        # structure, so nothing implicitly closes a literal <head>
         return tag not in _HEAD_ONLY and tag != "head"
     closers = CLOSED_BY.get(top)
     return closers is not None and tag in closers

@@ -48,6 +48,8 @@ __all__ = ["extract_html", "DROP_TAGS", "BLOCK_TAGS", "MEDIA_TAGS"]
 DROP_TAGS = frozenset(
     "script style noscript template head title nav footer aside textarea select".split()
 )
+# fragment mode keeps head/title (snippets have no document head)
+_FRAGMENT_DROP_TAGS = DROP_TAGS - {"head", "title"}
 
 # Elements that delimit text blocks (open AND close flush the block).
 BLOCK_TAGS = frozenset(
@@ -81,6 +83,11 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
     anchor_depth = 0
     opt = options
     base = opt.base_url
+    fragment = opt.fragment
+    # fragment mode (A18/§3.3): a snippet has no document structure —
+    # head/title content is ordinary content, and the head auto-close
+    # rule is off (see options.ExtractOptions.fragment)
+    drop_tags = _FRAGMENT_DROP_TAGS if fragment else DROP_TAGS
     stack: list = []  # open-element stack (repair state, A14–A17)
 
     # Invariant relied on by every `if pieces: flush()` guard below:
@@ -129,7 +136,7 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
         elif k == "open":
             tag = tok[1]
             # A15: implicit sibling closes, repeated on the stack top
-            while stack and _closes(stack[-1], tag):
+            while stack and _closes(stack[-1], tag, fragment):
                 close_one(stack.pop())
             # void elements / explicit <x/> behave as an open+close unit
             is_unit = tag in VOID_TAGS or tok[3]
@@ -140,7 +147,7 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
                 continue
             attrs = tok[2]
             if (
-                tag in DROP_TAGS
+                tag in drop_tags
                 or "hidden" in attrs
                 or attrs.get("aria-hidden") == "true"
             ):

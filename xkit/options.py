@@ -23,12 +23,19 @@ class ExtractOptions:
                         below this (A23 tag-ratio scoring)
     min_block_chars   : drop blocks shorter than this after whitespace
                         collapse (A25)
+    fragment          : parse as an HTML SNIPPET, not a full page
+                        (A18/§3.3 fragment mode): head/title subtrees
+                        are NOT dropped and head is NOT auto-closed by
+                        body content — a fragment has no document
+                        structure to normalize. Boilerplate heuristics
+                        (nav/footer/script, density) still apply.
     """
 
     base_url: str | None = None
     max_link_density: float = 0.5
     min_text_density: float = 2.0
     min_block_chars: int = 1
+    fragment: bool = False
 
 
 DEFAULT_OPTIONS = ExtractOptions()
