@@ -28,6 +28,8 @@ from xhtmlkit_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "extract_spans",
+    "select_spans",
+    "dedup_groups",
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_region_revenue",
