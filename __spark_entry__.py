@@ -328,6 +328,22 @@ def _q_fingerprints(spark, sf_dir):
     return with_fingerprints(d).select("doc_id", "fp_md5", "fp_roll")
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    """Real merges-table BPE (not the regex approximation): train on a
+    deterministic 64-doc sample (driver-side, bounded), encode the
+    whole table distributed. Rank-greedy merge application has no SQL
+    twin → rows-only; value-level correctness is pinned by
+    tests/test_bpe.py (hand-verified merges + Spark≡pure-Python)."""
+    from xhtmlkit_spark.operators.bpe_stage import (
+        bpe_token_counts,
+        train_bpe_on_sample,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    merges = train_bpe_on_sample(d, sample_rows=64, n_merges=200)
+    return bpe_token_counts(d, merges)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from xhtmlkit_spark.operators.dedup import exact_dup_groups
 
@@ -539,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_explode": _q_embedding_explode,
         # training-data operators
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
         "fingerprints": _q_fingerprints,
