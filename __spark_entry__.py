@@ -434,6 +434,13 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(emb, k=3, n_planes=8)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from xhtmlkit_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, k=3, n_cells=16, nprobe=2)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from xhtmlkit_spark.operators.similarity import hyperplane_neardup_pairs
 
@@ -567,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
@@ -646,6 +654,43 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     """
 
 
+def _ivf_oracle(k: int = 3, n_cells: int = 16, nprobe: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of similarity.ivf_ann_topk. The deterministic unit
+    centroids are computed by the SAME Python rule and inlined as
+    double literals (repr round-trips bit-exactly), so cell assignment
+    — sorted (-dot, idx) structs — matches Spark bit-for-bit."""
+    from xhtmlkit_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_cells, dim)
+    entries = ", ".join(
+        "{d: -list_sum(list_transform(range(1,%d), i -> uv[i] * ([%s])[i])), i: %d}"
+        % (dim + 1, ", ".join(repr(x) for x in c), j)
+        for j, c in enumerate(cents)
+    )
+    probe_cells = ", ".join(f"sd[{p + 1}].i" for p in range(nprobe))
+    return f"""
+        WITH u AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
+          FROM embeddings WHERE embedding IS NOT NULL),
+        ranked AS (
+          SELECT vec_id, uv, list_sort([{entries}]) AS sd FROM u),
+        corpus AS (SELECT vec_id, uv, sd[1].i AS cell FROM ranked),
+        probes AS (SELECT vec_id, uv, unnest([{probe_cells}]) AS cell FROM ranked),
+        scored AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1,{dim + 1}),
+                       i -> p.uv[i] * c.uv[i])), 6) AS cos_sim
+          FROM probes p JOIN corpus c
+            ON p.cell = c.cell AND p.vec_id != c.vec_id)
+        SELECT query_id, rnk, neighbor_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+          FROM scored) WHERE rnk <= {k}
+    """
+
+
 def _embedding_neardup_oracle(
     threshold: float = 0.35, n_planes: int = 8, n_plane_sets: int = 2, dim: int = 64
 ) -> str:
@@ -683,6 +728,7 @@ def _embedding_neardup_oracle(
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ivf_topk": _ivf_oracle(),
         # extract_spans: no SQL equivalent (Arrow-stage extraction) → rows-only
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

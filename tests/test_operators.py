@@ -217,6 +217,31 @@ def test_hyperplane_neardup_finds_planted_neighbor(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import random
+
+    from xhtmlkit_spark.operators.similarity import ivf_ann_topk
+
+    rng = random.Random(23)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.005) for v in base]  # cos ≈ 0.9999
+    rows = [(0, base), (1, near), (2, None)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_ann_topk(df, k=3, n_cells=8, nprobe=2)
+    got = {
+        r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rnk"] == 1
+    }
+    # a near-identical vector quantizes to the same best cell (the
+    # perturbation is far below any cell-boundary margin here), so the
+    # inverted-list join must rank it first for its twin
+    assert got[0] == 1 and got[1] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_media_features_deterministic(spark):
     from xhtmlkit_spark.operators.multimodal import (
         media_feature_stage,

@@ -29,6 +29,8 @@ __all__ = [
     "brute_force_topk",
     "hyperplane_signature",
     "hyperplane_neardup_pairs",
+    "ivf_centroids",
+    "ivf_ann_topk",
     "lsh_ann_topk",
 ]
 
@@ -228,6 +230,115 @@ def hyperplane_neardup_pairs(
             F.round(dot(F.col("u_a"), F.col("u_b")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") > threshold)
+    )
+
+
+def ivf_centroids(n_cells: int = 16, dim: int = 64) -> list:
+    """Deterministic unit centroids for the IVF coarse quantizer.
+
+    Component j,i ∈ [-1, 1] from md5(f"c{j}_{i}") (same engine-portable
+    rule family as the hyperplanes), L2-normalized in Python doubles.
+    Data-independent ON PURPOSE: both the Spark plan and the DuckDB
+    oracle bake the SAME literal values, giving bit-identical cell
+    assignment — a k-means-learned quantizer would need the oracle to
+    reproduce iterative float means, where summation order breaks
+    cross-engine equality. At production scale, swap in sampled k-means
+    centroids via the ``centroids`` argument of :func:`ivf_ann_topk`
+    (the search path is identical).
+    """
+    import hashlib
+    import math
+
+    out = []
+    for j in range(n_cells):
+        raw = [
+            (int(hashlib.md5(f"c{j}_{i}".encode()).hexdigest()[:4], 16) / 65535.0)
+            * 2.0
+            - 1.0
+            for i in range(dim)
+        ]
+        norm = math.sqrt(sum(x * x for x in raw))
+        out.append([x / norm for x in raw])
+    return out
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid cell (inverted lists), then exact cosine top-k where a
+    query's ``nprobe`` best cells meet the corpus's best cell.
+
+    The complementary scale path to sign-bucket LSH: cell count (and
+    therefore inverted-list length |corpus|/n_cells) is a direct knob,
+    and multi-probe recovers recall near cell boundaries — the classic
+    IVF search shape. Join cost is nprobe × Σ cell²/|corpus| style,
+    never all-pairs; a probe list never matches the same neighbor
+    twice (a neighbor lives in exactly one cell and probes are
+    distinct). Returns (query_id, rnk, neighbor_id, cos_sim).
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+
+    def cell_ranking(u: Column) -> Column:
+        # (-dot, idx) structs sorted ascending = cells by descending
+        # similarity, first-index tie-break — EXACTLY what the oracle's
+        # list_sort over {d, i} structs does
+        entries = []
+        for j, c in enumerate(cents):
+            warr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(u, warr, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            entries.append(F.struct((-d).alias("d"), F.lit(j).alias("i")))
+
+        def cmp(x: Column, y: Column) -> Column:
+            return (
+                F.when(x["d"] < y["d"], F.lit(-1))
+                .when(x["d"] > y["d"], F.lit(1))
+                .when(x["i"] < y["i"], F.lit(-1))
+                .when(x["i"] > y["i"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        return F.array_sort(F.array(*entries), cmp)
+
+    base = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
+    )
+    # u referenced by all n_cells dot products → let-bound via the
+    # materialized column (withColumn), not recomputed per centroid
+    ranked = base.withColumn("sd", cell_ranking(F.col("u")))
+    corpus = ranked.select("id", "u", F.col("sd")[0]["i"].alias("cell"))
+    probes = ranked.select(
+        "id",
+        "u",
+        F.explode(
+            F.slice(F.transform("sd", lambda e: e["i"]), 1, nprobe)
+        ).alias("cell"),
+    )
+    p, c = probes.alias("p"), corpus.alias("c")
+    scored = p.join(
+        c, (F.col("p.cell") == F.col("c.cell")) & (F.col("p.id") != F.col("c.id"))
+    ).select(
+        F.col("p.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        F.round(dot(F.col("p.u"), F.col("c.u")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
     )
 
 
