@@ -515,6 +515,12 @@ def _q_stream_hourly_counts(spark, sf_dir):
     return hourly_counts_stream(spark, sf_dir)
 
 
+def _q_stream_sliding_counts(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import sliding_counts_stream
+
+    return sliding_counts_stream(spark, sf_dir)
+
+
 def _q_stream_sessions(spark, sf_dir):
     from xhtmlkit_spark.streaming.jobs import session_windows_stream
 
@@ -583,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         # structured-streaming operators (availableNow-drained)
         "stream_hourly_counts": _q_stream_hourly_counts,
+        "stream_sliding_counts": _q_stream_sliding_counts,
         "stream_sessions": _q_stream_sessions,
         "stream_static_join": _q_stream_static_join,
         "stream_dedup_counts": _q_stream_dedup_counts,
@@ -1065,6 +1072,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_sliding_counts": """
+            -- 2h windows sliding 1h: an event at ts is in the windows
+            -- starting at trunc(ts) and trunc(ts) - 1h
+            SELECT win_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM (
+              SELECT date_trunc('hour', ts)
+                       - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS win_start,
+                     event_type, value
+              FROM events)
+            GROUP BY win_start, event_type
         """,
         "stream_sessions": """
             WITH m AS (

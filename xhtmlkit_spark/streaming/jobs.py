@@ -25,6 +25,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "hourly_counts_stream",
+    "sliding_counts_stream",
     "session_windows_stream",
     "dedup_events_stream",
     "running_totals_stream",
@@ -110,6 +111,24 @@ def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete mode: append would hold back windows newer than the final
     # watermark, so the drained result would miss the trailing hour(s)
+    return run_available_now(agg, output_mode="complete")
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 sliding variant: 2-hour windows sliding every hour — each
+    event lands in exactly two overlapping windows."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
     return run_available_now(agg, output_mode="complete")
 
 
