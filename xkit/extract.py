@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from xkit.dom import VOID_TAGS, _closes
+from xkit.dom import CLOSED_BY, VOID_TAGS, _HEAD_ONLY
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
@@ -90,24 +90,30 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
     drop_tags = _FRAGMENT_DROP_TAGS if fragment else DROP_TAGS
     stack: list = []  # open-element stack (repair state, A14–A17)
 
+    # per-flush option lookups hoisted (67k flushes per MB-scale batch)
+    min_chars = opt.min_block_chars
+    min_density = opt.min_text_density
+    max_link = opt.max_link_density
+
     # Invariant relied on by every `if pieces: flush()` guard below:
     # inline_tags is only incremented and anchor_pieces only appended
     # while pieces is non-empty, so empty pieces ⟹ nothing to reset.
     def flush() -> None:
         nonlocal pieces, anchor_pieces, inline_tags
-        text = _collapse("".join(pieces))
+        # inlined _collapse (function call overhead at flush volume)
+        text = " ".join("".join(pieces).split())
         # `text and` matters when min_block_chars=0: a whitespace-only
         # block collapses to "" (chars=0 would divide-by-zero in the
         # link ratio, and A25 says empty blocks emit nothing)
-        if text and len(text) >= opt.min_block_chars:
+        if text and len(text) >= min_chars:
             chars = len(text)
             density = chars / (1.0 + inline_tags)
             link = (
-                len(_collapse("".join(anchor_pieces))) / chars
+                len(" ".join("".join(anchor_pieces).split())) / chars
                 if anchor_pieces
                 else 0.0
             )
-            if density >= opt.min_text_density and link <= opt.max_link_density:
+            if density >= min_density and link <= max_link:
                 out.append(("text", text, None))
         pieces = []
         anchor_pieces = []
@@ -136,7 +142,17 @@ def extract_html(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
         elif k == "open":
             tag = tok[1]
             # A15: implicit sibling closes, repeated on the stack top
-            while stack and _closes(stack[-1], tag, fragment):
+            # (dom._closes inlined — one call per open tag is real money
+            # at corpus volume; semantics identical, pinned by goldens)
+            while stack:
+                top = stack[-1]
+                if top == "head":
+                    if fragment or tag == "head" or tag in _HEAD_ONLY:
+                        break
+                else:
+                    cl = CLOSED_BY.get(top)
+                    if cl is None or tag not in cl:
+                        break
                 close_one(stack.pop())
             # void elements / explicit <x/> behave as an open+close unit
             is_unit = tag in VOID_TAGS or tok[3]

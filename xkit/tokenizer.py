@@ -70,10 +70,14 @@ def tokenize(html: str) -> list:
     while i < n:
         lt = find("<", i)
         if lt < 0:
-            append(("text", decode_entities(s[i:])))
+            t = s[i:]
+            # inlined decode_entities fast path: text runs without '&'
+            # dominate, and the call overhead shows up at this volume
+            append(("text", decode_entities(t) if "&" in t else t))
             break
         if lt > i:
-            append(("text", decode_entities(s[i:lt])))
+            t = s[i:lt]
+            append(("text", decode_entities(t) if "&" in t else t))
         i = lt + 1
         if i >= n:  # trailing lone '<'
             append(("text", "<"))
@@ -223,5 +227,5 @@ def _read_attrs(s: str, i: int):
                     value = s[i:j]
                     i = j
         if name not in attrs:  # A7: duplicate attr — first wins
-            attrs[name] = decode_entities(value)
+            attrs[name] = decode_entities(value) if "&" in value else value
     # unreachable
