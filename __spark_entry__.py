@@ -81,6 +81,20 @@ def _q_select_spans(spark, sf_dir):
     return explode_spans(select_spans(df, "table td, img"))
 
 
+def _q_normalize_xhtml(spark, sf_dir):
+    """The reference's headline transform (tag soup → well-formed
+    XHTML) as a column. No SQL twin (needs the parser) → rows-only;
+    value-level correctness is pinned by the serialization goldens
+    (test_dom.py) and the Spark≡pure-Python equality test."""
+    from xhtmlkit_spark.operators.normalize_stage import normalize_xhtml
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = normalize_xhtml(df)
+    return out.select("doc_id", F.length("xhtml").alias("n_xhtml_chars"), "xhtml")
+
+
 # ------------------------------------------------- relational operators (B*)
 
 
@@ -549,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": _q_extract_spans,
         "select_spans": _q_select_spans,
+        "normalize_xhtml": _q_normalize_xhtml,
         "q01_pricing_summary": _q01_pricing_summary,
         "q03_top_unshipped": _q03_top_unshipped,
         "q05_region_revenue": _q05_region_revenue,

@@ -120,6 +120,31 @@ def test_null_spans_row():
     assert rows[0] is None and rows[1][0]["text"] == "kept text"
 
 
+def test_normalize_xhtml_matches_pure_python(spark, corpus_path):
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.operators.normalize_stage import (
+        normalize_doc,
+        normalize_xhtml,
+    )
+
+    got = {
+        r["doc_id"]: r["xhtml"]
+        for r in normalize_xhtml(spark.read.parquet(corpus_path)).collect()
+    }
+    expect = {}
+    for rec in pq.read_table(corpus_path).to_pylist():
+        sp = rec["spans"]
+        expect[rec["doc_id"]] = normalize_doc(
+            [s["kind"] for s in sp],
+            [s["text"] for s in sp],
+            [s["offset"] for s in sp],
+        )
+    assert got == expect
+    # the output is well-formed-ish: every doc with markup serialized
+    assert any(v and v.startswith("<") for v in got.values())
+
+
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     from xhtmlkit_spark.plans.pipeline import run_pipeline
 
