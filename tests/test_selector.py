@@ -39,7 +39,7 @@ def test_selector_golden(case):
 @pytest.mark.parametrize(
     "bad",
     ["", "  ", ",", "p,", "p..x", "p.#", "[=v]", "p[unterminated", "@content",
-     "p @", "p @a b", 'p[q="unclosed]'],
+     "p @", "p @a b", 'p[q="unclosed]', "> p", "p >", "a > > b"],
 )
 def test_selector_parse_errors(bad):
     with pytest.raises(ValueError):

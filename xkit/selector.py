@@ -10,10 +10,11 @@ is ever built (SURVEY.md §1.2 span-first architecture).
 Supported grammar (frozen by tests/golden/selector/selectors.json):
 
     group    := selector ("," selector)*          match any alternative
-    selector := compound (ws compound)* (ws "@" name)?
+    selector := compound ((ws | ws? ">" ws?) compound)* (ws "@" name)?
     compound := [tag | "*"] ("#" id)? ("." class)* ("[" name ("=" value)? "]")*
 
-* whitespace between compounds is the DESCENDANT combinator
+* whitespace between compounds is the DESCENDANT combinator; ``>``
+  (with or without surrounding whitespace) is the CHILD combinator
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is exact
@@ -84,7 +85,7 @@ class _Simple:
         return True
 
 
-_NAME_END = frozenset(" \t\n\r\f.#[@,")
+_NAME_END = frozenset(" \t\n\r\f.#[@,>")
 
 
 def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
@@ -188,40 +189,56 @@ def parse_selector(selector: str) -> list:
                 raise ValueError(f"@attr needs a selector in {selector!r}")
         elif at == 0:
             raise ValueError(f"@attr needs a selector in {selector!r}")
-        chain = []
+        chain = []  # _Simple compounds
+        rels = []  # rels[k]: relation of chain[k] to chain[k-1] ("desc"/"child")
         i = 0
         n = len(s)
+        pending_rel = "desc"
         while i < n:
             while i < n and s[i] in " \t\n\r\f":
                 i += 1
+            if i < n and s[i] == ">":
+                if not chain or pending_rel == "child":
+                    raise ValueError(f"misplaced > in selector {selector!r}")
+                pending_rel = "child"
+                i += 1
+                continue
             if i >= n:
                 break
             simple, i = _parse_compound(s, i)
             chain.append(simple)
+            rels.append(pending_rel)
+            pending_rel = "desc"
         if not chain:
             raise ValueError(f"empty selector in {selector!r}")
-        out.append((tuple(chain), proj))
+        if pending_rel == "child":
+            raise ValueError(f"dangling > in selector {selector!r}")
+        out.append(((tuple(chain), tuple(rels)), proj))
     return out
 
 
-def _chain_matches(stack: list, chain: tuple) -> bool:
+def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
     """stack: list of (tag, attrs) with the candidate element on top.
     The chain's last compound must match the top; earlier compounds
-    must match ancestors in order (descendant combinator — greedy
-    backward scan is sufficient for existence)."""
-    tag, attrs = stack[-1]
-    if not chain[-1].matches(tag, attrs):
-        return False
-    ci = len(chain) - 2
-    si = len(stack) - 2
-    while ci >= 0:
-        while si >= 0 and not chain[ci].matches(stack[si][0], stack[si][1]):
-            si -= 1
-        if si < 0:
+    must match ancestors per their combinator — ``child`` pins the
+    exact parent, ``desc`` allows any ancestor. Mixed chains need
+    BACKTRACKING (greedy topmost-ancestor matching misses e.g.
+    ``a > b c`` when the topmost b's parent is not an a); chains are
+    short and stacks shallow, so the recursion is cheap."""
+
+    def match_at(ci: int, si: int) -> bool:
+        if not chain[ci].matches(stack[si][0], stack[si][1]):
             return False
-        ci -= 1
-        si -= 1
-    return True
+        if ci == 0:
+            return True
+        if rels[ci] == "child":
+            return si > 0 and match_at(ci - 1, si - 1)
+        for j in range(si - 1, ci - 2, -1):  # need ci elements below j
+            if match_at(ci - 1, j):
+                return True
+        return False
+
+    return match_at(len(chain) - 1, len(stack) - 1)
 
 
 def select_html(
@@ -250,10 +267,10 @@ def select_html(
             tag, attrs = ev[1], ev[2]
             stack.append((tag, attrs))
             projs_here = set()
-            for chain, proj in groups:
+            for (chain, rels), proj in groups:
                 if proj in projs_here:
                     continue  # dedupe: element matched by 2 alternatives
-                if _chain_matches(stack, chain):
+                if _chain_matches(stack, chain, rels):
                     projs_here.add(proj)
                     wants_text = proj is None and not (
                         tag in MEDIA_TAGS and attrs.get("src")
