@@ -400,6 +400,19 @@ def _q_jaccard_candidates(spark, sf_dir):
     return jaccard_verify(pairs, d, text="text", k=2)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (the reproducible
+    alternative to df.sample's partition-seeded RNG): per-language
+    keep-rates decided per row from md5(salt || doc_id)."""
+    from xhtmlkit_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"en": 0.5, "de": 1.0, "fr": 0.25}, stratum="lang", default_rate=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_dedup_groups(spark, sf_dir):
     from xhtmlkit_spark.operators.dedup import lsh_candidate_pairs, near_dup_groups
 
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_candidates": _q_jaccard_candidates,
         "dedup_groups": _q_dedup_groups,
+        "stratified_sample": _q_stratified_sample,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -955,6 +969,13 @@ def oracle_sql() -> dict[str, str]:
                                   'p': (acc.p * 131) % 1000000007}
                    ).h AS fp_roll
             FROM t
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0)
+                  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                               WHEN 'fr' THEN 0.25 ELSE 0.1 END)
         """,
         "dedup_exact": """
             SELECT md5(lower(list_aggregate(regexp_split_to_array(trim(text), '\\s+'),

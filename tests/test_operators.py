@@ -217,6 +217,33 @@ def test_hyperplane_neardup_finds_planted_neighbor(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_hash_sampling_deterministic_and_nested(spark):
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)], "doc_id long, lang string"
+    )
+    ids = lambda d: {r["doc_id"] for r in d.select("doc_id").collect()}
+    # partitioning-independent (df.sample is NOT): same rows at any layout
+    a = ids(hash_sample(df.repartition(2), 0.3))
+    b = ids(hash_sample(df.repartition(16), 0.3))
+    assert a == b and 0 < len(a) < 300
+    # nested: same salt, smaller rate is a subset
+    assert ids(hash_sample(df, 0.1)) <= a
+    # independent: different salt gives a different selection
+    assert ids(hash_sample(df, 0.3, salt="s1")) != a
+    # stratified: de kept fully, absent stratum dropped via default 0
+    s = stratified_sample(df, {"de": 1.0, "en": 0.5}, default_rate=0.0)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("de") == 100 and "fr" not in by_lang
+    assert 0 < by_lang.get("en", 0) < 100
+
+
 def test_ivf_topk_finds_planted_neighbor(spark):
     import random
 

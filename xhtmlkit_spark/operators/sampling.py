@@ -1,0 +1,60 @@
+"""Deterministic (hash-based) sampling and corpus mixing.
+
+Training-data pipelines need REPRODUCIBLE sampling: `df.sample()` uses
+partition-seeded RNG, so the selected rows change with partitioning,
+cluster size, and Spark version — a silent nondeterminism in any
+resumable 100 TB job. Hash-based sampling decides per ROW from a
+stable key (md5(salt || key) as a uniform fraction), which makes the
+sample: (1) identical across reruns/cluster sizes/engines — the DuckDB
+oracle reproduces it bit-for-bit; (2) a pure filter — no shuffle, and
+Catalyst pushes surviving-column pruning into the scan; (3) composable
+— disjoint salts give independent samples, the same salt gives nested
+samples (rate 0.1 ⊂ rate 0.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_fraction", "hash_sample", "stratified_sample"]
+
+_DENOM = float(1 << 32)
+
+
+def hash_fraction(key: Column | str, salt: str = "s0") -> Column:
+    """Uniform [0, 1) fraction from md5(salt || key) (first 8 hex =
+    32 bits). Engine-portable: DuckDB computes the identical value."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(_DENOM)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Keep ~rate of rows, decided per row by the stable key hash."""
+    return df.where(hash_fraction(key, salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    salt: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the corpus-mixing primitive: "keep
+    30% of en, 100% of de, drop the rest" is exactly a stratified
+    sample). Strata absent from ``rates`` get ``default_rate``."""
+    rate_col = F.lit(float(default_rate))
+    for value, rate in sorted(rates.items()):
+        rate_col = F.when(F.col(stratum) == value, F.lit(float(rate))).otherwise(
+            rate_col
+        )
+    return df.where(hash_fraction(key, salt) < rate_col)
