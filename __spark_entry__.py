@@ -519,6 +519,33 @@ def _q_range_join_event_pairs(spark, sf_dir):
     )
 
 
+def _q_user_sessions(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): 30-min-gap sessions via
+    lag + running flag-sum — the batch twin of the streaming
+    session_window operator (J4), expressed with B14/B15 windows."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    flagged = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    grp = F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").cast("timestamp_ntz").alias("session_start"),
+            F.max("ts").cast("timestamp_ntz").alias("last_event"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
 def _q_cube_order_stats(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
@@ -614,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
         "range_join_event_pairs": _q_range_join_event_pairs,
+        "user_sessions": _q_user_sessions,
         "cube_order_stats": _q_cube_order_stats,
         "approx_distinct": _q_approx_distinct,
         # structured-streaming operators (availableNow-drained)
@@ -1094,6 +1122,23 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_id < b.event_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
             GROUP BY a.user_id
+        """,
+        "user_sessions": """
+            WITH m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            g AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS last_event,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, grp
         """,
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
