@@ -319,22 +319,25 @@ def connected_components(
     )
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # each id's OWN label rides through the same union/groupBy
+        # (own=1 marks it; every id has exactly one own row), so
+        # convergence detection is a filter over the checkpointed
+        # result instead of an extra per-round join
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "lbl"
+            F.col("dst").alias("id"), "lbl", F.lit(0).alias("own")
         )
+        own = labels.select("id", "lbl", F.lit(1).alias("own"))
         new = (
-            labels.union(prop)
+            own.union(prop)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("own") == 1, F.col("lbl"))).alias("old_lbl"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new.select("id", "lbl")
         if changed == 0:
             break
     else:
