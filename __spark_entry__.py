@@ -525,11 +525,16 @@ def _q_user_sessions(spark, sf_dir):
     session_window operator (J4), expressed with B14/B15 windows."""
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
-        F.col("ts").cast("timestamp").cast("long")
-    ).over(w)
+    # microsecond-exact boundary: interval arithmetic on the timestamp
+    # itself — an epoch-seconds subtraction truncates sub-second parts
+    # and diverges from the oracle's exact `ts - lag(ts) > INTERVAL`
+    # at gaps inside (1800, 1801)
+    prev = F.lag("ts").over(w)
     flagged = e.withColumn(
-        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_s",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0),
     )
     grp = F.sum("new_s").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -395,7 +395,10 @@ def main() -> None:
                     "base_url": None,
                 }
             if opt_kwargs:
-                rec["options"] = opt_kwargs
+                # copy: base_url is added to the ExtractOptions kwargs
+                # below and must not leak into the frozen golden's
+                # "options" object (it has its own top-level key)
+                rec["options"] = dict(opt_kwargs)
             if base_url:
                 opt_kwargs["base_url"] = base_url
             opt = ExtractOptions(**opt_kwargs)

@@ -217,6 +217,70 @@ def test_hyperplane_neardup_finds_planted_neighbor(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_connected_components_pair_only_ids(spark):
+    """Pair endpoints absent from `nodes` are nodes too: without
+    self-labels they'd carry NULL old-labels, never count as changed,
+    and stall propagation one hop early (review finding)."""
+    from xhtmlkit_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["id"]: r["group_id"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_run_available_now_guard_ignores_column_names(spark, tmp_path):
+    import datetime
+
+    import pytest as _pytest
+
+    from xhtmlkit_spark.streaming.jobs import read_events_stream, run_available_now
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tmp_path / "sfG"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    # a column literally named "AggregatedValue" must not defeat the
+    # row-stream refusal (the guard matches node names, not substrings)
+    from pyspark.sql import functions as F
+
+    row_stream = read_events_stream(spark, str(d)).select(
+        F.col("value").alias("AggregatedValue")
+    )
+    with _pytest.raises(ValueError, match="row-shaped"):
+        run_available_now(row_stream)
+
+
+def test_user_sessions_microsecond_boundary(spark, tmp_path):
+    """Gap of 1800.2s must start a new session (interval arithmetic,
+    not truncated epoch seconds — review finding)."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0, 700000)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=1800, microseconds=200000), 7, "click", 1.0, "{}"),
+        (3, base + datetime.timedelta(seconds=1800, microseconds=100000), 8, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sfS"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = entry.queries()["user_sessions"](spark, str(d)).collect()
+    n_sessions = {7: 0, 8: 0}
+    for r in out:
+        n_sessions[r["user_id"]] += 1
+    # user 7: gap 1800.2s > 30min → two sessions; user 8 has one event
+    assert n_sessions == {7: 2, 8: 1}
+
+
 def test_hash_sampling_deterministic_and_nested(spark):
     from pyspark.sql import functions as F
 

@@ -145,3 +145,20 @@ def test_multi_stream_bt_et_across_boundary():
         [["alpha line", "beta line", "gamma line"]], streams_per_page=2
     )
     assert extract_pdf_text(pdf) == ["alpha line beta line gamma line"]
+
+
+def test_single_stale_content_offset_falls_back():
+    """One corrupt content-object offset (incremental-update damage)
+    must not silently drop that page — the whole doc takes the
+    byte-order fallback instead (review finding)."""
+    from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
+
+    pdf = make_fixture_pdf(pages=[[["page one text"]], [["page two text"]]])
+    # object 7 (page two's content) is at some offset NNN; corrupt just
+    # that xref entry by pointing it at the trailer
+    import re
+
+    offs = re.findall(r"(\d{10}) 00000 n", pdf)
+    broken = pdf.replace(offs[-1] + " 00000 n", "0000000001 00000 n")
+    got = extract_pdf_text(broken)
+    assert "page one text" in got and "page two text" in got

@@ -101,3 +101,24 @@ def test_spark_select_stage_matches_pure_python(tmp_path):
     assert got == expect
     # at least some docs genuinely matched (the corpus plants tables/images)
     assert any(v for v in got.values())
+
+
+def test_quoted_commas_and_at_in_values():
+    """Top-level splitting must be quote/bracket-aware (review
+    finding): ',' and ' @ ' inside quoted attribute values are
+    selector content, not separators."""
+    assert select_html('<div title="a,b">hit</div>', 'div[title="a,b"]') == [
+        ("text", "hit", None)
+    ]
+    assert select_html(
+        '<div data-note="email @ work">hit</div>', 'div[data-note="email @ work"]'
+    ) == [("text", "hit", None)]
+    # and a group mixing a quoted-comma value with a second alternative
+    got = select_html(
+        '<div title="a,b">one</div><p>two</p>', 'div[title="a,b"], p'
+    )
+    assert got == [("text", "one", None), ("text", "two", None)]
+    # unquoted @ inside brackets still fine; projection still works
+    assert select_html(
+        '<a href="mailto:x@y">m</a>', "a[href=mailto:x@y] @href"
+    ) == [("text", "mailto:x@y", None)]

@@ -317,7 +317,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    # pair endpoints are nodes too: a pair id missing from `nodes`
+    # (pairs computed before a filter/sample of the docs) would enter
+    # the label table with a NULL own-label, never count as "changed"
+    # (NULL comparison), and silently stall propagation one hop early
+    all_nodes = (
+        nodes.select("id")
+        .union(edges.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    labels = all_nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
         # each id's OWN label rides through the same union/groupBy
         # (own=1 marks it; every id has exactly one own row), so

@@ -39,6 +39,7 @@ __all__ = [
     "make_extract_fn",
     "run_doc_stage",
     "span_metrics",
+    "unpack_spans",
 ]
 
 SPAN_STRUCT = T.StructType(
@@ -61,6 +62,27 @@ _PA_SPAN = pa.struct(
 )
 
 
+def unpack_spans(batch: pa.RecordBatch, spans_idx: int):
+    """Flat-column view of a batch's spans ListArray: returns
+    ``(offs, kind_l, text_l, ref_l, off_l, nulls, n_rows)``. Handles
+    the sliced-batch case (``lists.offset != 0`` — re-materialized so
+    ``.offsets`` indexes ``.values``) and the row-validity mask in ONE
+    place for every doc-level stage (extract, select, normalize)."""
+    lists = batch.column(spans_idx)
+    if lists.offset != 0:
+        lists = pa.concat_arrays([lists])
+    vals = lists.values
+    return (
+        lists.offsets.to_pylist(),
+        vals.field("kind").to_pylist(),
+        vals.field("text").to_pylist(),
+        vals.field("media_ref").to_pylist(),
+        vals.field("offset").to_pylist(),
+        lists.is_valid().to_pylist() if lists.null_count else None,
+        len(lists),
+    )
+
+
 def make_doc_stage_fn(doc_fn, n_passthrough: int):
     """Build an Arrow-batch mapper around any per-doc parallel-list
     function ``doc_fn(kinds, texts, refs, offsets) -> (k, t, m, o)``
@@ -74,16 +96,9 @@ def make_doc_stage_fn(doc_fn, n_passthrough: int):
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             spans_idx = n_passthrough + 1
-            lists = batch.column(spans_idx)
-            if lists.offset != 0:
-                # re-materialize a sliced array so .offsets indexes .values
-                lists = pa.concat_arrays([lists])
-            offs = lists.offsets.to_pylist()
-            vals = lists.values
-            kind_l = vals.field("kind").to_pylist()
-            text_l = vals.field("text").to_pylist()
-            ref_l = vals.field("media_ref").to_pylist()
-            off_l = vals.field("offset").to_pylist()
+            offs, kind_l, text_l, ref_l, off_l, nulls, n_rows = unpack_spans(
+                batch, spans_idx
+            )
             ok: list = []
             ot: list = []
             om: list = []
@@ -92,8 +107,7 @@ def make_doc_stage_fn(doc_fn, n_passthrough: int):
             # (pyarrow reads the row's end from the next non-null
             # offset) — NULL input spans stay NULL, not []
             list_offs: list = []
-            nulls = lists.is_valid().to_pylist() if lists.null_count else None
-            for i in range(len(lists)):
+            for i in range(n_rows):
                 if nulls is None or nulls[i]:
                     list_offs.append(len(ok))
                     s, e = offs[i], offs[i + 1]

@@ -59,19 +59,15 @@ def normalize_xhtml(df: DataFrame, passthrough: tuple = ("part",)) -> DataFrame:
     pruned = df.select("doc_id", *pt, "spans")
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from xhtmlkit_spark.operators.extract_stage import unpack_spans
+
         for batch in it:
             spans_idx = len(pt) + 1
-            lists = batch.column(spans_idx)
-            if lists.offset != 0:
-                lists = pa.concat_arrays([lists])
-            offs = lists.offsets.to_pylist()
-            vals = lists.values
-            kind_l = vals.field("kind").to_pylist()
-            text_l = vals.field("text").to_pylist()
-            off_l = vals.field("offset").to_pylist()
-            nulls = lists.is_valid().to_pylist() if lists.null_count else None
+            offs, kind_l, text_l, _ref_l, off_l, nulls, n_rows = unpack_spans(
+                batch, spans_idx
+            )
             out: list = []
-            for i in range(len(lists)):
+            for i in range(n_rows):
                 if nulls is None or nulls[i]:
                     s, e = offs[i], offs[i + 1]
                     out.append(normalize_doc(kind_l[s:e], text_l[s:e], off_l[s:e]))

@@ -64,10 +64,14 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     FILE sink instead (see :func:`dedup_events_stream` for the
     pattern); this helper refuses them outright.
     """
+    import re
+
     plan = stream_df._jdf.queryExecution().analyzed().toString()
-    if not any(
-        marker in plan
-        for marker in ("Aggregate", "FlatMapGroupsInPandasWithState")
+    # match NODE names at their tree position, not substrings — a user
+    # column literally named "AggregatedValue" appears mid-line inside
+    # a Project's bracket list and must not defeat the guard
+    if not re.search(
+        r"(?m)^[\s+\-:|'~]*(Aggregate|FlatMapGroupsInPandasWithState)\b", plan
     ):
         raise ValueError(
             "run_available_now drains through a driver-side memory sink "

@@ -241,21 +241,33 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     offsets = _parse_xref_tables(data)
     pages = _page_content_objs(data, offsets) if offsets else None
     if pages is not None:
+        unresolved = False
         for content_objs in pages:
             bodies = []
             for objnum in content_objs:
                 obj = _object_at(data, objnum, offsets)
                 if obj is None:
-                    continue
+                    # a REFERENCED content object with a stale/corrupt
+                    # xref offset: the walk would silently drop that
+                    # page's text — recovery (A17) prefers the whole-doc
+                    # byte-order fallback. (A corrupt deflate BODY is a
+                    # different class: those bytes are gone either way
+                    # and are skipped exactly as the fallback would.)
+                    unresolved = True
+                    break
                 body = _decode_stream(obj)
                 if body is not None:
                     bodies.append(body)
+            if unresolved:
+                break
             if bodies:
                 # PDF semantics: a page's content streams form ONE
                 # stream when concatenated (operators may span the
                 # boundary); the joining byte keeps tokens separated
                 _scan_content(b"\n".join(bodies), blocks)
-        return blocks
+        if not unresolved:
+            return blocks
+        blocks = []
     # fallback: no usable xref/trailer (or xref-stream file) — scan
     # every stream in byte order, classifying /Filter per object by
     # clipping the lookback at the previous object boundary

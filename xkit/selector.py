@@ -166,29 +166,77 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     return _Simple(tag, id_, tuple(classes), tuple(attrs)), i
 
 
+def _split_alternatives(selector: str) -> list:
+    """Split a selector group on TOP-LEVEL commas only — a ',' inside a
+    quoted attribute value or inside [brackets] is selector content."""
+    alts: list = []
+    buf: list = []
+    quote = None
+    depth = 0
+    for ch in selector:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch == "[":
+            depth += 1
+            buf.append(ch)
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            alts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    alts.append("".join(buf))
+    return alts
+
+
+def _find_projection_at(s: str) -> int:
+    """Index of the projection '@' (top-level, whitespace-preceded,
+    outside quotes/brackets) or -1. An '@' inside [attr="a @ b"] or
+    [href=mailto:x@y] is value content, not a projection."""
+    quote = None
+    depth = 0
+    at = -1
+    for i, ch in enumerate(s):
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        elif ch == "@" and depth == 0 and i > 0 and s[i - 1] in " \t\n\r\f":
+            at = i
+    return at
+
+
 def parse_selector(selector: str) -> list:
-    """Parse a selector group → list of (chain, proj_attr) alternatives;
-    chain is a tuple of _Simple (descendant combinator between them),
+    """Parse a selector group → list of ((chain, rels), proj_attr)
+    alternatives; chain is a tuple of _Simple compounds, rels carries
+    each compound's combinator ("desc"/"child") to its predecessor,
     proj_attr is the ``@name`` attribute projection or None."""
     out = []
-    for alt in selector.split(","):
+    for alt in _split_alternatives(selector):
         s = alt.strip()
         if not s:
             raise ValueError(f"empty alternative in selector {selector!r}")
         proj = None
-        at = s.rfind("@")
-        # a projection is "<ws>@name" at the END — an @ inside an
-        # attribute value ([href=mailto:x@y]) is never preceded by
-        # whitespace outside brackets, so it stays part of the value
-        if at > 0 and s[at - 1] in " \t\n\r\f":
+        at = _find_projection_at(s)
+        if at > 0:
             proj = s[at + 1 :].strip().lower()
             if not proj or any(ch in _NAME_END for ch in proj) or "]" in proj:
                 raise ValueError(f"bad @attr projection in selector {selector!r}")
             s = s[:at].strip()
             if not s:
                 raise ValueError(f"@attr needs a selector in {selector!r}")
-        elif at == 0:
-            raise ValueError(f"@attr needs a selector in {selector!r}")
         chain = []  # _Simple compounds
         rels = []  # rels[k]: relation of chain[k] to chain[k-1] ("desc"/"child")
         i = 0
