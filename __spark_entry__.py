@@ -559,6 +559,33 @@ def _q_cube_order_stats(spark, sf_dir):
     )
 
 
+def _q_grouping_sets_order_stats(spark, sf_dir):
+    """B13's third form: explicit GROUPING SETS (not the rollup/cube
+    shorthands) — by-status and by-priority in one aggregation pass."""
+    o = _read(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def _q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (not approx_percentile — that sketch has no
+    cross-engine twin): median and p90 of event value per type."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def _q_approx_distinct(spark, sf_dir):
     # HLL sketch (B12): no cross-engine oracle by nature → rows-only check
     e = _read(spark, sf_dir, "events")
@@ -648,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_pairs": _q_range_join_event_pairs,
         "user_sessions": _q_user_sessions,
         "cube_order_stats": _q_cube_order_stats,
+        "grouping_sets_order_stats": _q_grouping_sets_order_stats,
+        "value_percentiles": _q_value_percentiles,
         "approx_distinct": _q_approx_distinct,
         # structured-streaming operators (availableNow-drained)
         "stream_hourly_counts": _q_stream_hourly_counts,
@@ -1151,6 +1180,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(o_totalprice), 2) AS avg_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
         """,
         # streaming ops: the availableNow-drained result must equal the
         # batch computation — which IS the oracle
