@@ -281,6 +281,32 @@ def test_user_sessions_microsecond_boundary(spark, tmp_path):
     assert n_sessions == {7: 2, 8: 1}
 
 
+def test_kmeans_ivf_separates_planted_clusters(spark):
+    import random
+
+    from xhtmlkit_spark.operators.similarity import ivf_ann_topk, kmeans_centroids
+
+    rng = random.Random(31)
+    # three tight clusters around orthogonal-ish directions
+    axes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+    rows = []
+    vid = 0
+    for a in axes:
+        for _ in range(20):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in a]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, n_cells=3, iters=5, sample_rows=60)
+    assert len(cents) == 3 and all(abs(sum(x * x for x in c) - 1) < 1e-9 for c in cents)
+    # deterministic: same sample → same centroids
+    assert cents == kmeans_centroids(df, n_cells=3, iters=5, sample_rows=60)
+    out = ivf_ann_topk(df, k=1, n_cells=3, nprobe=1, centroids=cents).collect()
+    # with learned cells, every vector's nearest neighbor lives in its
+    # own cluster — all top-1 neighbors come from the same 20-vector block
+    assert all(r["query_id"] // 20 == r["neighbor_id"] // 20 for r in out)
+    assert len(out) == 60
+
+
 def test_hash_sampling_deterministic_and_nested(spark):
     from pyspark.sql import functions as F
 

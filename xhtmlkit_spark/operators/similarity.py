@@ -30,6 +30,7 @@ __all__ = [
     "hyperplane_signature",
     "hyperplane_neardup_pairs",
     "ivf_centroids",
+    "kmeans_centroids",
     "ivf_ann_topk",
     "lsh_ann_topk",
 ]
@@ -260,6 +261,66 @@ def ivf_centroids(n_cells: int = 16, dim: int = 64) -> list:
         norm = math.sqrt(sum(x * x for x in raw))
         out.append([x / norm for x in raw])
     return out
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Spherical k-means on a bounded, deterministic driver sample —
+    the LEARNED coarse quantizer for :func:`ivf_ann_topk`.
+
+    Sample = the ``sample_rows`` smallest ids (order-independent, like
+    bpe_stage's rule); init = the first ``n_cells`` sample vectors;
+    ``iters`` Lloyd rounds of assign-by-max-dot → mean → re-normalize,
+    all in Python doubles (deterministic across runs). Empty clusters
+    keep their previous centroid. Learned centroids adapt cell sizes to
+    the data distribution (random centroids give uneven inverted lists
+    on clustered embeddings); the price is that no SQL oracle can
+    reproduce the training, so queries using them are rows-only —
+    which is why the CONTRACT query uses the deterministic
+    :func:`ivf_centroids` instead.
+    """
+    import math
+
+    rows = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    sample = [unit([float(x) for x in r[vec_col]]) for r in rows]
+    if len(sample) < n_cells:
+        raise ValueError(f"need >= {n_cells} sample vectors, got {len(sample)}")
+    cents = [list(v) for v in sample[:n_cells]]
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for v in sample:
+            best_j, best_d = 0, -2.0
+            for j, c in enumerate(cents):
+                d = sum(a * b for a, b in zip(v, c))
+                if d > best_d:
+                    best_j, best_d = j, d
+            counts[best_j] += 1
+            sj = sums[best_j]
+            for i, x in enumerate(v):
+                sj[i] += x
+        for j in range(n_cells):
+            if counts[j]:
+                cents[j] = unit([x / counts[j] for x in sums[j]])
+    return cents
 
 
 def ivf_ann_topk(
