@@ -92,3 +92,39 @@ def test_head_only_tags_stay_in_head():
 
 def test_hr_closes_p():
     assert roundtrip("<p>a<hr>b") == "<p>a</p><hr></hr>b"
+
+
+def test_sanitize_xml_name():
+    from xkit.dom import sanitize_xml_name
+
+    assert sanitize_xml_name("div") == "div"
+    assert sanitize_xml_name("data-x") == "data-x"
+    assert sanitize_xml_name("foo@bar") == "foo_bar"
+    assert sanitize_xml_name("3d") == "_3d"
+    assert sanitize_xml_name("-lead") == "_-lead"
+    assert sanitize_xml_name("") == "_"
+    assert sanitize_xml_name("a:b") == "a_b"  # no namespace colons
+
+
+def test_serialize_xml_safe_names_and_comments():
+    import xml.etree.ElementTree as ET
+
+    from xkit.dom import repair, serialize
+    from xkit.tokenizer import tokenize
+
+    soup = '<p 1bad=x foo@bar=y foo_bar=z>text</p><!-- a -- b --->'
+    default = serialize(repair(tokenize(soup)))
+    safe = serialize(repair(tokenize(soup)), xml_safe=True)
+    # default form unchanged (frozen golden style), safe form parses
+    assert '1bad="x"' in default
+    assert '_1bad="x"' in safe
+    # foo@bar sanitizes onto existing foo_bar -> first wins, no dup attr
+    assert safe.count("foo_bar=") == 1
+    ET.fromstring("<root>" + safe + "</root>")  # must be well-formed
+
+
+def test_normalize_doc_emits_xml_safe_names():
+    from xhtmlkit_spark.operators.normalize_stage import normalize_doc
+
+    out = normalize_doc(["html"], ['<p data@weird="v">t</p>'], [0])
+    assert 'data_weird="v"' in out

@@ -49,7 +49,10 @@ def normalize_doc(kinds: list, texts: list, offsets: list) -> str | None:
             continue
         if isinstance(raw, (bytes, bytearray)):
             raw = decode_html_bytes(bytes(raw))
-        parts.append(serialize(repair(tokenize(raw))))
+        # xml_safe: this is the XML-emitting path, so A19 name
+        # sanitization and comment legality apply (the goldens pin the
+        # default serialize() form separately)
+        parts.append(serialize(repair(tokenize(raw)), xml_safe=True))
     return "".join(parts) if parts else None
 
 

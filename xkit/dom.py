@@ -30,7 +30,7 @@ Repair rules (frozen by tests/golden/malformed_markup.json):
 
 from __future__ import annotations
 
-__all__ = ["repair", "serialize", "VOID_TAGS", "CLOSED_BY"]
+__all__ = ["repair", "sanitize_xml_name", "serialize", "VOID_TAGS", "CLOSED_BY"]
 
 # [P: XHtmlKit tag metadata] — HTML5 void element set.
 VOID_TAGS = frozenset(
@@ -128,13 +128,60 @@ def _escape_text(s: str) -> str:
     return s
 
 
-def serialize(events: list) -> str:
+def sanitize_xml_name(name: str) -> str:
+    """A19: coerce a tag-soup tag/attribute name into a valid XML name
+    (the reference routes names through System.Xml, which rejects or
+    encodes invalid ones — [P: XHtmlKit/XmlDomBuilder.cs]).
+
+    Conservative ASCII rule: ``[A-Za-z_][A-Za-z0-9_.-]*`` — every
+    offending character becomes ``_`` and a bad first character gets a
+    ``_`` prefix. Deterministic and reversible enough for dedup keys;
+    Unicode name characters (XML allows many) are deliberately not
+    whitelisted — tokenized tag names are ASCII-led by grammar, and
+    attr-name unicode is rare tag soup.
+    """
+    out = []
+    for ch in name:
+        if (
+            ("a" <= ch <= "z")
+            or ("A" <= ch <= "Z")
+            or ("0" <= ch <= "9")
+            or ch in "_-."
+        ):
+            out.append(ch)
+        else:
+            out.append("_")
+    s = "".join(out)
+    if not s:
+        return "_"
+    c = s[0]
+    if not (("a" <= c <= "z") or ("A" <= c <= "Z") or c == "_"):
+        s = "_" + s
+    return s
+
+
+def _xml_safe_comment(raw: str) -> str:
+    # XML forbids '--' inside comments and a trailing '-'
+    while "--" in raw:
+        raw = raw.replace("--", "- -")
+    if raw.endswith("-"):
+        raw += " "
+    return raw
+
+
+def serialize(events: list, xml_safe: bool = False) -> str:
     """Canonical XHTML-ish serialization of a repaired event stream.
 
     Mirrors the reference's golden-string test style ([P:
     XHtmlKit.Tests/HtmlParserTests.cs] asserts on ``OuterXml``); used
     by our pytest goldens to pin the repair rules. Attributes keep
     insertion order; values double-quoted with minimal escaping.
+
+    ``xml_safe=True`` additionally enforces A19: tag/attribute names
+    sanitized to valid XML names (duplicates AFTER sanitization drop —
+    XML forbids repeated attribute names), comment bodies made
+    XML-legal. The default stays byte-compatible with the frozen
+    serialization goldens.
     """
     out = []
     push = out.append
@@ -142,11 +189,19 @@ def serialize(events: list) -> str:
         kind = ev[0]
         if kind == "open":
             attrs = ev[2]
+            tag = sanitize_xml_name(ev[1]) if xml_safe else ev[1]
             if attrs:
+                if xml_safe:
+                    clean: dict = {}
+                    for k, v in attrs.items():
+                        sk = sanitize_xml_name(k)
+                        if sk not in clean:  # first wins, like A7
+                            clean[sk] = v
+                    attrs = clean
                 push(
                     "<%s %s>"
                     % (
-                        ev[1],
+                        tag,
                         " ".join(
                             '%s="%s"' % (k, _escape_text(v).replace('"', "&quot;"))
                             for k, v in attrs.items()
@@ -154,12 +209,12 @@ def serialize(events: list) -> str:
                     )
                 )
             else:
-                push("<%s>" % ev[1])
+                push("<%s>" % tag)
         elif kind == "close":
-            push("</%s>" % ev[1])
+            push("</%s>" % (sanitize_xml_name(ev[1]) if xml_safe else ev[1]))
         elif kind == "text":
             push(_escape_text(ev[1]))
         elif kind == "comment":
-            push("<!--%s-->" % ev[1])
+            push("<!--%s-->" % (_xml_safe_comment(ev[1]) if xml_safe else ev[1]))
         # doctype omitted from canonical form
     return "".join(out)
