@@ -83,3 +83,61 @@ def test_extract_doc_offsets_contiguous(spans):
     k, t, m, o = extract_doc(kinds, texts, refs, offs)
     assert o == list(range(len(k)))  # output ordinals 0..m-1
     assert len(k) == len(t) == len(m)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_text)
+def test_selector_never_raises_on_any_document(s):
+    from xkit.selector import select_html
+
+    for kind, text, ref in select_html(s, "div.a > p[x], script, * @id"):
+        assert kind in ("text", "media")
+        assert (kind == "media") == (ref is not None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_any_text)
+def test_selector_star_counts_every_element(s):
+    """`*` matches every repaired element exactly once — the span count
+    must equal the number of open events."""
+    from xkit.selector import select_html
+
+    n_open = sum(1 for ev in repair(tokenize(s)) if ev[0] == "open")
+    assert len(select_html(s, "*")) == n_open
+
+
+@settings(max_examples=150, deadline=None)
+@given(_any_text)
+def test_xml_safe_serialization_names_are_valid(s):
+    """A19: every tag/attr name serialized with xml_safe=True matches
+    the valid-XML-name grammar."""
+    import re
+
+    from xkit.dom import sanitize_xml_name
+
+    name_re = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+    for ev in repair(tokenize(s)):
+        if ev[0] == "open":
+            assert name_re.match(sanitize_xml_name(ev[1]))
+            for k in ev[2]:
+                assert name_re.match(sanitize_xml_name(k))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=500))
+def test_pdf_extract_never_raises_on_bytes(b):
+    from xkit.pdfmini import extract_pdf_text
+
+    for variant in (b, b"%PDF-1.4\n" + b):
+        for block in extract_pdf_text(variant):
+            assert isinstance(block, str) and block.strip() == block
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", max_size=40), max_size=8), st.text(alphabet="abc ", max_size=30))
+def test_bpe_roundtrip_any_corpus(texts, probe):
+    from xkit.bpe import BPE, END, train_bpe
+
+    enc = BPE(train_bpe(texts, n_merges=30))
+    for w in probe.split():
+        assert "".join(enc.encode_word(w)) == w + END
