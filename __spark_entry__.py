@@ -577,7 +577,11 @@ def _q_grouping_sets_order_stats(spark, sf_dir):
 
 def _q_value_percentiles(spark, sf_dir):
     """Exact percentiles (not approx_percentile — that sketch has no
-    cross-engine twin): median and p90 of event value per type."""
+    cross-engine twin): median and p90 of event value per type.
+    Scale note: exact percentile buffers each group's values; at
+    corpus scale swap in approx_count_distinct-style sketches
+    (approx_percentile), which trade oracle-ability for O(1) state —
+    the query shape is otherwise identical."""
     e = _read(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),

@@ -198,3 +198,43 @@ def test_entry_contract_smoke(spark):
     assert df.limit(5).count() > 0
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)  # every oracle has a query
+
+
+def test_build_training_corpus_funnel(spark, corpus_path, tmp_path):
+    """End-to-end composition: extract → stats → dedup → filter →
+    sample → write, funnel observed on the single write job."""
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    out = str(tmp_path / "train")
+    funnel = build_training_corpus(
+        spark,
+        corpus_path,
+        out,
+        langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0,
+        min_tokens=1,
+        sample_rate=0.5,
+    )
+    # monotone funnel, all stages populated
+    assert (
+        funnel["extracted"]
+        >= funnel["deduped"]
+        >= funnel["lang_kept"]
+        >= funnel["quality_kept"]
+        >= funnel["written"]
+        > 0
+    )
+    assert funnel["extracted"] == 120
+    landed = spark.read.parquet(out)
+    assert landed.count() == funnel["written"]
+    assert set(landed.columns) == {
+        "doc_id", "text", "lang_guess", "quality_score", "n_tokens"
+    }
+    # sampling is deterministic: rerun writes the identical doc set
+    funnel2 = build_training_corpus(
+        spark, corpus_path, str(tmp_path / "train2"),
+        langs=("en", "de", "fr", "es", "zh"), min_quality=0.0,
+        min_tokens=1, sample_rate=0.5,
+    )
+    ids = lambda p: {r["doc_id"] for r in spark.read.parquet(p).select("doc_id").collect()}
+    assert ids(out) == ids(str(tmp_path / "train2")) and funnel == {**funnel2, "output_path": out}
