@@ -63,6 +63,18 @@ PDF_NO_XREF = PDF_UNREFERENCED[: PDF_UNREFERENCED.find("xref")]
 PDF_OCTAL = make_fixture_pdf([["OCTMARKER"]]).replace(
     "(OCTMARKER)", r"(\101\040via\040octal \7)"
 )
+# <hex> string form (whitespace inside, odd digit pads 0) and the
+# '/" move-and-show operators
+PDF_HEX = (
+    "%PDF-1.4\n4 0 obj\n<< /Length 70 >>\nstream\n"
+    "BT\n/F1 12 Tf\n0 700 Td\n<48656C6C 6F20> Tj\n(world) Tj\nET\n"
+    "endstream\nendobj\n%%EOF"
+)
+PDF_QUOTE_OPS = (
+    "%PDF-1.4\n4 0 obj\n<< /Length 80 >>\nstream\n"
+    "BT\n/F1 12 Tf\n0 700 Td\n(line one) Tj\n(line two) '\n(line three) '\nET\n"
+    "endstream\nendobj\n%%EOF"
+)
 
 # case = (name, spans | html | raw_b64 [, base_url])
 CASES = {
@@ -301,6 +313,8 @@ CASES = {
         ("pdf_unreferenced_stream_skipped", [("pdf", PDF_UNREFERENCED, None)]),
         ("pdf_no_xref_fallback_scans_all", [("pdf", PDF_NO_XREF, None)]),
         ("pdf_octal_escapes_in_stream", [("pdf", PDF_OCTAL, None)]),
+        ("pdf_hex_string_form", [("pdf", PDF_HEX, None)]),
+        ("pdf_quote_show_operators", [("pdf", PDF_QUOTE_OPS, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the

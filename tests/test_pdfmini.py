@@ -162,3 +162,28 @@ def test_single_stale_content_offset_falls_back():
     broken = pdf.replace(offs[-1] + " 00000 n", "0000000001 00000 n")
     got = extract_pdf_text(broken)
     assert "page one text" in got and "page two text" in got
+
+
+def test_hex_string_form():
+    from xkit.pdfmini import extract_pdf_text
+
+    pdf = (
+        "%PDF-1.4\n4 0 obj\n<< /Length 70 >>\nstream\n"
+        "BT\n/F1 12 Tf\n0 700 Td\n<48656C6C 6F20> Tj\n(world) Tj\nET\n"
+        "endstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["Hello world"]
+    # odd digit count pads with 0: <5> -> 0x50 = 'P'
+    pdf2 = pdf.replace("<48656C6C 6F20>", "<5>")
+    assert extract_pdf_text(pdf2) == ["Pworld"]
+
+
+def test_quote_show_operators():
+    from xkit.pdfmini import extract_pdf_text
+
+    pdf = (
+        "%PDF-1.4\n4 0 obj\n<< /Length 80 >>\nstream\n"
+        "BT\n/F1 12 Tf\n0 700 Td\n(line one) Tj\n(line two) '\n(line three) '\nET\n"
+        "endstream\nendobj\n%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["line one line two line three"]

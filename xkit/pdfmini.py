@@ -17,10 +17,12 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   file overriding earlier offsets. Streams not reachable from the page
   tree (fonts, images) are SKIPPED. When no usable xref/trailer exists
   the extractor falls back to scanning every stream in byte order.
-* content streams using only ``BT``/``ET`` text objects with ``Tf``,
-  ``Td`` and ``Tj``/``TJ`` (array form) show-text operators,
+* content streams using ``BT``/``ET`` text objects with ``Tf``, ``Td``
+  and the ``Tj`` / ``TJ`` (array form) / ``'`` / ``"``
+  (move-and-show) show-text operators,
 * strings in parenthesis form with ``\\(`` ``\\)`` ``\\\\``, named and
-  octal escapes, WinAnsi/latin-1 bytes.
+  octal escapes, plus ``<hex>`` string form (whitespace-tolerant, odd
+  digit padded), WinAnsi/latin-1 bytes.
 
 Out of scope, documented: **xref streams and object streams**
 (PDF 1.5 cross-reference/compressed-object containers) — those need a
@@ -54,10 +56,12 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 # approach silently lost such blocks.
 _CONTENT_RE = re.compile(
     rb"""(?P<str>\((?P<body>(?:\\.|[^\\()])*)\))
+      | (?P<hex><(?P<hexbody>[0-9A-Fa-f\s]*)>)
       | \b(?P<bt>BT)\b
       | \b(?P<et>ET)\b
       | \b(?P<tj>Tj)\b
       | \b(?P<TJ>TJ)\b
+      | (?P<quote>['"])
       | (?P<td>-?[0-9.]+\s+-?[0-9.]+\s+Td)\b
     """,
     re.VERBOSE | re.DOTALL,
@@ -90,6 +94,17 @@ def _scan_content(body: bytes, blocks: list) -> None:
         if m.group("str") is not None:
             if in_bt:
                 pending.append(_unescape_pdf_string(m.group("body")))
+        elif m.group("hex") is not None:
+            # <48656C6C6F> hex string form; whitespace allowed inside,
+            # odd trailing digit pads with 0 (PDF spec rule)
+            if in_bt:
+                h = re.sub(rb"\s+", b"", m.group("hexbody"))
+                if len(h) % 2:
+                    h += b"0"
+                try:
+                    pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+                except ValueError:
+                    pass
         elif m.group("bt"):
             in_bt, parts, pending = True, [], []
         elif m.group("et"):
@@ -102,6 +117,14 @@ def _scan_content(body: bytes, blocks: list) -> None:
             continue
         elif m.group("tj") or m.group("TJ"):
             if pending:
+                parts.append("".join(pending))
+                pending = []
+        elif m.group("quote"):
+            # ' and " show-text operators: move to next line, then show
+            # (T* + Tj); the line move becomes a space separator
+            if pending:
+                if parts and not parts[-1].endswith(" "):
+                    parts.append(" ")
                 parts.append("".join(pending))
                 pending = []
         elif m.group("td"):
