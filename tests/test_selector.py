@@ -122,3 +122,11 @@ def test_quoted_commas_and_at_in_values():
     assert select_html(
         '<a href="mailto:x@y">m</a>', "a[href=mailto:x@y] @href"
     ) == [("text", "mailto:x@y", None)]
+
+
+@pytest.mark.parametrize(
+    "bad_op", ["a[href^]", "a[x~ =v]", "a[^=v]", "a[x$]"]
+)
+def test_attr_operator_parse_errors(bad_op):
+    with pytest.raises(ValueError):
+        parse_selector(bad_op)

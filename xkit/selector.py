@@ -11,15 +11,18 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
 
     group    := selector ("," selector)*          match any alternative
     selector := compound ((ws | ws? ">" ws?) compound)* (ws "@" name)?
-    compound := [tag | "*"] ("#" id)? ("." class)* ("[" name ("=" value)? "]")*
+    compound := [tag | "*"] ("#" id)? ("." class)* attr*
+    attr     := "[" name (("=" | "^=" | "$=" | "*=" | "~=") value)? "]"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
-* values may be bare, 'single'- or "double"-quoted; matching is exact
-  and case-sensitive (tag/attr NAMES are lowercased by the tokenizer,
-  so selectors are case-insensitive there, like HTML)
+* values may be bare, 'single'- or "double"-quoted; matching is
+  case-sensitive (tag/attr NAMES are lowercased by the tokenizer, so
+  selectors are case-insensitive there, like HTML); ``^=`` prefix,
+  ``$=`` suffix, ``*=`` substring, ``~=`` whitespace-separated word —
+  all CSS semantics, including "never match an empty value"
 
 Semantics (querySelectorAll-like, frozen by the goldens):
 
@@ -65,7 +68,7 @@ class _Simple:
         self.tag = tag  # None = any
         self.id = id_
         self.classes = classes  # tuple[str, ...]
-        self.attrs = attrs  # tuple[(name, value-or-None), ...]
+        self.attrs = attrs  # tuple[(name, op-or-None, value-or-None), ...]
 
     def matches(self, tag: str, attrs: dict) -> bool:
         if self.tag is not None and tag != self.tag:
@@ -77,11 +80,28 @@ class _Simple:
             for c in self.classes:
                 if c not in have:
                     return False
-        for name, value in self.attrs:
+        for name, op, value in self.attrs:
             if name not in attrs:
                 return False
-            if value is not None and attrs[name] != value:
-                return False
+            if op is None:
+                continue  # presence test
+            actual = attrs[name]
+            if op == "=":
+                if actual != value:
+                    return False
+            elif op == "~":
+                if value == "" or value not in actual.split():
+                    return False
+            # CSS: ^= $= *= never match an empty needle
+            elif op == "^":
+                if not value or not actual.startswith(value):
+                    return False
+            elif op == "$":
+                if not value or not actual.endswith(value):
+                    return False
+            elif op == "*":
+                if not value or value not in actual:
+                    return False
         return True
 
 
@@ -128,12 +148,20 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
         elif c == "[":
             i += 1
             j = i
-            while j < n and s[j] not in "=]":
+            while j < n and s[j] not in "=]^$*~":
                 j += 1
             name = s[i:j].strip().lower()
             if not name:
                 raise ValueError(f"empty attribute name at {i} in selector {s!r}")
+            op = None
+            if j < n and s[j] in "^$*~":
+                op = s[j]
+                j += 1
+                if j >= n or s[j] != "=":
+                    raise ValueError(f"expected = after {op} in selector {s!r}")
             if j < n and s[j] == "=":
+                if op is None:
+                    op = "="
                 j += 1
                 if j < n and s[j] in "\"'":
                     quote = s[j]
@@ -157,7 +185,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                     raise ValueError(f"unterminated [ in selector {s!r}")
                 value = None
                 i = j + 1
-            attrs.append((name, value))
+            attrs.append((name, op, value))
             matched_any = True
         else:
             break
