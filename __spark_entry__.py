@@ -623,6 +623,12 @@ def _q_stream_static_join(spark, sf_dir):
     return stream_static_join(spark, sf_dir)
 
 
+def _q_stream_stream_join(spark, sf_dir):
+    from xhtmlkit_spark.streaming.jobs import stream_stream_join
+
+    return stream_stream_join(spark, sf_dir)
+
+
 def _q_stream_dedup_counts(spark, sf_dir):
     from xhtmlkit_spark.streaming.jobs import dedup_events_stream
 
@@ -687,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": _q_stream_sliding_counts,
         "stream_sessions": _q_stream_sessions,
         "stream_static_join": _q_stream_static_join,
+        "stream_stream_join": _q_stream_stream_join,
         "stream_dedup_counts": _q_stream_dedup_counts,
         "stream_running_totals": _q_stream_running_totals,
     }
@@ -1243,6 +1250,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "stream_stream_join": """
+            SELECT a.user_id AS user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+            GROUP BY a.user_id
         """,
         "stream_dedup_counts": """
             SELECT event_type, count(DISTINCT event_id) AS n_events

@@ -30,6 +30,7 @@ __all__ = [
     "dedup_events_stream",
     "running_totals_stream",
     "stream_static_join",
+    "stream_stream_join",
 ]
 
 
@@ -287,6 +288,51 @@ def streaming_extract(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+: STREAM-STREAM interval self-join — each side watermarked,
+    pairs of same-user events within 2 minutes (the streaming twin of
+    the batch range join, which is exactly its oracle).
+
+    The join output is row-shaped, so it drains through the
+    exactly-once FILE sink and the per-user count happens as a batch
+    step — chaining a second stateful operator after a stream-stream
+    join needs watermark propagation that availableNow single-batch
+    draining can't exercise meaningfully, and the memory sink is
+    refused for row streams (see run_available_now).
+    """
+    import shutil
+    import tempfile
+
+    a = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour").alias("a")
+    b = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")),
+    ).select(F.col("a.user_id").alias("user_id"), F.col("a.event_id").alias("eid_a"))
+    out = tempfile.mkdtemp(prefix="xk_ssj_rows_")
+    chk = tempfile.mkdtemp(prefix="xk_ssj_chk_")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = (
+        spark.read.schema(joined.schema).parquet(out)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    result = spark.createDataFrame(agg.collect(), agg.schema)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    return result
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
