@@ -559,6 +559,33 @@ def _q_cube_order_stats(spark, sf_dir):
     )
 
 
+def _q_pivot_order_counts(spark, sf_dir):
+    """Pivot (explicit value list → deterministic schema): order counts
+    per status, one column per priority bucket."""
+    o = _read(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.col(p).alias(f"p{i + 1}") for i, p in enumerate(prios)],
+        )
+    )
+
+
+def _q_unpivot_customer_metrics(spark, sf_dir):
+    """Unpivot/melt: wide numeric columns → long (metric, value) rows."""
+    c = _read(spark, sf_dir, "customer")
+    return c.unpivot(
+        ["c_custkey"],
+        ["c_acctbal", "c_nationkey"],
+        "metric",
+        "value",
+    ).select("c_custkey", "metric", F.round(F.col("value").cast("double"), 2).alias("value"))
+
+
 def _q_grouping_sets_order_stats(spark, sf_dir):
     """B13's third form: explicit GROUPING SETS (not the rollup/cube
     shorthands) — by-status and by-priority in one aggregation pass."""
@@ -685,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_pairs": _q_range_join_event_pairs,
         "user_sessions": _q_user_sessions,
         "cube_order_stats": _q_cube_order_stats,
+        "pivot_order_counts": _q_pivot_order_counts,
+        "unpivot_customer_metrics": _q_unpivot_customer_metrics,
         "grouping_sets_order_stats": _q_grouping_sets_order_stats,
         "value_percentiles": _q_value_percentiles,
         "approx_distinct": _q_approx_distinct,
@@ -1191,6 +1220,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(o_totalprice), 2) AS avg_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_order_counts": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "unpivot_customer_metrics": """
+            SELECT c_custkey, 'c_acctbal' AS metric,
+                   round(c_acctbal::DOUBLE, 2) AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'c_nationkey' AS metric,
+                   round(c_nationkey::DOUBLE, 2) AS value FROM customer
         """,
         "grouping_sets_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
