@@ -503,6 +503,30 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling (mapInPandas 1→N fan-out). Payloads are
+    Python-generated fakes (no codec libs — decode_media seam), so no
+    SQL twin exists → rows-only; determinism + fan-out shape are pinned
+    by tests/test_operators.py."""
+    from xhtmlkit_spark.functions.spans import media_refs
+    from xhtmlkit_spark.operators.multimodal import (
+        frame_sample_stage,
+        media_table_from_refs,
+    )
+
+    corpus = spark.read.parquet(_corpus_path(sf_dir))
+    refs = corpus.select(F.explode(media_refs(F.col("spans"))).alias("media_ref"))
+    media = media_table_from_refs(refs)
+    frames = frame_sample_stage(media, n_frames=4, frame_bytes=256)
+    return frames.select(
+        "media_ref",
+        "frame_idx",
+        "frame_offset",
+        "n_frame_bytes",
+        F.substring(F.hex("frame"), 1, 8).alias("frame_head"),
+    )
+
+
 def _q_range_join_event_pairs(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     a, b = e.alias("a"), e.alias("b")
@@ -709,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "range_join_event_pairs": _q_range_join_event_pairs,
         "user_sessions": _q_user_sessions,
         "cube_order_stats": _q_cube_order_stats,

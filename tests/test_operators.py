@@ -382,6 +382,38 @@ def test_media_features_deterministic(spark):
     }
 
 
+def test_frame_sample_fanout_and_determinism(spark):
+    from xhtmlkit_spark.operators.multimodal import (
+        frame_sample_stage,
+        media_table_from_refs,
+    )
+
+    refs = spark.createDataFrame(
+        [("s3://m/v.mp4",), ("s3://m/a.jpg",), ("s3://m/x.mp3",)], "media_ref string"
+    )
+    media = media_table_from_refs(refs, n_bytes=2048)
+    rows = frame_sample_stage(media, n_frames=4, frame_bytes=128).collect()
+    by_ref: dict = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    # video fans out to n_frames, image to one, audio to none
+    assert len(by_ref["s3://m/v.mp4"]) == 4
+    assert len(by_ref["s3://m/a.jpg"]) == 1
+    assert "s3://m/x.mp3" not in by_ref
+    vid = sorted(by_ref["s3://m/v.mp4"], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in vid] == [0, 1, 2, 3]
+    # evenly spaced, increasing offsets; last frame ends at payload end
+    offs = [r["frame_offset"] for r in vid]
+    assert offs == sorted(offs) and offs[0] == 0 and offs[-1] == 2048 - 128
+    assert all(r["n_frame_bytes"] == 128 for r in vid)
+    # deterministic across invocations
+    rows2 = frame_sample_stage(
+        media_table_from_refs(refs, n_bytes=2048), n_frames=4, frame_bytes=128
+    ).collect()
+    key = lambda rs: sorted((r["media_ref"], r["frame_idx"], bytes(r["frame"])) for r in rs)
+    assert key(rows) == key(rows2)
+
+
 def test_decode_media_is_marked_stub():
     from xhtmlkit_spark.operators.multimodal import decode_media
 

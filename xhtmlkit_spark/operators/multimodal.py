@@ -32,6 +32,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "fake_fetch_media",
     "decode_media",
+    "frame_sample_stage",
     "media_feature_stage",
 ]
 
@@ -109,6 +110,75 @@ def media_feature_stage(media_df: DataFrame) -> DataFrame:
     return media_df.select(
         "media_ref", "media_type", "payload", "n_bytes"
     ).mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample_stage(
+    media_df: DataFrame, n_frames: int = 4, frame_bytes: int = 256
+) -> DataFrame:
+    """Video frame sampling as a mapInPandas 1→N fan-out.
+
+    Real decode needs libav (the :func:`decode_media` seam); the
+    DISTRIBUTED SHAPE is the point and is fully real: each video row
+    fans out into ``n_frames`` evenly spaced frame rows (deterministic
+    byte-slice stand-ins for decoded frames), images pass through as a
+    single frame, audio contributes none. Frame rows are keyed
+    (media_ref, frame_idx) so downstream per-frame featurization joins/
+    groups exactly as it would with real decoded frames. Batch-shape
+    note for 100 TB: output rows ≈ n_frames × input rows — bound
+    ``maxRecordsPerBatch`` on the INPUT side so the fan-out stays
+    within worker memory.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs: list = []
+            idxs: list = []
+            offs: list = []
+            frames: list = []
+            for ref, mtype, payload in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype == "video":
+                    n = len(payload)
+                    span = max(n - frame_bytes, 0)
+                    for i in range(n_frames):
+                        off = (span * i) // max(n_frames - 1, 1)
+                        chunk = bytes(payload[off : off + frame_bytes])
+                        refs.append(ref)
+                        idxs.append(i)
+                        offs.append(off)
+                        frames.append(chunk)
+                elif mtype == "image":
+                    refs.append(ref)
+                    idxs.append(0)
+                    offs.append(0)
+                    frames.append(bytes(payload))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_offset": pd.array(offs, dtype="int64"),
+                    "frame": frames,
+                    "n_frame_bytes": pd.array(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return media_df.select("media_ref", "media_type", "payload").mapInPandas(
+        gen, FRAME_SCHEMA
+    )
 
 
 def media_table_from_refs(refs_df: DataFrame, n_bytes: int = 4096) -> DataFrame:
