@@ -414,6 +414,31 @@ def test_frame_sample_fanout_and_determinism(spark):
     assert key(rows) == key(rows2)
 
 
+def test_resize_stage_images_only_and_injectable(spark):
+    from xhtmlkit_spark.operators.multimodal import (
+        media_table_from_refs,
+        resize_stage,
+    )
+
+    refs = spark.createDataFrame(
+        [("s3://m/a.jpg",), ("s3://m/v.mp4",)], "media_ref string"
+    )
+    media = media_table_from_refs(refs, n_bytes=4096)
+    rows = {r["media_ref"]: r for r in resize_stage(media, target_bytes=512).collect()}
+    img, vid = rows["s3://m/a.jpg"], rows["s3://m/v.mp4"]
+    # images shrink to exactly the target; non-images pass untouched
+    assert img["n_bytes"] == 512 and img["orig_bytes"] == 4096
+    assert vid["n_bytes"] == vid["orig_bytes"] == 4096
+    # injectable resizer (the prod pillow seam)
+    rows2 = resize_stage(
+        media, target_bytes=512, resizer=lambda p, t, n: p[:8]
+    ).collect()
+    assert {r["n_bytes"] for r in rows2 if r["media_type"] == "image"} == {8}
+    # deterministic default
+    again = {r["media_ref"]: bytes(r["payload"]) for r in resize_stage(media, 512).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in rows.items()}
+
+
 def test_decode_media_is_marked_stub():
     from xhtmlkit_spark.operators.multimodal import decode_media
 

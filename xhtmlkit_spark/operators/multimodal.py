@@ -34,6 +34,7 @@ __all__ = [
     "decode_media",
     "frame_sample_stage",
     "media_feature_stage",
+    "resize_stage",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -179,6 +180,66 @@ def frame_sample_stage(
     return media_df.select("media_ref", "media_type", "payload").mapInPandas(
         gen, FRAME_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stage(
+    media_df: DataFrame, target_bytes: int = 1024, resizer=None
+) -> DataFrame:
+    """Image resize as a mapInPandas transform (the brief's
+    decode→resize step).
+
+    Real resizing needs a codec (inject ``resizer(payload, media_type,
+    target_bytes) -> bytes`` — pillow in prod, same seam discipline as
+    :func:`decode_media`); the default stand-in byte-subsamples the
+    payload to ``target_bytes`` with an even deterministic stride, so
+    the distributed shape (schema, batching, size accounting) is fully
+    exercised and output sizes are exactly verifiable. Non-image rows
+    pass through untouched — resize is an image transform.
+    """
+
+    def default_resizer(payload: bytes, media_type: str, target: int) -> bytes:
+        n = len(payload)
+        if n <= target:
+            return bytes(payload)
+        # even deterministic stride; exact target length
+        return bytes(payload[(i * n) // target] for i in range(target))
+
+    fn = resizer or default_resizer
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                if mtype == "image":
+                    outs.append(fn(bytes(payload), mtype, target_bytes))
+                else:
+                    outs.append(bytes(payload))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "payload": outs,
+                    "n_bytes": pd.array([len(p) for p in outs], dtype="int64"),
+                    "orig_bytes": pd.array(
+                        [len(bytes(p)) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return media_df.select(
+        "media_ref", "media_type", "payload", "n_bytes"
+    ).mapInPandas(gen, RESIZED_SCHEMA)
 
 
 def media_table_from_refs(refs_df: DataFrame, n_bytes: int = 4096) -> DataFrame:
