@@ -531,6 +531,44 @@ def test_running_totals_state_accumulates_across_batches(spark, tmp_path):
     assert out == {u: (n, round(s, 2)) for u, (n, s) in expect.items()}
 
 
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "server speaks protobuf); absent in this container — runs on a "
+    "normally-provisioned cluster",
+)
+def test_user_value_stats_stream_tws(spark, tmp_path):
+    import datetime
+
+    from xhtmlkit_spark.streaming.jobs import user_value_stats_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), i % 3, "click", float(i), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sfT"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in user_value_stats_stream(spark, str(d)).collect()
+    }
+    assert out[0] == (10, sum(range(0, 30, 3)), 27.0)
+
+
 def test_streaming_extract_matches_batch(spark, tmp_path):
     from xhtmlkit_spark.datagen import generate_corpus
     from xhtmlkit_spark.operators.extract_stage import extract_spans

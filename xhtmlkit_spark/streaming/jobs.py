@@ -31,6 +31,7 @@ __all__ = [
     "running_totals_stream",
     "stream_static_join",
     "stream_stream_join",
+    "user_value_stats_stream",
 ]
 
 
@@ -72,7 +73,8 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
     # column literally named "AggregatedValue" appears mid-line inside
     # a Project's bracket list and must not defeat the guard
     if not re.search(
-        r"(?m)^[\s+\-:|'~]*(Aggregate|FlatMapGroupsInPandasWithState)\b", plan
+        r"(?m)^[\s+\-:|'~]*(Aggregate|FlatMapGroupsInPandasWithState|TransformWithStateInPySpark|TransformWithState)\b",
+        plan,
     ):
         raise ValueError(
             "run_available_now drains through a driver-side memory sink "
@@ -245,6 +247,80 @@ def running_totals_stream(
             "user_id",
             SF.col("last.n_events").alias("n_events"),
             SF.round(SF.col("last.sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def user_value_stats_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """J5 via the Spark 4 ``transformWithStateInPandas`` API (the
+    SURVEY-mapped successor of applyInPandasWithState): per-user
+    (n_events, sum, max) carried in a ValueState by a
+    ``StatefulProcessor``. Drained with availableNow the final emission
+    per user equals the batch aggregate.
+
+    SANDBOX GATE: the TWS state server needs a working ``google.
+    protobuf`` (absent here — its ``descriptor`` module doesn't
+    import), so this operator cannot RUN in this container; the
+    per-cluster test skips accordingly and the applyInPandasWithState
+    twin (:func:`running_totals_stream`) carries the oracle-checked
+    J5 coverage. On a normally-provisioned cluster this runs as-is.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n LONG, s DOUBLE, m DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mx = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    # SQL semantics: sum/max over all-NULL stay NULL
+                    s = (s or 0.0) + float(vals.sum())
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
+            self._state.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n_events long, sum_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    drained = run_available_now(stats, output_mode="update")
+    # keep the final emission per user (one batch in the sandbox drain,
+    # correct if the source splits into several)
+    last = F.max(F.struct("n_events", "sum_value", "max_value")).alias("last")
+    return (
+        drained.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("last.n_events").alias("n_events"),
+            F.round(F.col("last.sum_value"), 2).alias("sum_value"),
+            F.round(F.col("last.max_value"), 2).alias("max_value"),
         )
     )
 
