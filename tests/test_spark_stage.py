@@ -238,3 +238,32 @@ def test_build_training_corpus_funnel(spark, corpus_path, tmp_path):
     )
     ids = lambda p: {r["doc_id"] for r in spark.read.parquet(p).select("doc_id").collect()}
     assert ids(out) == ids(str(tmp_path / "train2")) and funnel == {**funnel2, "output_path": out}
+
+
+def test_ingest_html_files_sniffs_encoding(spark, tmp_path):
+    """Raw .html files → corpus rows: BOM and <meta> charsets honored,
+    output feeds extract_spans directly."""
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.sources.io import ingest_html_files
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "utf8bom.html").write_bytes(
+        b"\xef\xbb\xbf<p>bom caf\xc3\xa9 text here</p>"
+    )
+    (d / "cp1252.html").write_bytes(
+        "<meta charset=windows-1252><p>café crème page</p>".encode("cp1252")
+    )
+    (d / "plain.html").write_bytes(b"<p>plain utf8 page text</p>")
+    (d / "notes.txt").write_bytes(b"ignored by glob")
+    corpus = ingest_html_files(spark, str(d))
+    docs = {r["doc_id"]: r["spans"] for r in corpus.collect()}
+    assert set(docs) == {"utf8bom.html", "cp1252.html", "plain.html"}
+    assert all(len(v) == 1 and v[0]["kind"] == "html" for v in docs.values())
+    out = {
+        r["doc_id"]: [s["text"] for s in r["spans"] if s["kind"] == "text"]
+        for r in extract_spans(corpus, passthrough=()).collect()
+    }
+    assert out["utf8bom.html"] == ["bom café text here"]
+    assert out["cp1252.html"] == ["café crème page"]
+    assert out["plain.html"] == ["plain utf8 page text"]

@@ -15,7 +15,67 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_corpus", "write_spans", "read_manifest", "append_manifest"]
+__all__ = [
+    "read_corpus",
+    "ingest_html_files",
+    "write_spans",
+    "read_manifest",
+    "append_manifest",
+]
+
+
+def ingest_html_files(
+    spark: SparkSession, location: str, glob: str = "*.html"
+) -> DataFrame:
+    """Raw HTML files → corpus-shaped rows (the file-based analogue of
+    the reference's parse-from-source entry point, A2/A3/A4).
+
+    ``binaryFile`` scans the directory; encoding is sniffed per file
+    (BOM → <meta> → UTF-8 fallback, xkit.encoding — never raises) in a
+    mapInPandas stage, and each file becomes one ``(doc_id, spans)``
+    row with a single html span, ready for extract_spans /
+    select_spans / run_pipeline. doc_id = file name. Scale shape: the
+    binaryFile source splits across executors by file; giant single
+    files are the input-side skew with_size_salt then handles.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import SPANS_TYPE
+    from xkit.encoding import decode_html_bytes
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(location)
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.append(
+                    {
+                        "doc_id": path.rsplit("/", 1)[-1],
+                        "spans": [
+                            {
+                                "kind": "html",
+                                "text": decode_html_bytes(bytes(content)),
+                                "media_ref": None,
+                                "offset": 0,
+                            }
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("spans", SPANS_TYPE)]
+    )
+    return raw.mapInPandas(decode, schema)
 
 
 def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
