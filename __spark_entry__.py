@@ -594,7 +594,12 @@ def _q_pivot_order_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .select(
             "o_orderstatus",
-            *[F.col(p).alias(f"p{i + 1}") for i, p in enumerate(prios)],
+            # absent (status, priority) combos pivot to NULL; the
+            # oracle's count FILTER yields 0 — coalesce for parity
+            *[
+                F.coalesce(F.col(p), F.lit(0)).alias(f"p{i + 1}")
+                for i, p in enumerate(prios)
+            ],
         )
     )
 

@@ -128,3 +128,19 @@ def test_normalize_doc_emits_xml_safe_names():
 
     out = normalize_doc(["html"], ['<p data@weird="v">t</p>'], [0])
     assert 'data_weird="v"' in out
+
+
+def test_xml_safe_strips_invalid_chars():
+    """Control characters in text/attr/comment content make XML
+    unparseable no matter how they're escaped — xml_safe strips them
+    (review finding)."""
+    import xml.etree.ElementTree as ET
+
+    from xkit.dom import repair, serialize
+    from xkit.tokenizer import tokenize
+
+    soup = '<p a="v\x01v">a\x0cb\x00c keep\ttab\nnl</p><!--\x01c-->'
+    safe = serialize(repair(tokenize(soup)), xml_safe=True)
+    root = ET.fromstring("<root>" + safe + "</root>")
+    assert root.find("p").text == "abc keep\ttab\nnl"
+    assert root.find("p").get("a") == "vv"

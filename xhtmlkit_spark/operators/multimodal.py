@@ -237,9 +237,11 @@ def resize_stage(
                 }
             )
 
-    return media_df.select(
-        "media_ref", "media_type", "payload", "n_bytes"
-    ).mapInPandas(gen, RESIZED_SCHEMA)
+    # only the columns gen() reads — n_bytes is recomputed for the
+    # output, so requiring it on input would be a dead Arrow column
+    return media_df.select("media_ref", "media_type", "payload").mapInPandas(
+        gen, RESIZED_SCHEMA
+    )
 
 
 def media_table_from_refs(refs_df: DataFrame, n_bytes: int = 4096) -> DataFrame:

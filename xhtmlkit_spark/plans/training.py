@@ -53,11 +53,11 @@ def build_training_corpus(
     extracted = extract_spans(
         with_size_salt(corpus, num_partitions), passthrough=()
     )
+    # span_text_concat restricts to kind=='text' itself — wrapping its
+    # argument in another F.filter would run two consecutive array
+    # passes per document (Catalyst doesn't collapse them)
     docs = extracted.select(
-        "doc_id",
-        span_text_concat(
-            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")), "\n"
-        ).alias("text"),
+        "doc_id", span_text_concat(F.col("spans"), "\n").alias("text")
     )
     stats = with_quality(with_lang_guess(with_token_counts(docs)))
 

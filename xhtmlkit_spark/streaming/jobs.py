@@ -167,31 +167,33 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
-    out = tempfile.mkdtemp(prefix="xk_dedup_rows_")
-    chk = tempfile.mkdtemp(prefix="xk_dedup_chk_")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # explicit schema: an empty source drains zero files into the sink,
-    # and schema inference over the empty directory would raise
-    agg = (
-        spark.read.schema(deduped.schema).parquet(out)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_events"))
-    )
-    # materialize the (tiny) aggregate eagerly so the temp row copy and
-    # checkpoint can be removed instead of leaking per invocation
     import shutil
 
-    result = spark.createDataFrame(agg.collect(), agg.schema)
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(chk, ignore_errors=True)
-    return result
+    out = tempfile.mkdtemp(prefix="xk_dedup_rows_")
+    chk = tempfile.mkdtemp(prefix="xk_dedup_chk_")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # explicit schema: an empty source drains zero files into the
+        # sink, and schema inference over the empty directory would raise
+        agg = (
+            spark.read.schema(deduped.schema).parquet(out)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        # materialize the (tiny) aggregate eagerly so the temp row copy
+        # and checkpoint can be removed instead of leaking per invocation
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        # a failed drain must not leak the temp dirs either
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 def running_totals_stream(
@@ -392,23 +394,25 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.user_id").alias("user_id"), F.col("a.event_id").alias("eid_a"))
     out = tempfile.mkdtemp(prefix="xk_ssj_rows_")
     chk = tempfile.mkdtemp(prefix="xk_ssj_chk_")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    agg = (
-        spark.read.schema(joined.schema).parquet(out)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_pairs"))
-    )
-    result = spark.createDataFrame(agg.collect(), agg.schema)
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(chk, ignore_errors=True)
-    return result
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg = (
+            spark.read.schema(joined.schema).parquet(out)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        # a failed drain must not leak the temp dirs either
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:

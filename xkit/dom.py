@@ -160,8 +160,23 @@ def sanitize_xml_name(name: str) -> str:
     return s
 
 
+# XML 1.0 forbids C0 controls other than \t\n\r, lone surrogates, and
+# U+FFFE/U+FFFF — strip them in xml_safe mode (tag soup carries real
+# control bytes; escaping can't make them legal)
+import re as _re
+
+_XML_INVALID_RE = _re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
+)
+
+
+def _xml_safe_chars(s: str) -> str:
+    return _XML_INVALID_RE.sub("", s)
+
+
 def _xml_safe_comment(raw: str) -> str:
     # XML forbids '--' inside comments and a trailing '-'
+    raw = _xml_safe_chars(raw)
     while "--" in raw:
         raw = raw.replace("--", "- -")
     if raw.endswith("-"):
@@ -177,9 +192,11 @@ def serialize(events: list, xml_safe: bool = False) -> str:
     by our pytest goldens to pin the repair rules. Attributes keep
     insertion order; values double-quoted with minimal escaping.
 
-    ``xml_safe=True`` additionally enforces A19: tag/attribute names
-    sanitized to valid XML names (duplicates AFTER sanitization drop —
-    XML forbids repeated attribute names), comment bodies made
+    ``xml_safe=True`` additionally enforces A19 + well-formedness:
+    tag/attribute names sanitized to valid XML names (duplicates AFTER
+    sanitization drop — XML forbids repeated attribute names),
+    XML-invalid characters (C0 controls, lone surrogates, U+FFFE/F)
+    stripped from text/attribute/comment content, comment bodies made
     XML-legal. The default stays byte-compatible with the frozen
     serialization goldens.
     """
@@ -196,7 +213,7 @@ def serialize(events: list, xml_safe: bool = False) -> str:
                     for k, v in attrs.items():
                         sk = sanitize_xml_name(k)
                         if sk not in clean:  # first wins, like A7
-                            clean[sk] = v
+                            clean[sk] = _xml_safe_chars(v)
                     attrs = clean
                 push(
                     "<%s %s>"
@@ -213,7 +230,7 @@ def serialize(events: list, xml_safe: bool = False) -> str:
         elif kind == "close":
             push("</%s>" % (sanitize_xml_name(ev[1]) if xml_safe else ev[1]))
         elif kind == "text":
-            push(_escape_text(ev[1]))
+            push(_escape_text(_xml_safe_chars(ev[1]) if xml_safe else ev[1]))
         elif kind == "comment":
             push("<!--%s-->" % (_xml_safe_comment(ev[1]) if xml_safe else ev[1]))
         # doctype omitted from canonical form

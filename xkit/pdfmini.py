@@ -101,10 +101,8 @@ def _scan_content(body: bytes, blocks: list) -> None:
                 h = re.sub(rb"\s+", b"", m.group("hexbody"))
                 if len(h) % 2:
                     h += b"0"
-                try:
-                    pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
-                except ValueError:
-                    pass
+                # h is pure hex by the regex class — fromhex cannot fail
+                pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
         elif m.group("bt"):
             in_bt, parts, pending = True, [], []
         elif m.group("et"):
