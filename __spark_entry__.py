@@ -186,6 +186,38 @@ def _q_semi_customers_with_big_orders(spark, sf_dir):
     )
 
 
+def _q_left_join_customer_orders(spark, sf_dir):
+    """Outer-join coverage: every customer with their order count and
+    total (0 / NULL-safe for customers who never ordered)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def _q_balance_quartiles(spark, sf_dir):
+    """Window ranking beyond row_number: ntile quartiles per segment
+    plus the lead gap to the next-richer customer."""
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.col("c_acctbal") - F.lead("c_acctbal").over(w), 2
+        ).alias("gap_to_next"),
+    )
+
+
 def _q_topk_acctbal_per_segment(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -708,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_revenue_forecast": _q06_revenue_forecast,
         "anti_customers_without_orders": _q_anti_customers_without_orders,
         "semi_customers_with_big_orders": _q_semi_customers_with_big_orders,
+        "left_join_customer_orders": _q_left_join_customer_orders,
+        "balance_quartiles": _q_balance_quartiles,
         "topk_acctbal_per_segment": _q_topk_acctbal_per_segment,
         "running_user_value": _q_running_user_value,
         "rollup_order_stats": _q_rollup_order_stats,
@@ -948,6 +982,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "left_join_customer_orders": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "balance_quartiles": """
+            SELECT c_custkey, c_mktsegment,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+                   round(c_acctbal - lead(c_acctbal) OVER (
+                         PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey ASC), 2) AS gap_to_next
+            FROM customer
         """,
         "topk_acctbal_per_segment": """
             SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
