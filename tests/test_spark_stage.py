@@ -267,3 +267,20 @@ def test_ingest_html_files_sniffs_encoding(spark, tmp_path):
     assert out["utf8bom.html"] == ["bom café text here"]
     assert out["cp1252.html"] == ["café crème page"]
     assert out["plain.html"] == ["plain utf8 page text"]
+
+
+def test_select_and_normalize_deterministic_across_parallelism(spark, corpus_path):
+    """Like the extract determinism gate: the salt layout must never
+    change selector or normalization output."""
+    from xhtmlkit_spark.operators.normalize_stage import normalize_xhtml
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(corpus_path)
+    norm = lambda rows: sorted((r["doc_id"], str(r[1])) for r in rows)
+    a = select_spans(with_size_salt(df, 2), "table td, img").collect()
+    b = select_spans(with_size_salt(df, 16), "table td, img").collect()
+    assert norm(a) == norm(b)
+    na = normalize_xhtml(with_size_salt(df, 2)).collect()
+    nb = normalize_xhtml(with_size_salt(df, 16)).collect()
+    assert norm(na) == norm(nb)
