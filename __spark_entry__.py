@@ -1121,14 +1121,17 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS has_cjk
               FROM documents),
             h AS (
-              SELECT doc_id, lang, has_cjk,
+              SELECT doc_id, lang, text, has_cjk,
                  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS h_en,
                  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','von'], x))) AS h_de,
                  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], x))) AS h_fr,
                  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','un','una','que','de','por'], x))) AS h_es
               FROM t)
             SELECT doc_id, lang,
-                   CASE WHEN has_cjk THEN 'zh'
+                   -- NULL text -> NULL guess (Spark's when-chain has no
+                   -- otherwise; without this guard the ELSE fires)
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN has_cjk THEN 'zh'
                         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
                         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
                         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
@@ -1142,14 +1145,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    md5(lower(list_aggregate(toks, 'string_agg', ' '))) AS fp_md5,
-                   list_reduce(
+                   -- NULL text -> NULL fp_roll (Spark aggregates over a
+                   -- NULL array; DuckDB's list_concat treats the NULL
+                   -- tail as empty and would return the seed 0)
+                   CASE WHEN toks IS NULL THEN NULL ELSE list_reduce(
                      list_concat([{'h': 0::BIGINT, 'p': 1::BIGINT}],
                        list_transform(toks[1:64],
                          t -> {'h': (length(t)::BIGINT * 31 + ascii(t)::BIGINT),
                                'p': 0::BIGINT})),
                      (acc, x) -> {'h': (acc.h + (x.h * acc.p) % 1000000007) % 1000000007,
                                   'p': (acc.p * 131) % 1000000007}
-                   ).h AS fp_roll
+                   ).h END AS fp_roll
             FROM t
         """,
         "stratified_sample": """

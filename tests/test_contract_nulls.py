@@ -26,6 +26,9 @@ QUERIES = [
     "dedup_exact",
     "simhash",
     "token_counts",
+    "quality_scores",
+    "lang_guess",
+    "fingerprints",
 ]
 
 
