@@ -819,6 +819,15 @@ def _shingle_sig_cte(k: int) -> str:
               SELECT doc_id, 1 AS band_idx, s2 || '|' || s3 AS band_sig FROM sig)"""
 
 
+# unit vector with the zero-norm guard (mirrors similarity.unit_vector:
+# all-zero embeddings normalize to NULL; NULL embedding propagates)
+_UV_CASE = (
+    "CASE WHEN sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))) > 0"
+    " THEN list_transform(embedding, x -> x::DOUBLE /"
+    " sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) END"
+)
+
+
 def _bucket_sql(tbl: str, n_planes: int, dim: int, salt: str | None = None) -> str:
     """DuckDB expression for the hyperplane sign-bucket of ``tbl``'s
     embedding — the same md5-derived ±1 plane weights as
@@ -840,11 +849,11 @@ def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     bucket = lambda tbl: _bucket_sql(tbl, n_planes, dim)
     return f"""
         WITH sig AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv,
-                 ({bucket('embeddings')}) AS bucket
-          FROM embeddings WHERE embedding IS NOT NULL),
+          SELECT * FROM (
+            SELECT vec_id, {_UV_CASE} AS uv,
+                   ({bucket('embeddings')}) AS bucket
+            FROM embeddings WHERE embedding IS NOT NULL)
+          WHERE uv IS NOT NULL),
         scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
             round(list_sum(list_transform(range(1,{dim+1}), i -> a.uv[i] * b.uv[i])), 6) AS cos_sim
@@ -872,10 +881,10 @@ def _ivf_oracle(k: int = 3, n_cells: int = 16, nprobe: int = 2, dim: int = 64) -
     probe_cells = ", ".join(f"sd[{p + 1}].i" for p in range(nprobe))
     return f"""
         WITH u AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
-          FROM embeddings WHERE embedding IS NOT NULL),
+          SELECT * FROM (
+            SELECT vec_id, {_UV_CASE} AS uv
+            FROM embeddings WHERE embedding IS NOT NULL)
+          WHERE uv IS NOT NULL),
         ranked AS (
           SELECT vec_id, uv, list_sort([{entries}]) AS sd FROM u),
         corpus AS (SELECT vec_id, uv, sd[1].i AS cell FROM ranked),
@@ -909,11 +918,11 @@ def _embedding_neardup_oracle(
     )
     return f"""
         WITH sig AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> x::DOUBLE /
-                   sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv,
-                 {buckets}
-          FROM embeddings WHERE embedding IS NOT NULL),
+          SELECT * FROM (
+            SELECT vec_id, {_UV_CASE} AS uv,
+                   {buckets}
+            FROM embeddings WHERE embedding IS NOT NULL)
+          WHERE uv IS NOT NULL),
         pairs AS (
 {unions}),
         scored AS (
@@ -1258,12 +1267,11 @@ def oracle_sql() -> dict[str, str]:
                                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
             FROM t
         """,
-        "cosine_topk": """
+        "cosine_topk": f"""
             WITH u AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> x::DOUBLE /
-                       sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS uv
-              FROM embeddings),
+              SELECT * FROM (
+                SELECT vec_id, {_UV_CASE} AS uv FROM embeddings)
+              WHERE uv IS NOT NULL),
             q AS (SELECT vec_id AS qid, uv AS qu FROM u WHERE vec_id < 10),
             scored AS (
               SELECT q.qid AS query_id, v.vec_id AS neighbor_id,

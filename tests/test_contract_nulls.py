@@ -79,3 +79,50 @@ def test_null_text_parity(spark, null_sf_dir, name):
     assert spark_ms == oracle_ms, (
         f"{name}: NULL/empty-text divergence\nspark={spark_ms}\noracle={oracle_ms}"
     )
+
+
+EMB_QUERIES = [
+    "embedding_explode",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_neardup",
+]
+
+
+@pytest.fixture(scope="session")
+def null_emb_dir(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(6)
+    ]
+    rows.append((6, None))  # NULL embedding
+    rows.append((7, [0.0] * 64))  # zero vector: norm 0 → division by zero
+    d = tmp_path_factory.mktemp("nullemb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_null_and_zero_embedding_parity(spark, null_emb_dir, name):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_contract import row_multiset
+
+    sdf = entry.queries()[name](spark, null_emb_dir)
+    spark_ms = row_multiset(sdf.columns, sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{null_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    cur = con.execute(entry.oracle_sql()[name])
+    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
+    assert spark_ms == oracle_ms, (
+        f"{name}: NULL/zero-embedding divergence\nspark={spark_ms}\noracle={oracle_ms}"
+    )

@@ -72,7 +72,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def unit_vector(vec: Column | str) -> Column:
-    """L2-normalize a vector column (cast to double).
+    """L2-normalize a vector column (cast to double); an ALL-ZERO
+    vector normalizes to NULL — without the norm guard, a single
+    zero-norm embedding anywhere in the corpus kills the whole job
+    under ANSI mode (DIVIDE_BY_ZERO), and non-ANSI Inf/NaN cosines
+    poison rankings instead. Callers filter NULL units exactly like
+    NULL embeddings.
 
     THE pre-step for any pairwise-cosine join: normalizing each row
     once turns per-pair cosine into a bare dot product. Computing
@@ -84,7 +89,11 @@ def unit_vector(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
 
     def with_norm(p: Column) -> Column:
-        return F.transform(p["v"], lambda x: x / p["n"])
+        # the WHEN guard also prevents the division from ever
+        # evaluating for zero norms (ANSI-safe)
+        return F.when(
+            p["n"] > 0, F.transform(p["v"], lambda x: x / p["n"])
+        )
 
     def body(dv: Column) -> Column:
         n = F.sqrt(
@@ -107,12 +116,15 @@ def brute_force_topk(
     Both sides are unit-normalized per ROW before the join, so the
     per-pair work is a bare dot product (cosine() per pair would redo
     both norms and double-casts |queries| times per corpus vector)."""
+    # zero-norm/NULL vectors have no direction: drop them from both
+    # sides (the filter references the computed unit column, so the
+    # normalization isn't re-evaluated)
     q = queries.select(
         F.col(id_col).alias("query_id"), unit_vector(vec_col).alias("q_u")
-    )
+    ).where(F.col("q_u").isNotNull())
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), unit_vector(vec_col).alias("n_u")
-    )
+    ).where(F.col("n_u").isNotNull())
     scored = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -198,15 +210,21 @@ def hyperplane_neardup_pairs(
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim > threshold.
     """
-    sig = vectors.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        unit_vector(vec_col).alias("u"),
-        *[
-            hyperplane_signature(F.col(vec_col), n_planes, dim, salt=f"p{s}").alias(
-                f"b{s}"
-            )
-            for s in range(n_plane_sets)
-        ],
+    sig = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            unit_vector(vec_col).alias("u"),
+            *[
+                hyperplane_signature(F.col(vec_col), n_planes, dim, salt=f"p{s}").alias(
+                    f"b{s}"
+                )
+                for s in range(n_plane_sets)
+            ],
+        )
+        # zero-norm vectors: no direction, and they'd all share the
+        # all-zero-projection bucket — drop like NULLs
+        .where(F.col("u").isNotNull())
     )
     # candidate ids only (no vectors through the shuffle): per-set
     # bucket equi-joins, unioned and deduped; the (tiny) candidate set
@@ -372,9 +390,14 @@ def ivf_ann_topk(
 
         return F.array_sort(F.array(*entries), cmp)
 
-    base = vectors.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        unit_vector(vec_col).alias("u"),
+    base = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            unit_vector(vec_col).alias("u"),
+        )
+        # zero-norm vectors: no direction, no cell — drop like NULLs
+        .where(F.col("u").isNotNull())
     )
     # u referenced by all n_cells dot products → let-bound via the
     # materialized column (withColumn), not recomputed per centroid
@@ -426,10 +449,16 @@ def lsh_ann_topk(
     # unit-normalize once per row (bucket sign is normalization-
     # invariant, so the signature still uses the raw vector); in-bucket
     # scoring is then a bare dot product per pair
-    sig = vectors.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        unit_vector(vec_col).alias("u"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    sig = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            unit_vector(vec_col).alias("u"),
+            hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
+        # zero-norm vectors: no direction — drop like NULLs (they'd
+        # otherwise pile into the all-zero-projection bucket 0)
+        .where(F.col("u").isNotNull())
     )
     a, b = sig.alias("a"), sig.alias("b")
     scored = (
