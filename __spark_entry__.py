@@ -1017,8 +1017,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 3
         """,
         "running_user_value": """
+            -- NULLS FIRST mirrors Spark's ASC default (DuckDB defaults
+            -- to NULLS LAST — a NULL ts row would otherwise accumulate
+            -- at the opposite end of the running sum)
             SELECT event_id, user_id,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                          AS running_value
             FROM events
@@ -1044,8 +1048,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "map_event_props": """
+            -- DuckDB's array_to_string over an EMPTY list is NULL;
+            -- Spark's array_join gives '' — coalesce for '{}' props
+            -- (NULL props stay NULL via the CASE)
             SELECT event_id,
-                   array_to_string(json_keys(props), ',') AS keys_joined,
+                   CASE WHEN props IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(json_keys(props), ','), '')
+                   END AS keys_joined,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
                    len(json_keys(props)) AS n_keys
             FROM events
@@ -1292,14 +1301,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.user_id
         """,
         "user_sessions": """
+            -- ts NULLS FIRST throughout: Spark's ASC default (DuckDB
+            -- defaults NULLS LAST, which would re-order NULL-ts rows)
             WITH m AS (
               SELECT user_id, ts, event_id,
-                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events),
             g AS (SELECT user_id, ts,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                           ROWS UNBOUNDED PRECEDING) AS grp
                   FROM m)
             SELECT user_id,

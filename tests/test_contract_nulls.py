@@ -126,3 +126,59 @@ def test_null_and_zero_embedding_parity(spark, null_emb_dir, name):
     assert spark_ms == oracle_ms, (
         f"{name}: NULL/zero-embedding divergence\nspark={spark_ms}\noracle={oracle_ms}"
     )
+
+
+EVENT_QUERIES = [
+    "running_user_value",
+    "user_sessions",
+    "hourly_event_stats",
+    "range_join_event_pairs",
+    "json_event_props",
+    "map_event_props",
+    "value_percentiles",
+]
+
+
+@pytest.fixture(scope="session")
+def null_events_dir(spark, tmp_path_factory):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, base + datetime.timedelta(minutes=7 * i), i % 3, "click", float(i), '{"k": %d}' % i)
+        )
+    rows += [
+        (100, None, 1, "click", 5.0, "{}"),          # NULL ts
+        (101, base, 1, "click", None, "{}"),          # NULL value
+        (102, base, None, "click", 1.0, "{}"),        # NULL user
+        (103, base, 2, None, 1.0, None),              # NULL type + props
+    ]
+    d = tmp_path_factory.mktemp("nullevents")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_null_event_fields_parity(spark, null_events_dir, name):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_contract import row_multiset
+
+    sdf = entry.queries()[name](spark, null_events_dir)
+    spark_ms = row_multiset(sdf.columns, sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(entry.oracle_sql()[name])
+    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
+    assert spark_ms == oracle_ms, (
+        f"{name}: NULL-event-field divergence\nspark={spark_ms}\noracle={oracle_ms}"
+    )
