@@ -1,10 +1,13 @@
-"""Spark ≡ DuckDB parity on NULL/empty text for the shingle family.
+"""Spark ≡ DuckDB parity on planted degenerate inputs.
 
-The driver's documents.parquet has zero NULL-text rows at every scale
-factor, so the oracle gate can never see a NULL-handling divergence —
-this fixture plants NULL text, empty text, whitespace-only text, and
-an exact duplicate, then runs the SAME queries()/oracle_sql() pairs
-the driver runs, against the planted table.
+The driver's tables contain no NULL text, NULL/zero embeddings, or
+NULL event fields at any scale factor, so the oracle gate can never
+see a NULL-handling divergence — these fixtures plant them and run the
+SAME queries()/oracle_sql() pairs the driver runs. This suite has
+caught real bugs: the [''] NULL-shingle bucket, ELSE-fallthrough lang
+guesses, fp_roll seed leakage, an ANSI DIVIDE_BY_ZERO job-killer on
+all-zero embeddings, NULLS FIRST/LAST window divergence, and DuckDB's
+NULL empty-array join.
 """
 
 from __future__ import annotations
@@ -39,6 +42,30 @@ def spark():
     return get_spark("local[2]", shuffle_partitions=4, app_name="null-contract")
 
 
+def _assert_parity(spark, fixture_dir: str, table: str, name: str) -> None:
+    """ONE Spark-vs-DuckDB comparison protocol for every planted
+    fixture (text / embeddings / events): run the real queries() entry
+    and its oracle against the fixture table, compare canonical row
+    multisets."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_contract import row_multiset
+
+    sdf = entry.queries()[name](spark, fixture_dir)
+    spark_ms = row_multiset(sdf.columns, sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{fixture_dir}/{table}.parquet/*.parquet')"
+    )
+    cur = con.execute(entry.oracle_sql()[name])
+    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
+    assert spark_ms == oracle_ms, (
+        f"{name}: planted-NULL divergence\nspark={spark_ms}\noracle={oracle_ms}"
+    )
+
+
 @pytest.fixture(scope="session")
 def null_sf_dir(spark, tmp_path_factory):
     rows = [
@@ -60,25 +87,7 @@ def null_sf_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_null_text_parity(spark, null_sf_dir, name):
-    import duckdb
-
-    import __spark_entry__ as entry
-    from check_contract import row_multiset
-
-    sdf = entry.queries()[name](spark, null_sf_dir)
-    spark_ms = row_multiset(sdf.columns, sdf.collect())
-
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{null_sf_dir}/documents.parquet/*.parquet')"
-    )
-    cur = con.execute(entry.oracle_sql()[name])
-    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
-
-    assert spark_ms == oracle_ms, (
-        f"{name}: NULL/empty-text divergence\nspark={spark_ms}\noracle={oracle_ms}"
-    )
+    _assert_parity(spark, null_sf_dir, "documents", name)
 
 
 EMB_QUERIES = [
@@ -109,23 +118,7 @@ def null_emb_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_null_and_zero_embedding_parity(spark, null_emb_dir, name):
-    import duckdb
-
-    import __spark_entry__ as entry
-    from check_contract import row_multiset
-
-    sdf = entry.queries()[name](spark, null_emb_dir)
-    spark_ms = row_multiset(sdf.columns, sdf.collect())
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{null_emb_dir}/embeddings.parquet/*.parquet')"
-    )
-    cur = con.execute(entry.oracle_sql()[name])
-    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
-    assert spark_ms == oracle_ms, (
-        f"{name}: NULL/zero-embedding divergence\nspark={spark_ms}\noracle={oracle_ms}"
-    )
+    _assert_parity(spark, null_emb_dir, "embeddings", name)
 
 
 EVENT_QUERIES = [
@@ -165,20 +158,4 @@ def null_events_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_null_event_fields_parity(spark, null_events_dir, name):
-    import duckdb
-
-    import __spark_entry__ as entry
-    from check_contract import row_multiset
-
-    sdf = entry.queries()[name](spark, null_events_dir)
-    spark_ms = row_multiset(sdf.columns, sdf.collect())
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{null_events_dir}/events.parquet/*.parquet')"
-    )
-    cur = con.execute(entry.oracle_sql()[name])
-    oracle_ms = row_multiset([c[0] for c in cur.description], cur.fetchall())
-    assert spark_ms == oracle_ms, (
-        f"{name}: NULL-event-field divergence\nspark={spark_ms}\noracle={oracle_ms}"
-    )
+    _assert_parity(spark, null_events_dir, "events", name)

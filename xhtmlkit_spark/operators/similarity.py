@@ -40,6 +40,15 @@ def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _has_direction(vec_col: str) -> Column:
+    """True iff the vector is non-NULL with at least one non-zero
+    component (⟺ norm > 0): the CHEAP pre-filter for zero-norm/NULL
+    vectors — one array scan, no sqrt, and crucially no duplicated
+    unit_vector evaluation when Catalyst pushes the predicate below
+    the projection."""
+    return F.exists(F.col(vec_col), lambda x: x != 0)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; double math, sequential sums (oracle-exact).
 
@@ -117,14 +126,17 @@ def brute_force_topk(
     per-pair work is a bare dot product (cosine() per pair would redo
     both norms and double-casts |queries| times per corpus vector)."""
     # zero-norm/NULL vectors have no direction: drop them from both
-    # sides (the filter references the computed unit column, so the
-    # normalization isn't re-evaluated)
-    q = queries.select(
+    # sides by testing the RAW vector (exists(x != 0) ⟺ norm > 0).
+    # Filtering on the computed unit column instead gets push-down-
+    # rewritten by Catalyst into a second full normalization per row
+    # (no cross-operator CSE — the binding.py trap in filter form).
+    has_dir = _has_direction(vec_col)
+    q = queries.where(has_dir).select(
         F.col(id_col).alias("query_id"), unit_vector(vec_col).alias("q_u")
-    ).where(F.col("q_u").isNotNull())
-    v = vectors.select(
+    )
+    v = vectors.where(has_dir).select(
         F.col(id_col).alias("neighbor_id"), unit_vector(vec_col).alias("n_u")
-    ).where(F.col("n_u").isNotNull())
+    )
     scored = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -210,21 +222,19 @@ def hyperplane_neardup_pairs(
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim > threshold.
     """
-    sig = (
-        vectors.where(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            unit_vector(vec_col).alias("u"),
-            *[
-                hyperplane_signature(F.col(vec_col), n_planes, dim, salt=f"p{s}").alias(
-                    f"b{s}"
-                )
-                for s in range(n_plane_sets)
-            ],
-        )
-        # zero-norm vectors: no direction, and they'd all share the
-        # all-zero-projection bucket — drop like NULLs
-        .where(F.col("u").isNotNull())
+    # zero-norm vectors: no direction, and they'd all share the
+    # all-zero-projection bucket — dropped like NULLs by the raw-vector
+    # pre-filter (one array scan; filtering the computed u would make
+    # Catalyst re-evaluate the normalization per row)
+    sig = vectors.where(_has_direction(vec_col)).select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
+        *[
+            hyperplane_signature(F.col(vec_col), n_planes, dim, salt=f"p{s}").alias(
+                f"b{s}"
+            )
+            for s in range(n_plane_sets)
+        ],
     )
     # candidate ids only (no vectors through the shuffle): per-set
     # bucket equi-joins, unioned and deduped; the (tiny) candidate set
@@ -390,14 +400,11 @@ def ivf_ann_topk(
 
         return F.array_sort(F.array(*entries), cmp)
 
-    base = (
-        vectors.where(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            unit_vector(vec_col).alias("u"),
-        )
-        # zero-norm vectors: no direction, no cell — drop like NULLs
-        .where(F.col("u").isNotNull())
+    # zero-norm vectors: no direction, no cell — dropped like NULLs by
+    # the raw-vector pre-filter (see _has_direction)
+    base = vectors.where(_has_direction(vec_col)).select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
     )
     # u referenced by all n_cells dot products → let-bound via the
     # materialized column (withColumn), not recomputed per centroid
@@ -449,16 +456,13 @@ def lsh_ann_topk(
     # unit-normalize once per row (bucket sign is normalization-
     # invariant, so the signature still uses the raw vector); in-bucket
     # scoring is then a bare dot product per pair
-    sig = (
-        vectors.where(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            unit_vector(vec_col).alias("u"),
-            hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
-        )
-        # zero-norm vectors: no direction — drop like NULLs (they'd
-        # otherwise pile into the all-zero-projection bucket 0)
-        .where(F.col("u").isNotNull())
+    # zero-norm vectors: no direction — dropped like NULLs by the
+    # raw-vector pre-filter (they'd otherwise pile into the
+    # all-zero-projection bucket 0)
+    sig = vectors.where(_has_direction(vec_col)).select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     scored = (
