@@ -9,8 +9,16 @@ Streaming makes for these operators.
 
 Covered: watermarked tumbling/sliding window aggs (J2/J3), session
 windows (J4), stateful dedup within watermark (J5), custom arbitrary
-state via applyInPandasWithState (J5), stream-static broadcast join
+state via applyInPandasWithState + gated transformWithStateInPandas
+(J5), stream-static broadcast join and stream-stream interval join
 (J6).
+
+NOTE on the drains: every ``run_available_now`` / collect here exists
+to VERIFY the streamed result against a batch oracle — driver-side
+materialization is bounded by the sandbox group counts. A production
+deployment of any of these jobs keeps the writeStream (file/Iceberg
+sink, no trigger) and never drains to the driver; see
+``streaming_extract`` for that shape.
 """
 
 from __future__ import annotations
