@@ -287,3 +287,38 @@ def test_select_and_normalize_deterministic_across_parallelism(spark, corpus_pat
     na = normalize_xhtml(with_size_salt(df, 2)).collect()
     nb = normalize_xhtml(with_size_salt(df, 16)).collect()
     assert norm(na, "xhtml") == norm(nb, "xhtml")
+
+
+def test_ingest_to_pipeline_roundtrip(spark, tmp_path):
+    """Glue path a crawl user takes: raw .html dir → ingest → landed
+    corpus → resumable extraction pipeline with manifest."""
+    from xhtmlkit_spark.plans.pipeline import run_pipeline
+    from xhtmlkit_spark.sources.io import ingest_html_files
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    for i in range(8):
+        (crawl / f"page{i}.html").write_bytes(
+            (
+                "<nav><a href=/x>nav</a></nav>"
+                f"<p>real content of crawled page number {i} with enough words</p>"
+                f'<img src="/img/{i}.png">'
+            ).encode()
+        )
+    corpus = str(tmp_path / "corpus")
+    ingest_html_files(spark, str(crawl)).write.parquet(corpus)
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    r1 = run_pipeline(spark, corpus, out, man, num_partitions=2)
+    assert r1["docs_total"] == 8 and r1["spans_total"] == 16  # text + media each
+    landed = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert landed["page3.html"] == [
+        ("text", "real content of crawled page number 3 with enough words", None),
+        ("media", None, "/img/3.png"),
+    ]
+    # resumable: second run is a no-op
+    r2 = run_pipeline(spark, corpus, out, man, num_partitions=2)
+    assert r2["docs_total"] == 0 and spark.read.parquet(out).count() == 8
