@@ -240,6 +240,77 @@ def test_build_training_corpus_funnel(spark, corpus_path, tmp_path):
     assert ids(out) == ids(str(tmp_path / "train2")) and funnel == {**funnel2, "output_path": out}
 
 
+def test_build_training_corpus_near_dup_tier(spark, tmp_path):
+    """Planted NEAR-duplicates (not byte-identical) must collapse to one
+    survivor per group through the builder's near-dup keeper tier, with
+    the funnel still monotone, the rerun deterministic, and the landed
+    count equal to the observed `written`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs through the quiet field while the dog sleeps near the "
+        "old barn under the warm summer sun with the birds singing in "
+        "the tall green trees beside the slow river all afternoon long"
+    )
+    variant = base.replace("summer", "winter")  # 1 of ~48 words differs
+    variant2 = base.replace("singing", "calling")
+    docs = {
+        "nd_a": base,
+        "nd_b": variant,
+        "nd_c": variant2,
+        "ex_a": "an entirely different page about spark shuffles and "
+        "partitions that we keep twice for the exact tier to catch",
+        "ex_b": "an entirely different page about spark shuffles and "
+        "partitions that we keep twice for the exact tier to catch",
+        "uniq": "this single unique document about parquet readers and "
+        "arrow batches survives every dedup tier on its own",
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [{"kind": "html", "text": f"<p>{t}</p>", "media_ref": None, "offset": 0}]
+            for t in docs.values()
+        ],
+        "part": [0, 1, 2, 3, 0, 1],
+    }
+    corpus = str(tmp_path / "nd_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    out = str(tmp_path / "train_nd")
+    funnel = build_training_corpus(
+        spark, corpus, out, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup="both",
+    )
+    assert funnel["extracted"] == 6
+    # one survivor per group: {nd_a,nd_b,nd_c} -> nd_a, {ex_a,ex_b} -> ex_a
+    assert funnel["deduped"] == 3
+    assert funnel["extracted"] >= funnel["deduped"] >= funnel["written"] > 0
+    landed = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in landed.select("doc_id").collect()}
+    assert ids == {"nd_a", "ex_a", "uniq"}
+    assert landed.count() == funnel["written"]
+    # deterministic rerun, landed set unchanged
+    out2 = str(tmp_path / "train_nd2")
+    funnel2 = build_training_corpus(
+        spark, corpus, out2, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup="both",
+    )
+    assert funnel == {**funnel2, "output_path": out}
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert ids2 == ids
+    # exact-only tier keeps the near-dups (proves the tier is the cause)
+    funnel_exact = build_training_corpus(
+        spark, corpus, str(tmp_path / "train_ex"), langs=("en",),
+        min_quality=0.0, min_tokens=1, near_dup=None,
+    )
+    assert funnel_exact["deduped"] == 5
+
+
 def test_ingest_html_files_sniffs_encoding(spark, tmp_path):
     """Raw .html files → corpus rows: BOM and <meta> charsets honored,
     output feeds extract_spans directly."""

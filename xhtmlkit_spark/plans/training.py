@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xhtmlkit_spark.functions.spans import span_text_concat
-from xhtmlkit_spark.operators.dedup import normalized_text
+from xhtmlkit_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    near_dup_groups,
+    normalized_text,
+    simhash_band_pairs,
+)
 from xhtmlkit_spark.operators.extract_stage import extract_spans
 from xhtmlkit_spark.operators.sampling import hash_fraction
 from xhtmlkit_spark.operators.text_stats import (
@@ -33,6 +39,34 @@ from xhtmlkit_spark.plans.pipeline import with_size_salt
 __all__ = ["build_training_corpus"]
 
 
+def _near_dup_keeper(docs: DataFrame, mode: str, jaccard_threshold: float) -> DataFrame:
+    """(doc_id, group_id) for every doc: group_id = min id of the doc's
+    near-dup connected component, singletons map to themselves.
+
+    Pair sources: MinHash-LSH candidates verified with exact k-shingle
+    Jaccard (LSH alone is a candidate generator — unverified false
+    positives would transitively merge unrelated docs into one group),
+    unioned with SimHash banded pairs (already Hamming-verified by
+    construction). Both are bucket-bounded, never all-pairs.
+    """
+    sources = []
+    if mode in ("lsh", "both"):
+        cand = lsh_candidate_pairs(docs)
+        sources.append(
+            jaccard_verify(cand, docs)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+    if mode in ("simhash", "both"):
+        sources.append(simhash_band_pairs(docs).select("id_a", "id_b"))
+    if not sources:
+        raise ValueError(f"near_dup must be 'lsh', 'simhash', or 'both', got {mode!r}")
+    pairs = sources[0]
+    for s in sources[1:]:
+        pairs = pairs.union(s)
+    return near_dup_groups(docs, pairs.distinct())
+
+
 def build_training_corpus(
     spark: SparkSession,
     corpus_path: str,
@@ -43,9 +77,23 @@ def build_training_corpus(
     sample_rate: float = 1.0,
     salt: str = "train0",
     num_partitions: int | None = None,
+    near_dup: str | None = "both",
+    jaccard_threshold: float = 0.8,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
-    returns the funnel (docs surviving each successive stage)."""
+    returns the funnel (docs surviving each successive stage).
+
+    ``near_dup`` selects the near-duplicate keeper tier on top of the
+    exact-md5 keeper: 'lsh' (MinHash-LSH candidates + exact Jaccard
+    verify at ``jaccard_threshold``), 'simhash' (banded Hamming pairs),
+    'both' (union, the default), or None (exact dedup only). Group
+    resolution is iterative (connected components), so the extracted
+    (doc_id, text) projection is materialized ONCE via localCheckpoint
+    and every downstream consumer — pair generation, each propagation
+    round, and the final write — reads the checkpoint instead of
+    re-running extraction. On a real cluster swap localCheckpoint for a
+    reliable checkpoint dir; the shape is otherwise unchanged.
+    """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
@@ -59,6 +107,8 @@ def build_training_corpus(
     docs = extracted.select(
         "doc_id", span_text_concat(F.col("spans"), "\n").alias("text")
     )
+    if near_dup:
+        docs = docs.localCheckpoint(eager=True)
     stats = with_quality(with_lang_guess(with_token_counts(docs)))
 
     # dedup keeper: one shuffle on the md5 content key; min doc_id wins
@@ -73,6 +123,17 @@ def build_training_corpus(
         )
         .withColumn("sampled", hash_fraction("doc_id", salt) < F.lit(sample_rate))
     )
+    if near_dup:
+        # one keeper per near-dup GROUP: group_id is the component's min
+        # doc id; docs untouched by any pair keep group_id = themselves.
+        # The exact-md5 keeper stays AND-ed in — it also covers NULL-text
+        # docs, which carry no signature and never enter the pair join.
+        groups = _near_dup_keeper(docs, near_dup, jaccard_threshold)
+        flagged = flagged.join(groups, "doc_id", "left").withColumn(
+            "is_keeper",
+            F.col("is_keeper")
+            & (F.col("doc_id") == F.coalesce(F.col("group_id"), F.col("doc_id"))),
+        )
 
     one = F.lit(1).cast("long")
     keep = F.col("is_keeper")
