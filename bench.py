@@ -80,16 +80,14 @@ def main() -> None:
     materialize(qs["q01_pricing_summary"](spark, sf_dir))
     materialize(entry.entry(spark))
 
-    # Best-of-2 per query: the sandbox is a shared host with sporadic
-    # CPU-steal bursts (±30% wall-time noise — see BENCH/BASELINE.md);
-    # min approximates the uncontended machine, same methodology as the
-    # scaling bench.
+    # Best-of-3 per query (the protocol BENCH/BASELINE.md documents):
+    # the sandbox is a shared host with sporadic CPU-steal bursts
+    # (±30% wall-time noise — see BENCH/BASELINE.md); min approximates
+    # the uncontended machine, same methodology as the scaling bench.
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        # the flagship extraction is the reported throughput number and
-        # the longest query — give it one more sample against noise
-        for _ in range(3 if name == "extract_spans" else 2):
+        for _ in range(3):
             t0 = time.monotonic()
             materialize(qs[name](spark, sf_dir))
             best = min(best, time.monotonic() - t0)
