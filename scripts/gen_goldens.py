@@ -371,6 +371,189 @@ ENCODING_CASES = [
 ]
 
 
+
+
+# Selector-lite goldens (tests/golden/selector/selectors.json): every
+# case lives HERE (round-2 lesson: the generator must enumerate every
+# golden case or a regenerate silently drops the hand-added ones).
+# (name, html, selector, base_url)
+SELECTOR_CASES = [
+    ('tag_simple',
+     '<div><p>one</p><p>two <b>bold</b></p><span>not p</span></div>',
+     'p',
+     None),
+    ('tag_class',
+     '<p class="a">x</p><p class="a b">y</p><p class="ab">z</p>',
+     'p.a',
+     None),
+    ('two_classes',
+     '<div class="x y"><p>in</p></div><div class="x"><p>out</p></div>',
+     'div.x.y p',
+     None),
+    ('id_select',
+     '<p id="k">keep</p><p id="o">other</p>',
+     'p#k',
+     None),
+    ('attr_presence',
+     '<a href="/x">with</a><a name="n">without</a>',
+     'a[href]',
+     None),
+    ('attr_equals',
+     '<meta property="og:title" content="The Title"><meta property="og:type" content="site">',
+     'meta[property=og:title] @content',
+     None),
+    ('attr_quoted',
+     '<div data-x="a b">hit</div><div data-x="ab">miss</div>',
+     'div[data-x="a b"]',
+     None),
+    ('descendant_deep',
+     '<article><div><section><p>deep</p></section></div></article><p>shallow</p>',
+     'article p',
+     None),
+    ('group_comma',
+     '<h1>title</h1><h2>sub</h2><p>para</p>',
+     'h1, h2',
+     None),
+    ('star_any',
+     '<div class="m"><p>a</p><span>b</span></div>',
+     '.m *',
+     None),
+    ('media_src',
+     '<figure><img src="pic.png"><img data-src="lazy.png"></figure>',
+     'img',
+     'https://ex.com/base/'),
+    ('media_ref_projection',
+     '<img src="pic.png" alt="A pic">',
+     'img @alt',
+     None),
+    ('nested_matches_overlap',
+     '<div><div><p>inner</p></div></div>',
+     'div',
+     None),
+    ('tag_soup_implicit_close',
+     '<table><tr><td>c1<td>c2<tr><td>c3</table>',
+     'td',
+     None),
+    ('rawtext_selectable',
+     '<script>if (a<b) x();</script><style>p{}</style>',
+     'script, style',
+     None),
+    ('empty_element_match',
+     '<p class="m"></p><p class="m">text</p>',
+     'p.m',
+     None),
+    ('entity_decode',
+     '<p>fish &amp; chips &#x41;</p>',
+     'p',
+     None),
+    ('stray_close_repair',
+     '</p><p>after stray</p></div>',
+     'p',
+     None),
+    ('case_insensitive_tag',
+     '<P>upper</P>',
+     'P',
+     None),
+    ('attr_value_with_at',
+     '<a href="mailto:x@y.z">m</a>',
+     'a[href=mailto:x@y.z] @href',
+     None),
+    ('no_match',
+     '<div><span>s</span></div>',
+     'p.missing',
+     None),
+    ('head_auto_close',
+     '<head><title>T</title><p>body text</p>',
+     'title',
+     None),
+    ('child_direct_only',
+     '<div class=w><p>direct</p><span><p>nested</p></span></div>',
+     'div.w > p',
+     None),
+    ('child_no_space_form',
+     '<ul><li>one</li></ul><ol><li>two</li></ol>',
+     'ul>li',
+     None),
+    ('child_backtracking',
+     '<x><b><c>kept</c></b></x><y><b><d><c>dropped rel</c></d></b></y>',
+     'x > b c',
+     None),
+    ('child_then_descendant',
+     '<main><section><div><em>deep</em></div></section></main>',
+     'main > section em',
+     None),
+    ('attr_prefix_op',
+     '<a href="https://x.y/p">abs</a><a href="/p">rel</a>',
+     'a[href^=https://]',
+     None),
+    ('attr_suffix_op',
+     '<a href="/a.pdf">doc</a><a href="/a.html">page</a>',
+     'a[href$=.pdf]',
+     None),
+    ('attr_substring_op',
+     '<div data-k="alpha-beta">hit</div><div data-k="gamma">miss</div>',
+     'div[data-k*=a-b]',
+     None),
+    ('attr_word_op',
+     '<div class="hero main dark">hit</div><div class="mainline">miss</div>',
+     'div[class~=main]',
+     None),
+    ('attr_op_empty_needle_never_matches',
+     '<a href="">e</a><a href="/x">f</a>',
+     'a[href^=""]',
+     None),
+    # --- round-3 grammar additions: sibling combinators + structural pseudos ---
+    ('adjacent_sibling',
+     '<div><h2>head</h2><p>lead para</p><p>second para</p></div><p>outside</p>',
+     'h2 + p',
+     None),
+    ('general_sibling',
+     '<div><h2>head</h2><p>a</p><span>x</span><p>b</p></div><p>outside</p>',
+     'h2 ~ p',
+     None),
+    ('adjacent_chain',
+     '<div><i>one</i><b>two</b><u>three</u><b>late</b></div>',
+     'i + b + u',
+     None),
+    ('child_then_adjacent',
+     '<div><h2>in div</h2><p>yes</p></div><section><h2>in section</h2><p>no</p></section>',
+     'div > h2 + p',
+     None),
+    ('first_child',
+     '<div><p>first</p><p>second</p></div><ul><li>also first<li>not</ul>',
+     'p:first-child, li:first-child',
+     None),
+    ('nth_child_index',
+     '<ul><li>a<li>b<li>c<li>d</ul>',
+     'li:nth-child(2)',
+     None),
+    ('nth_child_odd_even',
+     '<ul><li>a<li>b<li>c<li>d</ul>',
+     'li:nth-child(odd) @x, li:nth-child(even)',
+     None),
+    ('nth_child_anb',
+     '<ul><li>a<li>b<li>c<li>d<li>e</ul>',
+     'li:nth-child(2n+1)',
+     None),
+    ('nth_child_neg_anb',
+     '<ul><li>a<li>b<li>c<li>d</ul>',
+     'li:nth-child(-n+2)',
+     None),
+    ('sibling_position_ignores_text',
+     '<div>text<h2>h</h2>more text<p>adjacent despite text between</p></div>',
+     'h2 + p',
+     None),
+    ('pseudo_with_class',
+     '<div><p class=k>keep</p><p class=k>drop</p></div>',
+     'p.k:first-child',
+     None),
+    ('multi_alternative_same_element_order',
+     '<img src="a.png" alt="hello alt">',
+     'img, img @alt, img @src',
+     None),
+]
+
+
 def _spans_to_lists(spans):
     kinds, texts, refs, offs = [], [], [], []
     for i, s in enumerate(spans):
@@ -450,6 +633,32 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
     print("wrote", path)
+
+    from xkit.selector import select_html
+
+    out_cases = []
+    for name, html, sel, base_url in SELECTOR_CASES:
+        opts = ExtractOptions(base_url=base_url) if base_url else ExtractOptions()
+        rec = {
+            "name": name,
+            "html": html,
+            "selector": sel,
+            "base_url": base_url,
+            "expected_spans": [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(select_html(html, sel, opts))
+            ],
+        }
+        out_cases.append(rec)
+        print(f"[selector/{name}]")
+        for s in rec["expected_spans"]:
+            print("   ", s)
+    os.makedirs(os.path.join(GOLDEN_DIR, "selector"), exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, "selector", "selectors.json")
+    with open(path, "w") as f:
+        json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
+    print("wrote", path)
+
 
 
 if __name__ == "__main__":

@@ -77,8 +77,12 @@ def _closes(top: str, tag: str, fragment: bool = False) -> bool:
     return closers is not None and tag in closers
 
 
-def repair(tokens: list) -> list:
-    """Fold raw tokens into a well-nested event stream (see module doc)."""
+def repair(tokens: list, fragment: bool = False) -> list:
+    """Fold raw tokens into a well-nested event stream (see module doc).
+
+    ``fragment`` disables the full-page head auto-close rule (A18/§3.3)
+    for snippet inputs, mirroring ExtractOptions.fragment.
+    """
     events: list = []
     append = events.append
     stack: list = []
@@ -89,7 +93,7 @@ def repair(tokens: list) -> list:
         elif kind == "open":
             tag = tok[1]
             # A15: implicit sibling closes, repeated on the stack top
-            while stack and _closes(stack[-1], tag):
+            while stack and _closes(stack[-1], tag, fragment):
                 append(("close", stack.pop()))
             if tag in VOID_TAGS:
                 append(("open", tag, tok[2]))

@@ -10,12 +10,20 @@ is ever built (SURVEY.md §1.2 span-first architecture).
 Supported grammar (frozen by tests/golden/selector/selectors.json):
 
     group    := selector ("," selector)*          match any alternative
-    selector := compound ((ws | ws? ">" ws?) compound)* (ws "@" name)?
-    compound := [tag | "*"] ("#" id)? ("." class)* attr*
+    selector := compound ((ws | ws? (">"|"+"|"~") ws?) compound)* (ws "@" name)?
+    compound := [tag | "*"] ("#" id)? ("." class)* attr* pseudo*
     attr     := "[" name (("=" | "^=" | "$=" | "*=" | "~=") value)? "]"
+    pseudo   := ":first-child" | ":nth-child(" (int|odd|even|an+b) ")"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
-  (with or without surrounding whitespace) is the CHILD combinator
+  (with or without surrounding whitespace) is the CHILD combinator;
+  ``+`` is the ADJACENT-SIBLING and ``~`` the GENERAL-SIBLING
+  combinator (both sides element siblings, text/comments ignored)
+* ``:first-child`` / ``:nth-child(an+b)`` test the element's 1-based
+  position among its parent's element children (CSS semantics);
+  ``:last-child`` is NOT supported — it needs the next sibling, which
+  a single forward pass over the event stream cannot see at element
+  open (rejected with ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -60,19 +68,30 @@ __all__ = ["parse_selector", "select_html", "select_doc"]
 
 
 class _Simple:
-    """One compound selector: tag/id/classes/attr tests."""
+    """One compound selector: tag/id/classes/attr/pseudo tests."""
 
-    __slots__ = ("tag", "id", "classes", "attrs")
+    __slots__ = ("tag", "id", "classes", "attrs", "pseudos")
 
-    def __init__(self, tag, id_, classes, attrs):
+    def __init__(self, tag, id_, classes, attrs, pseudos=()):
         self.tag = tag  # None = any
         self.id = id_
         self.classes = classes  # tuple[str, ...]
         self.attrs = attrs  # tuple[(name, op-or-None, value-or-None), ...]
+        # structural pseudo-classes as (a, b) of nth-child's an+b
+        # (:first-child ≡ (0, 1)); pos matches when pos = a·k + b, k ≥ 0
+        self.pseudos = pseudos
 
-    def matches(self, tag: str, attrs: dict) -> bool:
+    def matches(self, tag: str, attrs: dict, pos: int = 1) -> bool:
         if self.tag is not None and tag != self.tag:
             return False
+        for a, b in self.pseudos:
+            if a == 0:
+                if pos != b:
+                    return False
+            else:
+                d = pos - b
+                if d % a != 0 or d // a < 0:
+                    return False
         if self.id is not None and attrs.get("id") != self.id:
             return False
         if self.classes:
@@ -105,7 +124,35 @@ class _Simple:
         return True
 
 
-_NAME_END = frozenset(" \t\n\r\f.#[@,>")
+_NAME_END = frozenset(" \t\n\r\f.#[@,>+~:")
+
+_NTH_RE = None  # compiled lazily (re imported only if pseudos are used)
+
+
+def _parse_nth(arg: str, selector: str) -> tuple:
+    """Parse an :nth-child argument — integer, odd, even, or an+b —
+    into the (a, b) pair of pos = a·k + b."""
+    global _NTH_RE
+    a = arg.strip().lower()
+    if a == "odd":
+        return (2, 1)
+    if a == "even":
+        return (2, 0)
+    if _NTH_RE is None:
+        import re
+
+        _NTH_RE = re.compile(r"^([+-]?\d*)n\s*([+-]\s*\d+)?$|^([+-]?\d+)$")
+    m = _NTH_RE.match(a)
+    if m is None:
+        raise ValueError(f"bad :nth-child argument {arg!r} in selector {selector!r}")
+    if m.group(3) is not None:
+        return (0, int(m.group(3)))
+    coef = m.group(1)
+    a_val = {"": 1, "+": 1, "-": -1}.get(coef)
+    if a_val is None:
+        a_val = int(coef)
+    b_val = int(m.group(2).replace(" ", "")) if m.group(2) else 0
+    return (a_val, b_val)
 
 
 def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
@@ -114,6 +161,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     id_ = None
     classes: list = []
     attrs: list = []
+    pseudos: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -187,11 +235,34 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 i = j + 1
             attrs.append((name, op, value))
             matched_any = True
+        elif c == ":":
+            i += 1
+            j = i
+            while j < n and (s[j].isalpha() or s[j] == "-"):
+                j += 1
+            name = s[i:j].lower()
+            if name == "first-child":
+                pseudos.append((0, 1))
+                i = j
+            elif name == "nth-child":
+                if j >= n or s[j] != "(":
+                    raise ValueError(f":nth-child needs (arg) in selector {s!r}")
+                k = s.find(")", j + 1)
+                if k < 0:
+                    raise ValueError(f"unterminated ( in selector {s!r}")
+                pseudos.append(_parse_nth(s[j + 1 : k], s))
+                i = k + 1
+            else:
+                # :last-child and friends need the NEXT sibling, which a
+                # single forward pass can't see at element open — out of
+                # scope, rejected loudly rather than silently unmatched
+                raise ValueError(f"unsupported pseudo-class :{name} in selector {s!r}")
+            matched_any = True
         else:
             break
     if not matched_any:
         raise ValueError(f"expected selector at {start} in {s!r}")
-    return _Simple(tag, id_, tuple(classes), tuple(attrs)), i
+    return _Simple(tag, id_, tuple(classes), tuple(attrs), tuple(pseudos)), i
 
 
 def _split_alternatives(selector: str) -> list:
@@ -266,17 +337,20 @@ def parse_selector(selector: str) -> list:
             if not s:
                 raise ValueError(f"@attr needs a selector in {selector!r}")
         chain = []  # _Simple compounds
-        rels = []  # rels[k]: relation of chain[k] to chain[k-1] ("desc"/"child")
+        # rels[k]: relation of chain[k] to chain[k-1] —
+        # "desc" (whitespace), "child" (>), "adj" (+), "sib" (~)
+        rels = []
         i = 0
         n = len(s)
         pending_rel = "desc"
+        _COMBINATORS = {">": "child", "+": "adj", "~": "sib"}
         while i < n:
             while i < n and s[i] in " \t\n\r\f":
                 i += 1
-            if i < n and s[i] == ">":
-                if not chain or pending_rel == "child":
-                    raise ValueError(f"misplaced > in selector {selector!r}")
-                pending_rel = "child"
+            if i < n and s[i] in _COMBINATORS:
+                if not chain or pending_rel != "desc":
+                    raise ValueError(f"misplaced {s[i]} in selector {selector!r}")
+                pending_rel = _COMBINATORS[s[i]]
                 i += 1
                 continue
             if i >= n:
@@ -287,34 +361,55 @@ def parse_selector(selector: str) -> list:
             pending_rel = "desc"
         if not chain:
             raise ValueError(f"empty selector in {selector!r}")
-        if pending_rel == "child":
-            raise ValueError(f"dangling > in selector {selector!r}")
+        if pending_rel != "desc":
+            raise ValueError(f"dangling combinator in selector {selector!r}")
         out.append(((tuple(chain), tuple(rels)), proj))
     return out
 
 
 def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
-    """stack: list of (tag, attrs) with the candidate element on top.
-    The chain's last compound must match the top; earlier compounds
-    must match ancestors per their combinator — ``child`` pins the
-    exact parent, ``desc`` allows any ancestor. Mixed chains need
-    BACKTRACKING (greedy topmost-ancestor matching misses e.g.
-    ``a > b c`` when the topmost b's parent is not an a); chains are
-    short and stacks shallow, so the recursion is cheap."""
+    """stack: list of (tag, attrs, sibs, idx) descriptors with the
+    candidate element on top; ``sibs`` is the parent's ordered list of
+    element-children (tag, attrs) and ``idx`` the element's position in
+    it (so preceding siblings are sibs[:idx] — safe to read later
+    because a parent's child list cannot grow while a child is open).
 
-    def match_at(ci: int, si: int) -> bool:
-        if not chain[ci].matches(stack[si][0], stack[si][1]):
+    The chain's last compound must match the top; earlier compounds
+    match per their combinator — ``child`` pins the exact parent,
+    ``desc`` any ancestor, ``adj`` the immediately-preceding sibling,
+    ``sib`` any preceding sibling. Mixed chains need BACKTRACKING
+    (greedy topmost matching misses e.g. ``a > b c`` when the topmost
+    b's parent is not an a); chains are short and stacks shallow, so
+    the recursion is cheap. Sibling steps stay at the same ancestor
+    depth: the sibling's ancestors are the candidate's ancestors."""
+
+    def match_elem(ci: int, anc_len: int, elem) -> bool:
+        tag, attrs, sibs, idx = elem
+        if not chain[ci].matches(tag, attrs, idx + 1):
             return False
         if ci == 0:
             return True
-        if rels[ci] == "child":
-            return si > 0 and match_at(ci - 1, si - 1)
-        for j in range(si - 1, ci - 2, -1):  # need ci elements below j
-            if match_at(ci - 1, j):
+        rel = rels[ci]
+        if rel == "child":
+            return anc_len > 0 and match_elem(ci - 1, anc_len - 1, stack[anc_len - 1])
+        if rel == "desc":
+            for j in range(anc_len - 1, -1, -1):
+                if match_elem(ci - 1, j, stack[j]):
+                    return True
+            return False
+        if rel == "adj":
+            if idx == 0:
+                return False
+            p = sibs[idx - 1]
+            return match_elem(ci - 1, anc_len, (p[0], p[1], sibs, idx - 1))
+        # rel == "sib"
+        for j in range(idx - 1, -1, -1):
+            p = sibs[j]
+            if match_elem(ci - 1, anc_len, (p[0], p[1], sibs, j)):
                 return True
         return False
 
-    return match_at(len(chain) - 1, len(stack) - 1)
+    return match_elem(len(chain) - 1, len(stack) - 1, stack[-1])
 
 
 def select_html(
@@ -328,11 +423,17 @@ def select_html(
     """
     groups = parse_selector(selector) if isinstance(selector, str) else selector
     base = options.base_url
-    stack: list = []  # (tag, attrs) of open elements
-    captures: list = []  # [depth, proj, tag, attrs, texts-or-None, seq]
-    results: list = []  # (seq, kind, text, media_ref)
+    stack: list = []  # (tag, attrs, parent-sibs, idx) of open elements
+    # children_stack[d]: ordered (tag, attrs) element-children of the
+    # element at stack depth d-1 (d=0 is the document root) — feeds
+    # sibling combinators and :first-child/:nth-child positions
+    children_stack: list = [[]]
+    # [depth, proj, tag, attrs, texts-or-None, seq, cap_idx]
+    captures: list = []
+    results: list = []  # (seq, cap_idx, kind, text, media_ref)
     seq = 0
-    for ev in repair(tokenize(html)):
+    n_caps = 0
+    for ev in repair(tokenize(html), fragment=options.fragment):
         k = ev[0]
         if k == "text":
             t = ev[1]
@@ -341,7 +442,11 @@ def select_html(
                     cap[4].append(t)
         elif k == "open":
             tag, attrs = ev[1], ev[2]
-            stack.append((tag, attrs))
+            sibs = children_stack[-1]
+            idx = len(sibs)
+            sibs.append((tag, attrs))
+            stack.append((tag, attrs, sibs, idx))
+            children_stack.append([])
             projs_here = set()
             for (chain, rels), proj in groups:
                 if proj in projs_here:
@@ -352,30 +457,36 @@ def select_html(
                         tag in MEDIA_TAGS and attrs.get("src")
                     )
                     captures.append(
-                        [len(stack), proj, tag, attrs, [] if wants_text else None, seq]
+                        [len(stack), proj, tag, attrs,
+                         [] if wants_text else None, seq, n_caps]
                     )
+                    n_caps += 1
             seq += 1
         elif k == "close":
             depth = len(stack)
-            tag, attrs = stack.pop()
+            stack.pop()
+            children_stack.pop()
             # finalize captures opened at this depth (appended in order,
             # so they sit at the tail)
             while captures and captures[-1][0] == depth:
-                _, proj, ctag, cattrs, texts, cseq = captures.pop()
+                _, proj, ctag, cattrs, texts, cseq, cidx = captures.pop()
                 if proj is not None:
                     value = cattrs.get(proj)
                     if value is not None:
-                        results.append((cseq, "text", value, None))
+                        results.append((cseq, cidx, "text", value, None))
                 elif texts is None:  # media element with non-empty src
                     src = cattrs["src"]
                     results.append(
-                        (cseq, "media", None, urljoin(base, src) if base else src)
+                        (cseq, cidx, "media", None, urljoin(base, src) if base else src)
                     )
                 else:
-                    results.append((cseq, "text", _collapse("".join(texts)), None))
+                    results.append((cseq, cidx, "text", _collapse("".join(texts)), None))
         # comments / doctype: not selectable, contribute no text
-    results.sort(key=lambda r: r[0])
-    return [(k, t, m) for _, k, t, m in results]
+    # (seq, cap_idx): document order of the element open, then capture
+    # CREATION order — one element matched by several alternatives
+    # emits in the alternatives' selector order, not close-time LIFO
+    results.sort(key=lambda r: (r[0], r[1]))
+    return [(k, t, m) for _, _, k, t, m in results]
 
 
 def select_doc(
