@@ -393,3 +393,20 @@ def test_ingest_to_pipeline_roundtrip(spark, tmp_path):
     # resumable: second run is a no-op
     r2 = run_pipeline(spark, corpus, out, man, num_partitions=2)
     assert r2["docs_total"] == 0 and spark.read.parquet(out).count() == 8
+
+
+def test_ingest_html_files_same_basename_distinct_doc_ids(spark, tmp_path):
+    """Two files with the same basename in different subdirs must land
+    as distinct docs (doc_id = path relative to the ingest root), not
+    silently collide into one."""
+    from xhtmlkit_spark.sources.io import ingest_html_files
+
+    d = tmp_path / "roots"
+    (d / "a").mkdir(parents=True)
+    (d / "b").mkdir()
+    (d / "a" / "page.html").write_bytes(b"<p>from dir a with words</p>")
+    (d / "b" / "page.html").write_bytes(b"<p>from dir b with words</p>")
+    corpus = ingest_html_files(spark, str(d), recursive=True)
+    rows = {r["doc_id"]: r["spans"][0]["text"] for r in corpus.collect()}
+    assert set(rows) == {"a/page.html", "b/page.html"}
+    assert "dir a" in rows["a/page.html"] and "dir b" in rows["b/page.html"]

@@ -25,7 +25,7 @@ __all__ = [
 
 
 def ingest_html_files(
-    spark: SparkSession, location: str, glob: str = "*.html"
+    spark: SparkSession, location: str, glob: str = "*.html", recursive: bool = False
 ) -> DataFrame:
     """Raw HTML files → corpus-shaped rows (the file-based analogue of
     the reference's parse-from-source entry point, A2/A3/A4).
@@ -34,10 +34,16 @@ def ingest_html_files(
     (BOM → <meta> → UTF-8 fallback, xkit.encoding — never raises) in a
     mapInPandas stage, and each file becomes one ``(doc_id, spans)``
     row with a single html span, ready for extract_spans /
-    select_spans / run_pipeline. doc_id = file name. Scale shape: the
-    binaryFile source splits across executors by file; giant single
-    files are the input-side skew with_size_salt then handles.
+    select_spans / run_pipeline. doc_id = the file path RELATIVE to the
+    ingest root (bare basenames collide under recursiveFileLookup or
+    when several ingest roots are unioned — subdir/a.html and b/a.html
+    must stay distinct docs; falls back to the full scheme-stripped
+    path if the root isn't a prefix). Scale shape: the binaryFile
+    source splits across executors by file; giant single files are the
+    input-side skew with_size_salt then handles.
     """
+    import os
+    import re
     from collections.abc import Iterator
 
     import pandas as pd
@@ -46,12 +52,21 @@ def ingest_html_files(
     from xhtmlkit_spark.operators.extract_stage import SPANS_TYPE
     from xkit.encoding import decode_html_bytes
 
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(location)
-        .select("path", "content")
-    )
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(location).select("path", "content")
+
+    # resolved on the driver, closure-captured: binaryFile paths come
+    # back as file: URIs over absolute paths
+    root_abs = os.path.abspath(location).rstrip("/")
+    _scheme = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/{0,2}(?=/)")
+
+    def _doc_id(path: str) -> str:
+        p = _scheme.sub("", path)
+        if p.startswith(root_abs + "/"):
+            return p[len(root_abs) + 1 :]
+        return p if p != root_abs else p.rsplit("/", 1)[-1]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -59,7 +74,7 @@ def ingest_html_files(
             for path, content in zip(pdf["path"], pdf["content"]):
                 rows.append(
                     {
-                        "doc_id": path.rsplit("/", 1)[-1],
+                        "doc_id": _doc_id(path),
                         "spans": [
                             {
                                 "kind": "html",

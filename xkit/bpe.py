@@ -91,7 +91,9 @@ class BPE:
         """Symbols for one whitespace token (last symbol carries </w>)."""
         cached = self._cache.get(word)
         if cached is not None:
-            return cached
+            # fresh list per hit: the cache stores tuples, so a caller
+            # mutating the returned list cannot corrupt later encodes
+            return list(cached)
         sym = list(_word_symbols(word))
         ranks = self.ranks
         while len(sym) > 1:
@@ -107,7 +109,7 @@ class BPE:
                 break
             sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
         if len(self._cache) < 65536:  # bound executor memory
-            self._cache[word] = sym
+            self._cache[word] = tuple(sym)
         return sym
 
     def encode(self, text: str) -> list:
