@@ -75,6 +75,25 @@ PDF_QUOTE_OPS = (
     "BT\n/F1 12 Tf\n0 700 Td\n(line one) Tj\n(line two) '\n(line three) '\nET\n"
     "endstream\nendobj\n%%EOF"
 )
+# round-3 filter additions: ASCIIHexDecode / ASCII85Decode stream
+# filters (alone, and as the [/ASCII85Decode /FlateDecode] chain)
+PDF_ASCIIHEX = make_fixture_pdf([["Hex filter body text"]], ascii_wrap="hex")
+PDF_A85 = make_fixture_pdf([["Ascii85 filter body text"]], ascii_wrap="a85")
+PDF_A85_FLATE = make_fixture_pdf(
+    [["Chained a85 over flate text"]], compress=True, ascii_wrap="a85"
+)
+# minimal ToUnicode CMaps: hex show-strings of 2-byte codes that only a
+# CMap-aware reader decodes (chars beyond latin-1 prove the map is used)
+PDF_TOUNICODE_BFCHAR = make_fixture_pdf(
+    [["Ωμέγα and ascii", "τέλος line"]], tounicode=True
+)
+PDF_TOUNICODE_BFRANGE = make_fixture_pdf(
+    [["abcdef range run", "ghij tail"]], tounicode=True, tounicode_ranges=True
+)
+# compressed CMap stream + filter-chained content in one document
+PDF_TOUNICODE_CHAINED = make_fixture_pdf(
+    [["混合 mixed 页"]], tounicode=True, compress=True, ascii_wrap="a85"
+)
 
 # case = (name, spans | html | raw_b64 [, base_url])
 CASES = {
@@ -315,6 +334,12 @@ CASES = {
         ("pdf_octal_escapes_in_stream", [("pdf", PDF_OCTAL, None)]),
         ("pdf_hex_string_form", [("pdf", PDF_HEX, None)]),
         ("pdf_quote_show_operators", [("pdf", PDF_QUOTE_OPS, None)]),
+        ("pdf_asciihex_filter", [("pdf", PDF_ASCIIHEX, None)]),
+        ("pdf_ascii85_filter", [("pdf", PDF_A85, None)]),
+        ("pdf_ascii85_flate_chain", [("pdf", PDF_A85_FLATE, None)]),
+        ("pdf_tounicode_bfchar", [("pdf", PDF_TOUNICODE_BFCHAR, None)]),
+        ("pdf_tounicode_bfrange", [("pdf", PDF_TOUNICODE_BFRANGE, None)]),
+        ("pdf_tounicode_chained_filters", [("pdf", PDF_TOUNICODE_CHAINED, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the

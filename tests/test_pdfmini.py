@@ -187,3 +187,70 @@ def test_quote_show_operators():
         "endstream\nendobj\n%%EOF"
     )
     assert extract_pdf_text(pdf) == ["line one line two line three"]
+
+
+def test_ascii_filters_and_chains():
+    for wrap in ("hex", "a85"):
+        for comp in (False, True):
+            p = make_fixture_pdf(
+                [["Filter body line one", "and two"]], compress=comp, ascii_wrap=wrap
+            )
+            assert extract_pdf_text(p) == ["Filter body line one and two"], (wrap, comp)
+
+
+def test_unknown_filter_skips_stream_never_raises():
+    p = make_fixture_pdf([["secret"]]).replace(
+        "<< /Length", "<< /Filter /JBIG2Decode /Length"
+    )
+    assert extract_pdf_text(p) == []
+
+
+def test_corrupt_ascii85_skips_stream():
+    p = make_fixture_pdf([["ok text"]], ascii_wrap="a85").replace("~>", "\x01\x02~>")
+    assert extract_pdf_text(p) == []
+
+
+def test_tounicode_bfchar_non_latin():
+    p = make_fixture_pdf([["Ωμέγα δproof", "ascii too"]], tounicode=True)
+    assert extract_pdf_text(p) == ["Ωμέγα δproof ascii too"]
+
+
+def test_tounicode_bfrange_scalar_runs():
+    p = make_fixture_pdf([["abcdef ghij"]], tounicode=True, tounicode_ranges=True)
+    assert extract_pdf_text(p) == ["abcdef ghij"]
+
+
+def test_tounicode_through_compressed_cmap_and_chained_content():
+    p = make_fixture_pdf(
+        [["混合 mixed 页"]], tounicode=True, compress=True, ascii_wrap="a85"
+    )
+    assert extract_pdf_text(p) == ["混合 mixed 页"]
+
+
+def test_tounicode_unmapped_code_fallback():
+    # patch one show-string code to an unmapped value: < 256 falls back
+    # to chr(code), >= 256 to U+FFFD
+    p = make_fixture_pdf([["ab"]], tounicode=True)
+    import re
+
+    hexes = re.findall(r"<([0-9A-F]{8})> Tj", p)
+    assert hexes
+    patched = p.replace(hexes[0], "0041" + "9999")  # 'A' direct + unmapped high
+    assert extract_pdf_text(patched) == ["A�"]
+
+
+def test_tounicode_bfrange_bomb_guarded():
+    # a corrupt 2^31-wide range must be skipped, not expanded
+    p = make_fixture_pdf([["xy"]], tounicode=True, tounicode_ranges=True)
+    bomb = p.replace("beginbfrange", "beginbfrange\n<0000> <7FFFFFFF> <0041>")
+    out = extract_pdf_text(bomb)  # must return promptly, never OOM
+    assert isinstance(out, list)
+
+
+def test_fallback_scan_ignores_cmap_keeps_latin1_hex():
+    # cutting the xref forces the byte-order fallback, which has no
+    # page<->font association: 2-byte codes then decode per the latin-1
+    # byte rule (documented), so the CMapped text is NOT reproduced
+    p = make_fixture_pdf([["Ωz"]], tounicode=True)
+    cut = p[: p.find("xref")]
+    assert extract_pdf_text(cut) != extract_pdf_text(p)

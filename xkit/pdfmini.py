@@ -6,9 +6,13 @@ The north rule requires "PDF/layout parsing" in the pipeline
 for a *documented dialect subset* co-designed with the fixture
 generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 
-* uncompressed streams, plus ``/Filter /FlateDecode`` streams
-  (inflated with stdlib zlib — the filter that covers the vast
-  majority of real-world PDF content streams),
+* uncompressed streams, plus ``/Filter`` chains of **FlateDecode**
+  (stdlib zlib — the filter covering the vast majority of real-world
+  PDF content streams), **ASCIIHexDecode**, and **ASCII85Decode**
+  (stdlib base64.a85decode; PDF framing: optional ``~>`` terminator,
+  whitespace ignored, ``z`` zero-group shortcut) — applied in array
+  order, e.g. ``[/ASCII85Decode /FlateDecode]``; a stream with any
+  UNKNOWN filter in its chain is skipped, never mis-decoded,
 * classic **xref tables** + trailer: pages are discovered by walking
   trailer ``/Root`` → catalog ``/Pages`` → ``/Kids`` → page
   ``/Contents`` (single ref OR array — multiple content streams per
@@ -24,11 +28,23 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   octal escapes, plus ``<hex>`` string form (whitespace-tolerant, odd
   digit padded), WinAnsi/latin-1 bytes.
 
+* **minimal /ToUnicode CMaps** for hex-string text: each page's
+  ``/Resources /Font`` entries are followed to their ``/ToUnicode``
+  streams; ``bfchar`` pairs and scalar ``bfrange`` runs (UTF-16BE
+  destinations) are parsed into one code→text map per page (union over
+  the page's fonts — per-``Tf`` font switching is NOT tracked), with
+  the code width taken from ``begincodespacerange``. Hex strings on a
+  CMapped page decode through the map (unmapped codes fall back to
+  chr(code) below 256, U+FFFD above); pages without a CMap keep the
+  latin-1 byte rule. The array form of ``bfrange`` destinations is out
+  of scope.
+
 Out of scope, documented: **xref streams and object streams**
 (PDF 1.5 cross-reference/compressed-object containers) — those need a
 /W-field binary decoder and per-object re-inflation; files using them
-simply take the byte-order fallback. Font CMaps / non-Latin encodings
-are likewise out of reach without font tables.
+simply take the byte-order fallback (which also never sees CMaps —
+page↔font association needs the tree walk). Full font CMaps
+(CID-keyed, embedded program tables) remain out of reach.
 
 Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
 text object is one output block; ``Tj``/``TJ`` strings within it are
@@ -84,7 +100,31 @@ def _unescape_pdf_string(body: bytes) -> str:
     return _ESC_RE.sub(sub, body).decode("latin-1", errors="replace")
 
 
-def _scan_content(body: bytes, blocks: list) -> None:
+def _hex_string_text(hexbody: bytes, cmap: dict | None, width: int) -> str:
+    """Decode one <hex> string: latin-1 bytes without a CMap, else
+    width-byte codes through the page's ToUnicode map."""
+    h = re.sub(rb"\s+", b"", hexbody)
+    if len(h) % 2:
+        h += b"0"
+    # h is pure hex by the regex class — fromhex cannot fail
+    raw = bytes.fromhex(h.decode("ascii"))
+    if cmap is None:
+        return raw.decode("latin-1")
+    out = []
+    # trailing partial code (len not a multiple of width) is dropped,
+    # matching viewers' behavior on truncated CID strings
+    for i in range(0, (len(raw) // width) * width, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        mapped = cmap.get(code)
+        if mapped is None:
+            mapped = chr(code) if code < 256 else "�"
+        out.append(mapped)
+    return "".join(out)
+
+
+def _scan_content(
+    body: bytes, blocks: list, cmap: dict | None = None, code_width: int = 2
+) -> None:
     """Token-scan ONE (possibly concatenated) content stream, appending
     each non-empty BT…ET text object to ``blocks``."""
     in_bt = False
@@ -98,11 +138,7 @@ def _scan_content(body: bytes, blocks: list) -> None:
             # <48656C6C6F> hex string form; whitespace allowed inside,
             # odd trailing digit pads with 0 (PDF spec rule)
             if in_bt:
-                h = re.sub(rb"\s+", b"", m.group("hexbody"))
-                if len(h) % 2:
-                    h += b"0"
-                # h is pure hex by the regex class — fromhex cannot fail
-                pending.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+                pending.append(_hex_string_text(m.group("hexbody"), cmap, code_width))
         elif m.group("bt"):
             in_bt, parts, pending = True, [], []
         elif m.group("et"):
@@ -130,21 +166,60 @@ def _scan_content(body: bytes, blocks: list) -> None:
                 parts.append(" ")
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|/(?P<one>\w+))")
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _apply_filters(head: bytes, body: bytes) -> bytes | None:
+    """Run the object dict's /Filter chain (array order) over a stream
+    body. Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode. Any
+    unknown filter (or corrupt data) → None: the stream is skipped,
+    never mis-decoded."""
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return body
+    if m.group("arr") is not None:
+        names = [f.group(1) for f in _FILTER_NAME_RE.finditer(m.group("arr"))]
+    else:
+        names = [m.group("one")]
+    for name in names:
+        if name == b"FlateDecode":
+            try:
+                # decompressobj tolerates the trailing EOL before
+                # `endstream` as unused data (plain decompress raises)
+                body = zlib.decompressobj().decompress(body)
+            except zlib.error:
+                return None
+        elif name == b"ASCIIHexDecode":
+            h = re.sub(rb"\s+", b"", body.split(b">", 1)[0])
+            if len(h) % 2:
+                h += b"0"
+            try:
+                body = bytes.fromhex(h.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif name == b"ASCII85Decode":
+            import base64
+
+            # PDF framing: optional ~> terminator, whitespace ignored
+            try:
+                body = base64.a85decode(
+                    body.split(b"~>", 1)[0], ignorechars=b" \t\n\r\v\f"
+                )
+            except ValueError:
+                return None
+        else:
+            return None
+    return body
+
+
 def _decode_stream(obj: bytes) -> bytes | None:
-    """The stream body of one object slice, /FlateDecode-inflated when
-    the object's own dict says so; None when absent or corrupt."""
+    """The stream body of one object slice, run through its /Filter
+    chain; None when absent, corrupt, or using an unknown filter."""
     m = _STREAM_RE.search(obj)
     if m is None:
         return None
-    body = m.group(1)
-    if b"/FlateDecode" in obj[: m.start()]:
-        try:
-            # decompressobj tolerates the trailing EOL before
-            # `endstream` as unused data (plain decompress raises)
-            body = zlib.decompressobj().decompress(body)
-        except zlib.error:
-            return None
-    return body
+    return _apply_filters(obj[: m.start()], m.group(1))
 
 
 # classic xref-table machinery (xref STREAMS are out of scope — see
@@ -201,10 +276,97 @@ def _object_at(data: bytes, objnum: int, offsets: dict) -> bytes | None:
     return data[m.end() : end if end >= 0 else len(data)]
 
 
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_HEXVAL_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_SEC_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_SEC_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(body: bytes) -> tuple[dict, int]:
+    """bfchar pairs + scalar bfrange runs of one ToUnicode CMap →
+    ({code: text}, code byte width). Destinations are UTF-16BE hex."""
+    cmap: dict = {}
+    m = _CODESPACE_RE.search(body)
+    width = max(1, len(m.group(1)) // 2) if m else 2
+
+    def _dst_text(dst_hex: bytes) -> str | None:
+        h = dst_hex if len(dst_hex) % 4 == 0 else b"00" + dst_hex
+        try:
+            return bytes.fromhex(h.decode("ascii")).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            return None
+
+    for sec in _BFCHAR_SEC_RE.finditer(body):
+        vals = _HEXVAL_RE.findall(sec.group(1))
+        for src, dst in zip(vals[0::2], vals[1::2]):
+            text = _dst_text(dst)
+            if text is not None:
+                cmap[int(src, 16)] = text
+    for sec in _BFRANGE_SEC_RE.finditer(body):
+        vals = _HEXVAL_RE.findall(sec.group(1))
+        for lo, hi, dst in zip(vals[0::3], vals[1::3], vals[2::3]):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i or hi_i - lo_i > 65535:
+                continue  # corrupt/bomb range
+            text = _dst_text(dst)
+            if text is None:
+                continue
+            if len(text) == 1:
+                base = ord(text)
+                for c in range(lo_i, hi_i + 1):
+                    cmap[c] = chr(base + (c - lo_i))
+            else:  # multi-char destination only valid for the start code
+                cmap[lo_i] = text
+    return cmap, width
+
+
+def _page_cmap(data: bytes, node: bytes, offsets: dict) -> tuple[dict | None, int]:
+    """Union of the page's fonts' ToUnicode maps (via /Resources —
+    inline dict or indirect ref). Per-Tf font switching is NOT tracked
+    (module doc); pages without any ToUnicode get (None, 2) and keep
+    the latin-1 hex rule."""
+    scopes = [node]
+    res_ref = _RESOURCES_REF_RE.search(node)
+    if res_ref is not None:
+        res = _object_at(data, int(res_ref.group(1)), offsets)
+        if res is not None:
+            scopes.append(res)
+    cmap: dict = {}
+    width = 2
+    found = False
+    for scope in scopes:
+        fd = _FONTDICT_RE.search(scope)
+        if fd is None:
+            continue
+        for ref in _REF_RE.finditer(fd.group(1)):
+            font = _object_at(data, int(ref.group(1)), offsets)
+            if font is None:
+                continue
+            tu = _TOUNICODE_RE.search(font)
+            if tu is None:
+                continue
+            body = None
+            tu_obj = _object_at(data, int(tu.group(1)), offsets)
+            if tu_obj is not None:
+                body = _decode_stream(tu_obj)
+            if body is None:
+                continue
+            m, w = _parse_tounicode(body)
+            if m:
+                cmap.update(m)
+                width = w
+                found = True
+    return (cmap, width) if found else (None, 2)
+
+
 def _page_content_objs(data: bytes, offsets: dict) -> list | None:
-    """Walk trailer /Root → /Pages → /Kids → /Contents; returns the
-    content-object numbers grouped per page (document order), or None
-    when the walk cannot complete (→ caller falls back)."""
+    """Walk trailer /Root → /Pages → /Kids → /Contents; returns
+    ``(content_obj_nums, page_node_bytes)`` per page (document order) —
+    the node feeds :func:`_page_cmap` — or None when the walk cannot
+    complete (→ caller falls back)."""
     root = None
     for m in _ROOT_RE.finditer(data):  # last trailer wins
         root = int(m.group(1))
@@ -233,11 +395,13 @@ def _page_content_objs(data: bytes, offsets: dict) -> list | None:
             return
         arr = _CONTENTS_ARR_RE.search(node)
         if arr is not None:
-            pages.append([int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))])
+            pages.append(
+                ([int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))], node)
+            )
             return
         one = _CONTENTS_ONE_RE.search(node)
         if one is not None:
-            pages.append([int(one.group(1))])
+            pages.append(([int(one.group(1))], node))
 
     walk(int(pages_ref.group(1)), 0)
     return pages if pages else None
@@ -263,7 +427,7 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     pages = _page_content_objs(data, offsets) if offsets else None
     if pages is not None:
         unresolved = False
-        for content_objs in pages:
+        for content_objs, page_node in pages:
             bodies = []
             for objnum in content_objs:
                 obj = _object_at(data, objnum, offsets)
@@ -282,10 +446,11 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
             if unresolved:
                 break
             if bodies:
+                cmap, width = _page_cmap(data, page_node, offsets)
                 # PDF semantics: a page's content streams form ONE
                 # stream when concatenated (operators may span the
                 # boundary); the joining byte keeps tokens separated
-                _scan_content(b"\n".join(bodies), blocks)
+                _scan_content(b"\n".join(bodies), blocks, cmap, width)
         if not unresolved:
             return blocks
         blocks = []
@@ -297,12 +462,11 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
         boundary = max(head.rfind(b"endstream"), head.rfind(b"obj"))
         if boundary >= 0:
             head = head[boundary:]
-        body = stream.group(1)
-        if b"/FlateDecode" in head:
-            try:
-                body = zlib.decompressobj().decompress(body)
-            except zlib.error:
-                continue
+        body = _apply_filters(head, stream.group(1))
+        if body is None:
+            continue
+        # no page↔font association without a tree walk: hex strings
+        # take the latin-1 byte rule in the fallback (module doc)
         _scan_content(body, blocks)
     return blocks
 
@@ -314,6 +478,10 @@ def make_fixture_pdf(
     streams_per_page: int = 1,
     reverse_content: bool = False,
     extra_stream: str | None = None,
+    ascii_wrap: str | None = None,
+    hex_text: bool = False,
+    tounicode: bool = False,
+    tounicode_ranges: bool = False,
 ) -> str:
     """Build a dialect PDF: one BT…ET object per block, one Td+Tj per line.
 
@@ -337,6 +505,18 @@ def make_fixture_pdf(
       file) containing text-operator-looking bytes — reachable-only
       extraction must skip it.
     * ``compress=True`` emits every content stream as /FlateDecode.
+    * ``ascii_wrap`` ∈ {"hex", "a85"} additionally wraps each stream
+      body as ASCIIHexDecode / ASCII85Decode (OUTERMOST filter, so
+      combined with ``compress`` the dict reads
+      ``[/ASCII85Decode /FlateDecode]`` — decode order).
+    * ``hex_text=True`` emits show-text strings in ``<hex>`` form
+      (latin-1 bytes, 1-byte codes).
+    * ``tounicode=True`` emits hex show strings of 2-byte codes with a
+      /Font + /ToUnicode CMap object per document mapping each distinct
+      character to a code ≥ 0x0100 (codes deliberately NOT latin-1, so
+      only a CMap-aware reader decodes them); ``tounicode_ranges=True``
+      writes the map as scalar ``bfrange`` runs instead of ``bfchar``
+      pairs.
     """
 
     def esc(s: str) -> str:
@@ -348,6 +528,18 @@ def make_fixture_pdf(
     page_nums = list(range(3, 3 + n_pages))
     content_base = 3 + n_pages
 
+    char_code: dict = {}
+    if tounicode:
+        all_chars = sorted({c for pg in pages for bl in pg for ln in bl for c in ln})
+        char_code = {c: 0x0100 + i for i, c in enumerate(all_chars)}
+
+    def show_string(line: str) -> str:
+        if tounicode:
+            return "<%s> Tj" % "".join("%04X" % char_code[c] for c in line)
+        if hex_text:
+            return "<%s> Tj" % line.encode("latin-1").hex().upper()
+        return "(%s) Tj" % esc(line)
+
     def page_content(page_blocks: list) -> str:
         body_parts = []
         y = 700
@@ -355,30 +547,47 @@ def make_fixture_pdf(
             lines = ["BT", "/F1 12 Tf"]
             for line in block:
                 lines.append("0 %d Td" % (-14 if len(lines) > 2 else y))
-                lines.append("(%s) Tj" % esc(line))
+                lines.append(show_string(line))
             lines.append("ET")
             body_parts.append("\n".join(lines))
             y -= 100
         return "\n".join(body_parts)
 
     def stream_obj(num: int, content: str) -> str:
+        body = content.encode("latin-1")
+        filters: list = []
         if compress:
             # level fixed for determinism; latin-1 keeps the bytes intact
-            content = zlib.compress(content.encode("latin-1"), 6).decode("latin-1")
-            return (
-                "%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj"
-                % (num, len(content), content)
-            )
-        return "%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj" % (
+            body = zlib.compress(body, 6)
+            filters.append("/FlateDecode")
+        if ascii_wrap == "hex":
+            body = body.hex().upper().encode("ascii") + b">"
+            filters.insert(0, "/ASCIIHexDecode")
+        elif ascii_wrap == "a85":
+            import base64
+
+            body = base64.a85encode(body) + b"~>"
+            filters.insert(0, "/ASCII85Decode")
+        elif ascii_wrap is not None:
+            raise ValueError(f"ascii_wrap must be 'hex' or 'a85', got {ascii_wrap!r}")
+        if not filters:
+            fspec = ""
+        elif len(filters) == 1:
+            fspec = " /Filter %s" % filters[0]
+        else:
+            fspec = " /Filter [%s]" % " ".join(filters)
+        s = body.decode("latin-1")
+        return "%d 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj" % (
             num,
-            len(content),
-            content,
+            len(s),
+            fspec,
+            s,
         )
 
-    page_objs: list = []
+    page_refs: list = []  # per page: the /Contents refs string
     content_objs: list = []  # (objnum, text)
     next_content = content_base
-    for pi, page_blocks in enumerate(pages):
+    for page_blocks in pages:
         content = page_content(page_blocks)
         if streams_per_page <= 1:
             nums = [next_content]
@@ -393,21 +602,64 @@ def make_fixture_pdf(
         next_content += len(nums)
         for num, chunk in zip(nums, chunks):
             content_objs.append((num, stream_obj(num, chunk)))
-        refs = (
+        page_refs.append(
             "%d 0 R" % nums[0]
             if len(nums) == 1
             else "[%s]" % " ".join("%d 0 R" % n for n in nums)
         )
-        page_objs.append(
-            (
-                page_nums[pi],
-                "%d 0 obj\n<< /Type /Page /Parent 2 0 R /Contents %s "
-                "/MediaBox [0 0 612 792] >>\nendobj" % (page_nums[pi], refs),
-            )
-        )
     if extra_stream is not None:
         content_objs.append((next_content, stream_obj(next_content, extra_stream)))
         next_content += 1
+
+    resources = ""
+    if tounicode:
+        font_num, cmap_num = next_content, next_content + 1
+        next_content += 2
+        if tounicode_ranges:
+            # scalar bfrange runs over consecutive (code, char) pairs
+            runs: list = []  # (start_code, chars)
+            for c, code in sorted(char_code.items(), key=lambda kv: kv[1]):
+                if (
+                    runs
+                    and runs[-1][0] + len(runs[-1][1]) == code
+                    and ord(runs[-1][1][-1]) + 1 == ord(c)
+                ):
+                    runs[-1] = (runs[-1][0], runs[-1][1] + c)
+                else:
+                    runs.append((code, c))
+            entries = "\n".join(
+                "<%04X> <%04X> <%04X>" % (code, code + len(chars) - 1, ord(chars[0]))
+                for code, chars in runs
+            )
+            section = "%d beginbfrange\n%s\nendbfrange" % (len(runs), entries)
+        else:
+            entries = "\n".join(
+                "<%04X> <%s>" % (code, c.encode("utf-16-be").hex().upper())
+                for c, code in sorted(char_code.items(), key=lambda kv: kv[1])
+            )
+            section = "%d beginbfchar\n%s\nendbfchar" % (len(char_code), entries)
+        cmap_body = (
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n%s" % section
+        )
+        content_objs.append((cmap_num, stream_obj(cmap_num, cmap_body)))
+        content_objs.append(
+            (
+                font_num,
+                "%d 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                "/ToUnicode %d 0 R >>\nendobj" % (font_num, cmap_num),
+            )
+        )
+        resources = " /Resources << /Font << /F1 %d 0 R >> >>" % font_num
+
+    page_objs = [
+        (
+            page_nums[pi],
+            "%d 0 obj\n<< /Type /Page /Parent 2 0 R /Contents %s "
+            "/MediaBox [0 0 612 792]%s >>\nendobj"
+            % (page_nums[pi], page_refs[pi], resources),
+        )
+        for pi in range(n_pages)
+    ]
     kids = " ".join("%d 0 R" % n for n in page_nums)
     numbered = [
         (1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj"),
