@@ -372,6 +372,19 @@ def ivf_ann_topk(
     never all-pairs; a probe list never matches the same neighbor
     twice (a neighbor lives in exactly one cell and probes are
     distinct). Returns (query_id, rnk, neighbor_id, cos_sim).
+
+    Measured recall@5 vs brute_force_topk ground truth (learned kmeans
+    centroids, 8 clusters × 25 vectors, 32-dim, per-component gaussian
+    noise σ relative to unit axes; pinned by
+    test_ivf_learned_quantizer_recall_vs_brute_force):
+
+        σ=0.7: nprobe=1 → 0.951, nprobe=2 → 1.000
+        σ=1.0: nprobe=1 → 0.945, nprobe=2 → 0.993, nprobe=3 → 1.000
+
+    Knobs: n_cells trades inverted-list length (|corpus|/n_cells per
+    cell ⇒ join cost) against boundary losses; nprobe buys those
+    boundary cases back linearly in probe-side join volume. Start at
+    n_cells ≈ √|corpus|, nprobe=2.
     """
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
 
