@@ -33,6 +33,14 @@ def main() -> None:
         "write, no manifest) — isolates compute scaling from the single "
         "local disk the sandbox shares across all parallelism levels",
     )
+    ap.add_argument(
+        "--select",
+        default=None,
+        metavar="SELECTOR",
+        help="materialize select_spans(SELECTOR) into a noop sink instead "
+        "of extraction — the second headline Arrow stage, measured at "
+        "both widths by scaling_bench",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,7 +80,17 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    if args.stage_only:
+    if args.select is not None:
+        from xhtmlkit_spark.operators.select_stage import select_spans
+        from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
+
+        df = derive_part(spark.read.parquet(args.input))
+        n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
+        select_spans(with_size_salt(df, n), args.select).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        res = {"mode": "select_only"}
+    elif args.stage_only:
         from xhtmlkit_spark.operators.extract_stage import extract_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 

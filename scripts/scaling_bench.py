@@ -53,7 +53,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(p: int, input_path: str, out: str, stage_only: bool) -> dict:
+SELECTOR = "table td, img"  # same selector as the select_spans contract query
+
+
+def run_once(
+    p: int, input_path: str, out: str, stage_only: bool, select: bool = False
+) -> dict:
     cmd = [
         "spark-submit",
         "--master",
@@ -68,7 +73,7 @@ def run_once(p: int, input_path: str, out: str, stage_only: bool) -> dict:
         "--output",
         out,
         "--no-resume",
-    ] + (["--stage-only"] if stage_only else [])
+    ] + (["--select", SELECTOR] if select else ["--stage-only"] if stage_only else [])
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
     for line in reversed(res.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -167,10 +172,15 @@ def main() -> None:
             "ceiling": ceiling,
             "stage8": run_once(8, corpus, out8, True),
             "stage32": run_once(32, corpus, out32, True),
+            "select8": run_once(8, corpus, out8, True, select=True),
+            "select32": run_once(32, corpus, out32, True, select=True),
             "full8": run_once(8, corpus, out8, False),
             "full32": run_once(32, corpus, out32, False),
         }
         r["sp_stage"] = round(r["stage32"]["docs_per_sec"] / r["stage8"]["docs_per_sec"], 2)
+        r["sp_select"] = round(
+            r["select32"]["docs_per_sec"] / r["select8"]["docs_per_sec"], 2
+        )
         r["sp_full"] = round(r["full32"]["docs_per_sec"] / r["full8"]["docs_per_sec"], 2)
         r["sp_hw"] = ceiling["mp_speedup_8_to_32"]
         # an engine speedup at or above the mp ceiling means "no
@@ -195,8 +205,10 @@ def main() -> None:
         return min((r[key] for r in rounds), key=lambda x: x[field])
 
     b_stage = {8: _min_by("stage8"), 32: _min_by("stage32")}
+    b_select = {8: _min_by("select8"), 32: _min_by("select32")}
     b_full = {8: _min_by("full8"), 32: _min_by("full32")}
     sp_stage = round(b_stage[8]["wall_sec"] / b_stage[32]["wall_sec"], 2)
+    sp_select = round(b_select[8]["wall_sec"] / b_select[32]["wall_sec"], 2)
     sp_full = round(b_full[8]["wall_sec"] / b_full[32]["wall_sec"], 2)
     mp8_min = min(t for r in rounds for t in r["ceiling"]["runs"]["8"])
     mp32_min = min(t for r in rounds for t in r["ceiling"]["runs"]["32"])
@@ -222,10 +234,13 @@ def main() -> None:
         "mb": rounds[0]["full8"]["mb"],
         "stage_local8": b_stage[8],
         "stage_local32": b_stage[32],
+        "select_local8": b_select[8],
+        "select_local32": b_select[32],
         "full_local8": b_full[8],
         "full_local32": b_full[32],
         "speedup_stage": sp_stage,
         "speedup_stage_best_paired_round": sp_paired,
+        "speedup_select": sp_select,
         "speedup_full": sp_full,
         "speedup_hardware_ceiling": sp_hw,
         "efficiency_stage_vs_ceiling": eff_stage,
@@ -235,10 +250,13 @@ def main() -> None:
             {
                 "sp_hw": r["sp_hw"],
                 "sp_stage": r["sp_stage"],
+                "sp_select": r["sp_select"],
                 "sp_full": r["sp_full"],
                 "eff_stage": r["eff_stage"],
                 "stage8_s": r["stage8"]["wall_sec"],
                 "stage32_s": r["stage32"]["wall_sec"],
+                "select8_s": r["select8"]["wall_sec"],
+                "select32_s": r["select32"]["wall_sec"],
                 "full8_s": r["full8"]["wall_sec"],
                 "full32_s": r["full32"]["wall_sec"],
             }
@@ -259,7 +277,7 @@ same input, launched exactly as in prod:
 per run). The sandbox is a shared host whose co-tenant load comes in
 multi-minute bursts, so the measurements are INTERLEAVED in
 {args.runs} rounds — each round runs mp-ceiling probe, stage@8,
-stage@32, full@8, full@32 back-to-back, giving every width many
+stage@32, select@8, select@32, full@8, full@32 back-to-back, giving every width many
 chances across the window to catch a quiet moment. Contention only
 adds wall time, so the PER-SIDE MINIMUM over all rounds estimates the
 uncontended machine; the gate ratio uses those minima (same rule for
@@ -274,6 +292,7 @@ top-1% ≈ 100× median — real skew for the salting to flatten).
 |---|---|---|---|
 | hardware ceiling (pure mp.Pool, no Spark) | {ceiling['mp8_mb_per_sec']} MB/s | {ceiling['mp32_mb_per_sec']} MB/s | {sp_hw}× |
 | compute stage (scan→salt→extract, noop sink) | {b_stage[8]['mb_per_sec']} MB/s ({b_stage[8]['wall_sec']}s) | {b_stage[32]['mb_per_sec']} MB/s ({b_stage[32]['wall_sec']}s) | {sp_stage}× |
+| selection stage (scan→salt→select_spans "{SELECTOR}", noop sink) | {b_select[8]['mb_per_sec']} MB/s ({b_select[8]['wall_sec']}s) | {b_select[32]['mb_per_sec']} MB/s ({b_select[32]['wall_sec']}s) | {sp_select}× |
 | full pipeline (+ partitioned write + manifest) | {b_full[8]['mb_per_sec']} MB/s ({b_full[8]['wall_sec']}s) | {b_full[32]['mb_per_sec']} MB/s ({b_full[32]['wall_sec']}s) | {sp_full}× |
 
 **Scaling efficiency of the engine's compute stage, normalized to the
