@@ -94,6 +94,20 @@ PDF_TOUNICODE_BFRANGE = make_fixture_pdf(
 PDF_TOUNICODE_CHAINED = make_fixture_pdf(
     [["混合 mixed 页"]], tounicode=True, compress=True, ascii_wrap="a85"
 )
+# PDF 1.5 layouts: xref STREAM (PNG-Up predictor + flate) with the
+# page tree packed in an ObjStm (type-2 entries); and the bare
+# variants (no container, raw rows)
+from xkit.pdfmini import make_fixture_pdf_15  # noqa: E402
+
+PDF15_OBJSTM = make_fixture_pdf_15(
+    [["XRef stream line one", "and line two"], ["second block"]]
+)
+PDF15_PLAIN = make_fixture_pdf_15(
+    [["raw xref rows text"]], use_objstm=False, predictor=1, compress=False
+)
+PDF15_MULTIPAGE = make_fixture_pdf_15(
+    pages=[[["page one txt"]], [["page two txt"]]]
+)
 
 # case = (name, spans | html | raw_b64 [, base_url])
 CASES = {
@@ -340,6 +354,9 @@ CASES = {
         ("pdf_tounicode_bfchar", [("pdf", PDF_TOUNICODE_BFCHAR, None)]),
         ("pdf_tounicode_bfrange", [("pdf", PDF_TOUNICODE_BFRANGE, None)]),
         ("pdf_tounicode_chained_filters", [("pdf", PDF_TOUNICODE_CHAINED, None)]),
+        ("pdf15_xrefstream_objstm_predictor", [("pdf", PDF15_OBJSTM, None)]),
+        ("pdf15_xrefstream_plain_rows", [("pdf", PDF15_PLAIN, None)]),
+        ("pdf15_xrefstream_multipage", [("pdf", PDF15_MULTIPAGE, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the

@@ -254,3 +254,100 @@ def test_fallback_scan_ignores_cmap_keeps_latin1_hex():
     p = make_fixture_pdf([["Ωz"]], tounicode=True)
     cut = p[: p.find("xref")]
     assert extract_pdf_text(cut) != extract_pdf_text(p)
+
+
+def test_xref_stream_objstm_roundtrip():
+    from xkit.pdfmini import make_fixture_pdf_15
+
+    p = make_fixture_pdf_15(
+        [["XRef stream line one", "and line two"], ["second block"]]
+    )
+    assert extract_pdf_text(p) == [
+        "XRef stream line one and line two",
+        "second block",
+    ]
+
+
+def test_xref_stream_variants():
+    from xkit.pdfmini import make_fixture_pdf_15
+
+    for use_objstm in (False, True):
+        for predictor in (1, 12):
+            for compress in (False, True):
+                p = make_fixture_pdf_15(
+                    [["variant body text"]],
+                    use_objstm=use_objstm,
+                    predictor=predictor,
+                    compress=compress,
+                )
+                assert extract_pdf_text(p) == ["variant body text"], (
+                    use_objstm, predictor, compress,
+                )
+
+
+def test_xref_stream_multipage_document_order():
+    from xkit.pdfmini import make_fixture_pdf_15
+
+    p = make_fixture_pdf_15(pages=[[["page one txt"]], [["page two txt"]]])
+    assert extract_pdf_text(p) == ["page one txt", "page two txt"]
+
+
+def test_corrupt_xref_stream_falls_back():
+    import re
+
+    from xkit.pdfmini import make_fixture_pdf_15
+
+    p = make_fixture_pdf_15([["fallback body text"]], compress=False, predictor=1)
+    broken = re.sub(r"/Type /XRef", "/Type /Junk", p)
+    assert extract_pdf_text(broken) == ["fallback body text"]
+
+
+def test_png_predictor_undo_all_filter_types():
+    """Forward-apply each PNG filter type to known rows, assert the
+    decoder inverts it exactly (the fixture only exercises Up)."""
+    from xkit.pdfmini import _png_predictor_undo
+
+    rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 200, 5]), bytes([0, 255, 7, 9])]
+    width = 4
+
+    def fwd(ft):
+        out, prev = bytearray(), bytes(width)
+        for r in rows:
+            out.append(ft)
+            if ft == 0:
+                out.extend(r)
+            elif ft == 1:  # Sub (bpp=1)
+                out.extend((r[j] - (r[j - 1] if j else 0)) & 0xFF for j in range(width))
+            elif ft == 2:  # Up
+                out.extend((r[j] - prev[j]) & 0xFF for j in range(width))
+            elif ft == 3:  # Average
+                out.extend(
+                    (r[j] - (((r[j - 1] if j else 0) + prev[j]) >> 1)) & 0xFF
+                    for j in range(width)
+                )
+            elif ft == 4:  # Paeth
+                enc = bytearray()
+                for j in range(width):
+                    a = r[j - 1] if j else 0
+                    b = prev[j]
+                    c = prev[j - 1] if j else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc.append((r[j] - pr) & 0xFF)
+                out.extend(enc)
+            prev = r
+        return bytes(out)
+
+    expect = b"".join(rows)
+    for ft in range(5):
+        assert _png_predictor_undo(fwd(ft), width, 1, 8) == expect, ft
+
+
+def test_objstm_depth_guard_never_loops():
+    # a type-2 entry whose container is itself type-2 (corrupt) must
+    # resolve to None, not recurse forever
+    from xkit.pdfmini import _object_at
+
+    offsets = {1: (2, 0), 2: (1, 0)}
+    assert _object_at(b"%PDF-1.5", 1, offsets) is None

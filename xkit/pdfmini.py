@@ -39,12 +39,21 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   latin-1 byte rule. The array form of ``bfrange`` destinations is out
   of scope.
 
-Out of scope, documented: **xref streams and object streams**
-(PDF 1.5 cross-reference/compressed-object containers) — those need a
-/W-field binary decoder and per-object re-inflation; files using them
-simply take the byte-order fallback (which also never sees CMaps —
-page↔font association needs the tree walk). Full font CMaps
-(CID-keyed, embedded program tables) remain out of reach.
+* **xref STREAMS and object STREAMS** (PDF 1.5+): every object whose
+  dict says ``/Type /XRef`` is decoded (its /Filter chain, then the
+  ``/DecodeParms`` PNG predictor — None/Sub/Up/Average/Paeth — when
+  present), its ``/W``-field binary entries parsed per ``/Index``
+  sections; type-1 entries are byte offsets, type-2 entries locate
+  objects inside ``/Type /ObjStm`` containers (header of ``/N``
+  "objnum offset" pairs after ``/First``). Classic tables and xref
+  streams compose (hybrid files); xref-stream entries override
+  classic ones of the same object. Files where none of this parses
+  still take the byte-order fallback (which also never sees CMaps —
+  page↔font association needs the tree walk).
+
+Out of scope, documented: full font CMaps (CID-keyed, embedded
+program tables), encryption, TIFF predictor 2, and the array form of
+``bfrange`` destinations.
 
 Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
 text object is one output block; ``Tj``/``TJ`` strings within it are
@@ -59,7 +68,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["extract_pdf_text", "make_fixture_pdf"]
+__all__ = ["extract_pdf_text", "make_fixture_pdf", "make_fixture_pdf_15"]
 
 # no EOL requirement before `endstream`: a compressed body whose final
 # byte happens to be 0x0D/0x0A would lose it to `\r?\n` and fail to
@@ -213,17 +222,85 @@ def _apply_filters(head: bytes, body: bytes) -> bytes | None:
     return body
 
 
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<([^>]*)>>")
+_PARM_INT_RE = {
+    k: re.compile(rb"/%s\s+(\d+)" % k)
+    for k in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
+}
+
+
+def _png_predictor_undo(body: bytes, columns: int, colors: int, bits: int) -> bytes:
+    """Undo PNG row filters (predictors 10-15): every row is one filter
+    type byte + the filtered bytes; None/Sub/Up/Average/Paeth."""
+    bpp = max(1, (colors * bits + 7) // 8)
+    rowlen = (columns * colors * bits + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(body)
+    while i < n:
+        ft = body[i]
+        i += 1
+        row = bytearray(body[i : i + rowlen])
+        i += rowlen
+        if len(row) < rowlen:
+            row.extend(bytes(rowlen - len(row)))
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        # ft == 0: None; unknown types pass through unfiltered
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(obj: bytes) -> bytes | None:
     """The stream body of one object slice, run through its /Filter
-    chain; None when absent, corrupt, or using an unknown filter."""
+    chain and /DecodeParms predictor; None when absent, corrupt, or
+    using an unknown filter."""
     m = _STREAM_RE.search(obj)
     if m is None:
         return None
-    return _apply_filters(obj[: m.start()], m.group(1))
+    head = obj[: m.start()]
+    body = _apply_filters(head, m.group(1))
+    if body is None:
+        return None
+    dp = _DECODEPARMS_RE.search(head)
+    if dp is not None:
+        parms = {
+            k.decode(): int(r.group(1)) if (r := rx.search(dp.group(1))) else None
+            for k, rx in _PARM_INT_RE.items()
+        }
+        pred = parms["Predictor"] or 1
+        if pred >= 10:
+            body = _png_predictor_undo(
+                body,
+                parms["Columns"] or 1,
+                parms["Colors"] or 1,
+                parms["BitsPerComponent"] or 8,
+            )
+        elif pred != 1:
+            return None  # TIFF predictor 2: out of scope, skip not corrupt
+    return body
 
 
-# classic xref-table machinery (xref STREAMS are out of scope — see
-# module doc — and simply fail this parse, taking the fallback)
+# classic xref-table machinery
 _XREF_SUB_RE = re.compile(rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*[\r\n]+")
 _XREF_ENT_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
@@ -262,11 +339,20 @@ def _parse_xref_tables(data: bytes) -> dict:
     return offsets
 
 
-def _object_at(data: bytes, objnum: int, offsets: dict) -> bytes | None:
-    off = offsets.get(objnum)
-    if off is None or off >= len(data):
+def _object_at(data: bytes, objnum: int, offsets: dict, _depth: int = 0) -> bytes | None:
+    """Resolve one object: int entries are byte offsets (classic xref /
+    xref-stream type 1), tuple entries are ("container", idx) locations
+    inside a /Type /ObjStm (xref-stream type 2)."""
+    loc = offsets.get(objnum)
+    if loc is None:
         return None
-    m = re.compile(rb"\s*%d\s+\d+\s+obj\b" % objnum).match(data, off)
+    if isinstance(loc, tuple):
+        if _depth > 4:  # corrupt self-referential containers
+            return None
+        return _objstm_object(data, loc[0], loc[1], offsets, _depth + 1)
+    if loc >= len(data):
+        return None
+    m = re.compile(rb"\s*%d\s+\d+\s+obj\b" % objnum).match(data, loc)
     if m is None:
         return None
     end = data.find(b"endobj", m.end())
@@ -274,6 +360,118 @@ def _object_at(data: bytes, objnum: int, offsets: dict) -> bytes | None:
     # here; dialect streams never do, and truncation only loses text,
     # never raises
     return data[m.end() : end if end >= 0 else len(data)]
+
+
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _objstm_object(
+    data: bytes, container: int, idx: int, offsets: dict, depth: int
+) -> bytes | None:
+    """Object #idx inside a /Type /ObjStm container: decode the
+    container's stream, read its "objnum offset" header pairs, return
+    the object body slice (ObjStm members carry no streams)."""
+    obj = _object_at(data, container, offsets, depth)
+    if obj is None:
+        return None
+    n_m = _OBJSTM_N_RE.search(obj)
+    f_m = _OBJSTM_FIRST_RE.search(obj)
+    if n_m is None or f_m is None:
+        return None
+    body = _decode_stream(obj)
+    if body is None:
+        return None
+    n, first = int(n_m.group(1)), int(f_m.group(1))
+    header = body[:first].split()
+    if idx < 0 or idx >= n or 2 * idx + 1 >= len(header):
+        return None
+    try:
+        start = int(header[2 * idx + 1])
+        end = int(header[2 * idx + 3]) if 2 * idx + 3 < 2 * n else len(body) - first
+    except ValueError:
+        return None
+    return body[first + start : first + end]
+
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+
+
+def _balanced_dict(data: bytes, i: int) -> bytes | None:
+    """The << ... >> dict slice starting at ``data[i]`` (balanced over
+    nested dicts), or None when unbalanced/absent."""
+    if data[i : i + 2] != b"<<":
+        return None
+    depth = 0
+    j = i
+    n = min(len(data), i + 65536)  # xref/objstm dicts are small; bound the scan
+    while j < n - 1:
+        two = data[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j]
+        else:
+            j += 1
+    return None
+
+
+def _parse_xref_streams(data: bytes) -> dict:
+    """objnum → location from every /Type /XRef stream object, in file
+    order (later sections override): type-1 entries become int byte
+    offsets, type-2 entries become ("container_objnum", idx) tuples."""
+    locs: dict = {}
+    for m in _OBJ_HEADER_RE.finditer(data):
+        i = m.end()
+        while i < len(data) and data[i : i + 1] in b" \t\r\n":
+            i += 1
+        d = _balanced_dict(data, i)
+        if d is None or b"/XRef" not in d:
+            continue
+        w = _W_RE.search(d)
+        size = _SIZE_RE.search(d)
+        if w is None or size is None:
+            continue
+        w1, w2, w3 = (int(w.group(k)) for k in (1, 2, 3))
+        width = w1 + w2 + w3
+        if width == 0 or width > 32:
+            continue
+        idx_m = _INDEX_RE.search(d)
+        if idx_m is not None:
+            nums = [int(x) for x in idx_m.group(1).split()]
+            sections = list(zip(nums[0::2], nums[1::2]))
+        else:
+            sections = [(0, int(size.group(1)))]
+        obj_end = data.find(b"endobj", i)
+        body = _decode_stream(data[i : obj_end if obj_end >= 0 else len(data)])
+        if body is None:
+            continue
+        pos = 0
+        for start, count in sections:
+            if count > 1_000_000:  # corrupt header bomb guard
+                break
+            for k in range(count):
+                if pos + width > len(body):
+                    break
+                row = body[pos : pos + width]
+                pos += width
+                # a zero-width type field defaults to type 1 (spec)
+                t = int.from_bytes(row[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+                f3 = int.from_bytes(row[w1 + w2 :], "big")
+                if t == 1:
+                    locs[start + k] = f2
+                elif t == 2:
+                    locs[start + k] = (f2, f3)
+                # t == 0: free entry
+    return locs
 
 
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
@@ -424,6 +622,9 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
         return []
     blocks: list[str] = []
     offsets = _parse_xref_tables(data)
+    # PDF 1.5+ xref streams compose with (and, in hybrid files,
+    # override) classic tables; type-2 entries resolve through ObjStm
+    offsets.update(_parse_xref_streams(data))
     pages = _page_content_objs(data, offsets) if offsets else None
     if pages is not None:
         unresolved = False
@@ -469,6 +670,142 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
         # take the latin-1 byte rule in the fallback (module doc)
         _scan_content(body, blocks)
     return blocks
+
+
+def make_fixture_pdf_15(
+    blocks: list[list[str]] | None = None,
+    pages: list[list[list[str]]] | None = None,
+    use_objstm: bool = True,
+    predictor: int = 12,
+    compress: bool = True,
+) -> str:
+    """Build a PDF 1.5-layout fixture: cross-reference STREAM instead
+    of a classic table, with the catalog / pages node / page dicts
+    optionally packed into a /Type /ObjStm container (type-2 entries).
+
+    * ``predictor`` ≥ 10 applies the PNG Up row filter to the xref
+      stream entries (the layout virtually every real writer emits),
+      declared via /DecodeParms; < 10 writes raw rows.
+    * ``compress`` FlateDecodes the xref/ObjStm streams (content
+      streams stay uncompressed — their filters are covered elsewhere).
+
+    Deterministic; latin-1-safe string like :func:`make_fixture_pdf`.
+    """
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    if pages is None:
+        pages = [blocks or []]
+    n_pages = len(pages)
+    page_nums = list(range(3, 3 + n_pages))
+    content_base = 3 + n_pages
+
+    def page_content(page_blocks: list) -> str:
+        parts = []
+        y = 700
+        for block in page_blocks:
+            lines = ["BT", "/F1 12 Tf"]
+            for line in block:
+                lines.append("0 %d Td" % (-14 if len(lines) > 2 else y))
+                lines.append("(%s) Tj" % esc(line))
+            lines.append("ET")
+            parts.append("\n".join(lines))
+            y -= 100
+        return "\n".join(parts)
+
+    def raw_stream_obj(num: int, body: bytes, dict_extra: str) -> str:
+        s = body.decode("latin-1")
+        return "%d 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj" % (
+            num, len(s), dict_extra, s,
+        )
+
+    content_texts = [page_content(pb) for pb in pages]
+    content_nums = list(range(content_base, content_base + n_pages))
+    catalog = "<< /Type /Catalog /Pages 2 0 R >>"
+    pages_node = "<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        " ".join("%d 0 R" % n for n in page_nums), n_pages,
+    )
+    page_dicts = [
+        "<< /Type /Page /Parent 2 0 R /Contents %d 0 R /MediaBox [0 0 612 792] >>"
+        % content_nums[i]
+        for i in range(n_pages)
+    ]
+    tree = [(1, catalog), (2, pages_node)] + list(zip(page_nums, page_dicts))
+
+    emit: list = []  # (objnum, full object text) in byte order
+    for num, text in zip(content_nums, content_texts):
+        emit.append((num, raw_stream_obj(num, text.encode("latin-1"), "")))
+    objstm_num = content_base + n_pages
+    entry_loc: dict = {n: "T1" for n, _ in emit}
+    if use_objstm:
+        bodies = [t.encode("latin-1") + b"\n" for _, t in tree]
+        offs, pos = [], 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b)
+        header = " ".join(
+            "%d %d" % (num, off) for (num, _), off in zip(tree, offs)
+        ).encode("ascii") + b"\n"
+        stm = header + b"".join(bodies)
+        extra = " /Type /ObjStm /N %d /First %d" % (len(tree), len(header))
+        if compress:
+            stm = zlib.compress(stm, 6)
+            extra += " /Filter /FlateDecode"
+        emit.append((objstm_num, raw_stream_obj(objstm_num, stm, extra)))
+        entry_loc[objstm_num] = "T1"
+        for idx, (num, _) in enumerate(tree):
+            entry_loc[num] = ("T2", idx)
+        xref_num = objstm_num + 1
+    else:
+        for num, text in tree:
+            emit.append((num, "%d 0 obj\n%s\nendobj" % (num, text)))
+            entry_loc[num] = "T1"
+        xref_num = objstm_num
+    entry_loc[xref_num] = "T1"
+    size = xref_num + 1
+
+    out = ["%PDF-1.5"]
+    offsets: dict = {}
+    pos = len("%PDF-1.5\n")
+    for num, text in sorted(emit):
+        offsets[num] = pos
+        out.append(text)
+        pos += len(text) + 1
+    offsets[xref_num] = pos
+
+    w1, w2, w3 = 1, 2, 1
+    rows = []
+    for num in range(size):
+        loc = entry_loc.get(num)
+        if loc == "T1":
+            rows.append(bytes([1]) + offsets[num].to_bytes(w2, "big") + bytes([0]))
+        elif isinstance(loc, tuple):
+            rows.append(bytes([2]) + objstm_num.to_bytes(w2, "big") + bytes([loc[1]]))
+        else:  # object 0 / gaps: free
+            rows.append(bytes([0]) + (0).to_bytes(w2, "big") + bytes([255 if num == 0 else 0]))
+    width = w1 + w2 + w3
+    parms = ""
+    if predictor >= 10:
+        # PNG Up forward filter: row_out = row - prev, filter byte 2
+        filtered, prev = bytearray(), bytes(width)
+        for r in rows:
+            filtered.append(2)
+            filtered.extend((r[j] - prev[j]) & 0xFF for j in range(width))
+            prev = r
+        body = bytes(filtered)
+        parms = " /DecodeParms << /Predictor %d /Columns %d >>" % (predictor, width)
+    else:
+        body = b"".join(rows)
+    extra = " /Type /XRef /Size %d /W [%d %d %d] /Root 1 0 R%s" % (
+        size, w1, w2, w3, parms,
+    )
+    if compress:
+        body = zlib.compress(body, 6)
+        extra += " /Filter /FlateDecode"
+    out.append(raw_stream_obj(xref_num, body, extra))
+    out.append("startxref\n%d\n%%%%EOF" % offsets[xref_num])
+    return "\n".join(out)
 
 
 def make_fixture_pdf(
