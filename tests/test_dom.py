@@ -144,3 +144,18 @@ def test_xml_safe_strips_invalid_chars():
     root = ET.fromstring("<root>" + safe + "</root>")
     assert root.find("p").text == "abc keep\ttab\nnl"
     assert root.find("p").get("a") == "vv"
+
+
+def test_repair_fragment_mode_keeps_head_content_nesting():
+    """fragment=True disables the full-page head auto-close: a snippet
+    whose first tag is <title> must keep subsequent content INSIDE the
+    enclosing structure rather than force-closing a presumed head."""
+    from xkit.dom import repair, serialize
+    from xkit.tokenizer import tokenize
+
+    s = "<head><title>t</title><p>body text</p>"
+    full = serialize(repair(tokenize(s)))
+    frag = serialize(repair(tokenize(s), fragment=True))
+    # full-page rule: <p> closes the head; fragment keeps it nested
+    assert "</head><p>" in full
+    assert "<p>body text</p></head>" in frag

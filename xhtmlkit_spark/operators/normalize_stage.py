@@ -31,11 +31,15 @@ from xkit.tokenizer import tokenize
 __all__ = ["normalize_doc", "normalize_xhtml"]
 
 
-def normalize_doc(kinds: list, texts: list, offsets: list) -> str | None:
+def normalize_doc(
+    kinds: list, texts: list, offsets: list, fragment: bool = False
+) -> str | None:
     """One document's html spans → one repaired-XHTML string (span
     order = offset order; pdf/media spans have no markup and contribute
     nothing). All-non-html (or empty) docs → None, not "" — the
-    distinction survives the column."""
+    distinction survives the column. ``fragment`` turns off the
+    full-page head auto-close rule for snippet corpora (A18/§3.3),
+    mirroring ExtractOptions.fragment."""
     order = sorted(
         range(len(kinds)),
         key=lambda i: (offsets[i] is None, offsets[i] if offsets[i] is not None else 0, i),
@@ -52,11 +56,13 @@ def normalize_doc(kinds: list, texts: list, offsets: list) -> str | None:
         # xml_safe: this is the XML-emitting path, so A19 name
         # sanitization and comment legality apply (the goldens pin the
         # default serialize() form separately)
-        parts.append(serialize(repair(tokenize(raw)), xml_safe=True))
+        parts.append(serialize(repair(tokenize(raw), fragment=fragment), xml_safe=True))
     return "".join(parts) if parts else None
 
 
-def normalize_xhtml(df: DataFrame, passthrough: tuple = ("part",)) -> DataFrame:
+def normalize_xhtml(
+    df: DataFrame, passthrough: tuple = ("part",), fragment: bool = False
+) -> DataFrame:
     """(doc_id, *passthrough, xhtml) — repaired canonical XHTML per doc."""
     pt = [c for c in passthrough if c in df.columns]
     pruned = df.select("doc_id", *pt, "spans")
@@ -73,7 +79,9 @@ def normalize_xhtml(df: DataFrame, passthrough: tuple = ("part",)) -> DataFrame:
             for i in range(n_rows):
                 if nulls is None or nulls[i]:
                     s, e = offs[i], offs[i + 1]
-                    out.append(normalize_doc(kind_l[s:e], text_l[s:e], off_l[s:e]))
+                    out.append(
+                        normalize_doc(kind_l[s:e], text_l[s:e], off_l[s:e], fragment)
+                    )
                 else:
                     out.append(None)
             cols = [batch.column(j) for j in range(spans_idx)] + [
