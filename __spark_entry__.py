@@ -432,6 +432,18 @@ def _q_jaccard_candidates(spark, sf_dir):
     return jaccard_verify(pairs, d, text="text", k=2)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), top_n=3)
+
+
+def _q_bigram_doc_freq(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import bigram_doc_freq
+
+    return bigram_doc_freq(_read(spark, sf_dir, "documents"), top_n=20)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic hash-based stratified sampling (the reproducible
     alternative to df.sample's partition-seeded RNG): per-language
@@ -790,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_xhtml": _q_normalize_xhtml,
         "string_part_features": _q_string_part_features,
         "select_spans": _q_select_spans,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_doc_freq": _q_bigram_doc_freq,
         "jaccard_candidates": _q_jaccard_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash": _q_simhash,
@@ -1114,6 +1128,40 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'),
                        x -> x != '')) AS n_bpe_tokens
             FROM documents
+        """,
+        "tfidf_top_terms": """
+            WITH docs AS (
+              SELECT doc_id, lower(text) AS text FROM documents
+              WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM docs),
+            tf AS (
+              SELECT doc_id, term, count(*) AS n_term
+              FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS dfreq
+              FROM toks WHERE term <> '' GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n_docs_total FROM docs),
+            scored AS (
+              SELECT doc_id, term, n_term,
+                     round(n_term * ln((n_docs_total + 1) / (dfreq + 1)), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rnk,
+                     term, n_term, score
+              FROM scored)
+            SELECT doc_id, rnk, term, n_term, score FROM r WHERE rnk <= 3
+        """,
+        "bigram_doc_freq": f"""
+            WITH {_shingle_sig_cte(2)},
+            ex AS (SELECT unnest(sh) AS bigram FROM s)
+            SELECT bigram, count(*) AS n_docs
+            FROM ex GROUP BY bigram
+            ORDER BY n_docs DESC, bigram ASC LIMIT 20
         """,
         "quality_scores": """
             WITH t AS (

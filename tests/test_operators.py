@@ -658,3 +658,48 @@ def test_ivf_learned_quantizer_recall_vs_brute_force(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= 0.9, f"recall@5 at nprobe=2 = {r2:.3f}"
     assert r2 >= r1, (r1, r2)
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from xhtmlkit_spark.operators.text_stats import tfidf_top_terms
+
+    # "common" appears in every doc (idf ~ 0); each doc also carries a
+    # unique term which must outrank it despite lower tf
+    df = spark.createDataFrame(
+        [
+            (1, "common common common apple"),
+            (2, "common common banana banana"),
+            (3, "common cherry"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, top_n=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score"]))
+    assert set(by_doc) == {1, 2, 3}  # NULL-text doc contributes nothing
+    for doc, uniq in [(1, "apple"), (2, "banana"), (3, "cherry")]:
+        ranked = sorted(by_doc[doc])
+        assert ranked[0][1] == uniq, (doc, ranked)
+        # idf of the everywhere-term is ln(4/4)=0 -> score 0
+        assert ranked[1][1] == "common" and ranked[1][2] == 0.0
+
+
+def test_bigram_doc_freq_counts_docs_not_occurrences(spark):
+    from xhtmlkit_spark.operators.text_stats import bigram_doc_freq
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data big data"),  # repeated bigram counts once per doc
+            (2, "big data rocks"),
+            (3, "small data"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bigram"]: r["n_docs"] for r in bigram_doc_freq(df, top_n=10).collect()}
+    assert out["big data"] == 2
+    assert out["data big"] == 1
+    assert out["small data"] == 1
+    assert "data" not in out  # full bigrams only for multi-token docs

@@ -24,6 +24,8 @@ __all__ = [
     "with_quality",
     "with_lang_guess",
     "with_fingerprints",
+    "tfidf_top_terms",
+    "bigram_doc_freq",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -156,3 +158,69 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
         lambda acc: acc["h"],
     )
     return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": fp_roll}).drop("__xk_toks")
+
+
+def tfidf_top_terms(df: DataFrame, top_n: int = 3, text: str = "text") -> DataFrame:
+    """Per-document top-``top_n`` terms by tf·idf.
+
+    Terms are lowercased whitespace tokens; idf = ln((N+1)/(df+1)) with
+    N = docs carrying text. Scale shape: one explode + two hash
+    aggregations (term frequency per doc, document frequency per term)
+    + a broadcast of the 1-row corpus count + a per-doc ranking window
+    — no Python, no quadratic joins; the df side aggregates to
+    |vocabulary| rows before the join back. Score rounded to 6 so the
+    DuckDB oracle compares value-for-value.
+    """
+    docs = df.where(F.col(text).isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_term"))
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "n_term",
+            F.round(
+                F.col("n_term")
+                * F.log((F.col("n_docs_total") + 1.0) / (F.col("dfreq") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_n)
+        .select("doc_id", "rnk", "term", "n_term", "score")
+    )
+
+
+def bigram_doc_freq(df: DataFrame, top_n: int = 20, text: str = "text") -> DataFrame:
+    """Corpus-level word-bigram document frequency, top ``top_n``.
+
+    Reuses the dedup shingle machinery (distinct 2-shingles per doc →
+    explode → one hash aggregation), the counts a contamination /
+    boilerplate-phrase check runs over a corpus. Deterministic
+    tie-break on the bigram itself.
+    """
+    from xhtmlkit_spark.operators.dedup import shingles_col
+
+    ex = df.select(F.explode(shingles_col(text, 2)).alias("bigram"))
+    return (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(top_n)
+    )
