@@ -432,6 +432,35 @@ def _q_jaccard_candidates(spark, sf_dir):
     return jaccard_verify(pairs, d, text="text", k=2)
 
 
+def _q_asof_event_orders(spark, sf_dir):
+    """Point-in-time enrichment: each event joined to the customer's
+    latest order at-or-before the event (union-scan window as-of join,
+    operators/asof.py — one key shuffle, no inequality-pair blow-up).
+    The oracle deliberately uses the OPPOSITE formulation (inequality
+    join + per-event ranking) so both engines must agree through
+    different algorithms."""
+    from xhtmlkit_spark.operators.asof import asof_join
+
+    e = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _read(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 2).alias("asof_totalprice"),
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     from xhtmlkit_spark.operators.text_stats import tfidf_top_terms
 
@@ -442,6 +471,12 @@ def _q_bigram_doc_freq(spark, sf_dir):
     from xhtmlkit_spark.operators.text_stats import bigram_doc_freq
 
     return bigram_doc_freq(_read(spark, sf_dir, "documents"), top_n=20)
+
+
+def _q_repetition_scores(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import repetition_scores
+
+    return repetition_scores(_read(spark, sf_dir, "documents"))
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -782,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_pairs": _q_range_join_event_pairs,
         "math_lineitem_features": _q_math_lineitem_features,
         "user_sessions": _q_user_sessions,
+        "asof_event_orders": _q_asof_event_orders,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
         "cosine_topk": _q_cosine_topk,
@@ -804,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_spans": _q_select_spans,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_doc_freq": _q_bigram_doc_freq,
+        "repetition_scores": _q_repetition_scores,
         "jaccard_candidates": _q_jaccard_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash": _q_simhash,
@@ -1129,6 +1166,20 @@ def oracle_sql() -> dict[str, str]:
                        x -> x != '')) AS n_bpe_tokens
             FROM documents
         """,
+        "asof_event_orders": """
+            WITH cand AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT e.event_id, e.user_id,
+                   c.o_orderkey AS asof_orderkey,
+                   round(c.o_totalprice, 2) AS asof_totalprice
+            FROM events e LEFT JOIN cand c
+              ON c.event_id = e.event_id AND c.rn = 1
+        """,
         "tfidf_top_terms": """
             WITH docs AS (
               SELECT doc_id, lower(text) AS text FROM documents
@@ -1162,6 +1213,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n_docs
             FROM ex GROUP BY bigram
             ORDER BY n_docs DESC, bigram ASC LIMIT 20
+        """,
+        "repetition_scores": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE text IS NOT NULL),
+            tfc AS (
+              SELECT doc_id, term, count(*) AS n
+              FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+              WHERE term <> '' GROUP BY doc_id, term),
+            agg AS (
+              SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
+                     count(*) AS n_distinct
+              FROM tfc GROUP BY doc_id),
+            big AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                    i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
+              FROM docs)
+            SELECT a.doc_id, a.n_tokens,
+                   round(a.top_n / a.n_tokens, 6) AS top_token_ratio,
+                   round(1 - a.n_distinct / a.n_tokens, 6) AS dup_token_ratio,
+                   round(1 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_ratio
+            FROM agg a JOIN big b ON a.doc_id = b.doc_id
         """,
         "quality_scores": """
             WITH t AS (

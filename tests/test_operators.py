@@ -703,3 +703,93 @@ def test_bigram_doc_freq_counts_docs_not_occurrences(spark):
     assert out["data big"] == 1
     assert out["small data"] == 1
     assert "data" not in out  # full bigrams only for multi-token docs
+
+
+def test_asof_join_backward_semantics(spark):
+    from xhtmlkit_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 50), (2, 100, 10), (3, 200, 50), (4, None, 50), (5, 100, None)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 20, 7, 1.5),   # matched by eid=1 (ties below beat it? no: ts 20 < 50)
+            (100, 50, 8, 2.5),   # ts == left ts -> matches; tie with next row
+            (100, 50, 9, None),  # equal ts, higher tie wins even with NULL value
+            (100, 60, 10, 4.5),  # in the future -> never matches backward
+            (200, None, 11, 5.0),  # NULL right ts dropped
+            (None, 10, 12, 6.0),   # NULL right key dropped
+        ],
+        "k long, t long, tie long, v double",
+    )
+    out = asof_join(
+        left.withColumnRenamed("t", "lts"),
+        right.withColumnRenamed("t", "rts"),
+        left_on="k", right_on="k", left_ts="lts", right_ts="rts",
+        value_cols=["tie", "v"], right_tie="tie",
+    )
+    got = {r["eid"]: (r["tie"], r["v"]) for r in out.collect()}
+    assert got[1] == (9, None)     # highest tie at equal ts; its genuine NULL v kept
+    assert got[2] == (None, None)  # no order at/before ts=10
+    assert got[3] == (None, None)  # key 200 has only NULL-ts rows
+    assert got[4] == (None, None)  # NULL left key -> no match
+    assert got[5] == (None, None)  # NULL left ts -> no match
+    assert len(got) == 5           # left-outer: every left row kept
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from xhtmlkit_spark.operators.asof import asof_join
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(100)), (3, 1, ts(500))],
+        "eid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 5, "a"), (1, ts(10), 4, "b"), (1, ts(400), 6, "c")],
+        "k long, rts timestamp, tie long, v string",
+    )
+    fwd = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], right_tie="tie", direction="forward",
+    )
+    got = {r["eid"]: r["v"] for r in fwd.collect()}
+    # earliest future row; equal-ts tie -> LOWEST tie wins forward
+    assert got == {1: "b", 2: "c", 3: None}
+
+    tol = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], right_tie="tie", direction="forward",
+        tolerance_seconds=50,
+    )
+    got_tol = {r["eid"]: r["v"] for r in tol.collect()}
+    assert got_tol == {1: "b", 2: None, 3: None}  # 300s gap nulled by tolerance
+
+
+def test_repetition_scores_flag_repetitive_docs(spark):
+    from xhtmlkit_spark.operators.text_stats import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # fully repetitive
+            (2, "all words here are different"),  # no repetition
+            (3, "one"),                           # single token: ratios 0
+            (4, None),                            # dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["dup_token_ratio"] == 0.75
+    assert out[1]["dup_bigram_ratio"] == pytest.approx(2 / 3)
+    assert out[2]["top_token_ratio"] == 0.2
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["dup_bigram_ratio"] == 0.0
+    assert out[3]["n_tokens"] == 1 and out[3]["dup_bigram_ratio"] == 0.0

@@ -1,0 +1,142 @@
+"""As-of (point-in-time) join — the time-series join Spark lacks.
+
+For every left row, find the single right row with the same key whose
+timestamp is the latest one ``<=`` the left timestamp (``backward``,
+the default) or the earliest one ``>=`` it (``forward``). The classic
+uses: enrich an event with the most recent dimension version, a trade
+with the prevailing quote, a document with the last crawl of its seed.
+
+Spark has no ASOF JOIN operator, and the naive encoding — an
+inequality join followed by a per-left-row ranking — materializes
+every (left, right-candidate) pair first: with R right rows per key
+that is an O(L·R) blow-up per key before the rank prunes it back,
+plus a BroadcastNestedLoop/range-join risk if the planner misses the
+equi-key. This implementation uses the union-scan formulation
+instead:
+
+    tag left rows side=1 and right rows side=0, union them, and run
+    ONE window per key ordered by (ts, side, tie): ``last(value,
+    ignorenulls=True)`` over the unbounded-preceding frame carries
+    each right row's payload forward to every later left row.
+
+Cost is a single hash shuffle on the key plus a per-key sort —
+identical to what a sort-merge equi join would pay, with NO
+intermediate pair blow-up, so it survives keys with millions of rows
+on both sides. Skew note: the window needs full per-key ordering, so
+per-key salting cannot apply; a genuinely hot key is bounded by
+(L_k + R_k) log-sort cost, not L_k·R_k.
+
+Semantics (all deterministic, mirrored by the DuckDB contract
+oracle):
+
+* ties on the right timestamp are broken by ``right_tie`` (highest
+  wins for backward, lowest for forward);
+* a right row exactly at the left timestamp matches in BOTH
+  directions (<= / >=);
+* right rows with a NULL key or NULL timestamp can never match and
+  are dropped up front;
+* left rows keep left-outer semantics: no qualifying right row (or a
+  match outside ``tolerance``) yields NULL payload columns; a NULL
+  left timestamp never matches (sorts before every right row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tie: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left-outer as-of join; returns all left columns plus
+    ``value_cols`` (and nothing else) from the matched right row.
+
+    ``right_tie``: right column breaking equal-timestamp ties
+    (defaults to the first value column). ``tolerance_seconds``:
+    matches farther than this from the left timestamp are nulled out
+    (left row kept).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tie = right_tie or value_cols[0]
+    carry = list(dict.fromkeys([*value_cols, right_ts]))  # right_ts rides for tolerance
+
+    left_cols = left.columns
+    overlap = set(left_cols) & set(carry)
+    if overlap:
+        raise ValueError(f"left/right column collision: {sorted(overlap)}")
+
+    # backward scans time ascending and carries the LAST right payload
+    # forward; at an equal timestamp the right row must sort BEFORE the
+    # left row to be visible (side 0 < 1). forward mirrors everything.
+    back = direction == "backward"
+    l_side, r_side = (1, 0) if back else (0, 1)
+
+    r_clean = right.where(F.col(right_on).isNotNull() & F.col(right_ts).isNotNull())
+    # the matched row's payload travels as ONE always-non-null struct:
+    # per-column last(ignorenulls) would skip a matched row's genuine
+    # NULL value and resurrect a stale earlier one, silently mixing two
+    # right rows into a single output row
+    payload_t = (
+        r_clean.select(F.struct(*carry).alias("__xk_payload")).schema["__xk_payload"].dataType
+    )
+    l_tagged = left.select(
+        F.col(left_on).alias("__xk_key"),
+        F.col(left_ts).alias("__xk_ts"),
+        F.lit(l_side).alias("__xk_side"),
+        F.lit(None).cast(r_clean.schema[tie].dataType).alias("__xk_tie"),
+        F.lit(None).cast(payload_t).alias("__xk_payload"),
+        *left_cols,
+    )
+    r_tagged = r_clean.select(
+        F.col(right_on).alias("__xk_key"),
+        F.col(right_ts).alias("__xk_ts"),
+        F.lit(r_side).alias("__xk_side"),
+        F.col(tie).alias("__xk_tie"),
+        F.struct(*carry).alias("__xk_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    if back:
+        order = [F.asc("__xk_ts"), F.asc("__xk_side"), F.asc("__xk_tie")]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # first() scans forward: smallest ts wins, then (asc) lowest tie
+        order = [F.asc("__xk_ts"), F.asc("__xk_side"), F.asc("__xk_tie")]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    w = Window.partitionBy("__xk_key").orderBy(*order).rowsBetween(*frame)
+
+    out = u.withColumn("__xk_payload", pick("__xk_payload").over(w)).where(
+        F.col("__xk_side") == l_side
+    )
+
+    match = F.col("__xk_payload")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__xk_ts").cast("double") - match[right_ts].cast("double")
+        )
+        match = F.when(
+            match.isNotNull() & (gap <= F.lit(float(tolerance_seconds))), match
+        )
+        out = out.withColumn("__xk_payload", match)
+
+    keep = [c for c in carry if c != right_ts or right_ts in value_cols]
+    return out.select(
+        *left_cols, *[F.col("__xk_payload")[c].alias(c) for c in keep]
+    )

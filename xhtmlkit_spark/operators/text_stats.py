@@ -26,6 +26,7 @@ __all__ = [
     "with_fingerprints",
     "tfidf_top_terms",
     "bigram_doc_freq",
+    "repetition_scores",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -223,4 +224,62 @@ def bigram_doc_freq(df: DataFrame, top_n: int = 20, text: str = "text") -> DataF
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("bigram"))
         .limit(top_n)
+    )
+
+
+def repetition_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    * ``top_token_ratio`` — share of the single most frequent token;
+    * ``dup_token_ratio`` — 1 - distinct/total tokens;
+    * ``dup_bigram_ratio`` — 1 - distinct/total word bigrams.
+
+    Highly repetitive machine-generated or boilerplate pages score
+    high on all three; real prose stays low. Scale shape: the token
+    mode comes from one explode + two hash aggregations (never a
+    per-row O(n·distinct) array scan — a 1 M-token doc would make
+    that quadratic); the bigram ratios are per-row array expressions
+    with the token split let-bound once (`bind`). Docs with NULL text
+    or no tokens drop (nothing to score).
+    """
+    from xhtmlkit_spark.functions.binding import bind
+
+    docs = df.where(F.col(text).isNotNull())
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(text)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    def bigrams(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        )
+
+    bg = bind(tokens_col(text), bigrams)
+    big = docs.select(
+        "doc_id",
+        F.size(bg).alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).alias("n_dist_bigrams"),
+    )
+    return (
+        agg.join(big, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_n") / F.col("n_tokens"), 6).alias("top_token_ratio"),
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(1 - F.col("n_dist_bigrams") / F.col("n_bigrams"), 6).alias(
+                "dup_bigram_ratio"
+            ),
+        )
     )
