@@ -244,6 +244,28 @@ def _q_running_user_value(spark, sf_dir):
     )
 
 
+def _q_rolling_hour_user_value(spark, sf_dir):
+    """Range-frame window: per event, count/sum of the same user's
+    events in the trailing hour (inclusive). The frame is anchored on
+    exact epoch MICROseconds — cast('long') would truncate sub-second
+    parts and silently change frame membership vs the oracle's
+    INTERVAL arithmetic."""
+    e = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # ts arrives TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        # cast to instant is exact and unix_micros keeps sub-seconds
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
 def _q_rollup_order_stats(spark, sf_dir):
     o = _read(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -477,6 +499,19 @@ def _q_repetition_scores(spark, sf_dir):
     from xhtmlkit_spark.operators.text_stats import repetition_scores
 
     return repetition_scores(_read(spark, sf_dir, "documents"))
+
+
+def _q_contamination_scores(spark, sf_dir):
+    """Decontamination vs a deterministic stand-in benchmark: the
+    md5-hash 5% sample of the corpus itself (engine-portable, so the
+    DuckDB oracle reproduces the exact same benchmark set). Sampled
+    docs score 1.0 by construction — a built-in sanity check."""
+    from xhtmlkit_spark.operators.dedup import contamination_scores
+    from xhtmlkit_spark.operators.sampling import hash_sample
+
+    d = _read(spark, sf_dir, "documents")
+    bench = hash_sample(d, 0.05, key="doc_id", salt="bench")
+    return contamination_scores(d, bench, k=3)
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -795,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_acctbal_per_segment": _q_topk_acctbal_per_segment,
         "q06_revenue_forecast": _q06_revenue_forecast,
         "running_user_value": _q_running_user_value,
+        "rolling_hour_user_value": _q_rolling_hour_user_value,
         "anti_customers_without_orders": _q_anti_customers_without_orders,
         "map_event_props": _q_map_event_props,
         "hourly_event_stats": _q_hourly_event_stats,
@@ -841,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_doc_freq": _q_bigram_doc_freq,
         "repetition_scores": _q_repetition_scores,
+        "contamination_scores": _q_contamination_scores,
         "jaccard_candidates": _q_jaccard_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash": _q_simhash,
@@ -1213,6 +1250,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n_docs
             FROM ex GROUP BY bigram
             ORDER BY n_docs DESC, bigram ASC LIMIT 20
+        """,
+        "rolling_hour_user_value": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 2) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "contamination_scores": f"""
+            WITH {_shingle_sig_cte(3)},
+            bench AS (
+              SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE (('0x' || substr(md5('bench' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0) < 0.05),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM s)
+            SELECT e.doc_id,
+                   count(*) AS n_shingles,
+                   count(b.g) AS n_hits,
+                   round(count(b.g) / count(*), 6) AS contamination
+            FROM ex e LEFT JOIN bench b ON e.g = b.g
+            GROUP BY e.doc_id
         """,
         "repetition_scores": """
             WITH docs AS (

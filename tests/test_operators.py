@@ -793,3 +793,29 @@ def test_repetition_scores_flag_repetitive_docs(spark):
     assert out[2]["dup_token_ratio"] == 0.0
     assert out[2]["dup_bigram_ratio"] == 0.0
     assert out[3]["n_tokens"] == 1 and out[3]["dup_bigram_ratio"] == 0.0
+
+
+def test_contamination_scores_planted_overlap(spark):
+    from xhtmlkit_spark.operators.dedup import contamination_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares its prefix with bench
+            (2, "totally unrelated words here"),  # clean
+            (3, None),                            # dropped
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma zulu"), (11, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in contamination_scores(docs, bench, k=3).collect()}
+    assert set(out) == {1, 2}
+    # doc 1 shingles: {alpha beta gamma, beta gamma delta} -> 1 of 2 in bench
+    assert out[1]["n_shingles"] == 2 and out[1]["n_hits"] == 1
+    assert out[1]["contamination"] == 0.5
+    assert out[2]["n_hits"] == 0 and out[2]["contamination"] == 0.0
+
+    # benchmark side must broadcast (corpus shingles never shuffle)
+    plan = contamination_scores(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

@@ -37,6 +37,7 @@ __all__ = [
     "simhash_col",
     "simhash_band_pairs",
     "jaccard_verify",
+    "contamination_scores",
     "connected_components",
     "near_dup_groups",
 ]
@@ -402,4 +403,50 @@ def jaccard_verify(
         "id_a",
         "id_b",
         F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of its distinct
+    k-shingles that appear anywhere in ``benchmark``.
+
+    The standard pre-training hygiene check — docs overlapping an eval
+    benchmark must be dropped or the eval is compromised. Scale shape:
+    the benchmark side collapses to its DISTINCT shingle set first
+    (|benchmark vocabulary|, not |benchmark rows|), then a single
+    shingle-keyed join + one hash aggregation per doc. Benchmark
+    suites are small next to a training corpus, so the set is
+    broadcast by default (no shuffle of the corpus shingles at all);
+    pass broadcast_benchmark=False to fall back to a partitioned join
+    when the benchmark itself is corpus-sized. NULL-text docs drop
+    (nothing to score) on both sides.
+    """
+    bench = (
+        benchmark.where(F.col(text).isNotNull())
+        .select(F.explode(shingles_col(text, k)).alias("g"))
+        .distinct()
+        .withColumn("__xk_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    ex = df.select("doc_id", F.explode(shingles_col(text, k)).alias("g"))
+    return (
+        ex.join(bench, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__xk_hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
+        )
     )
