@@ -501,6 +501,29 @@ def _q_repetition_scores(spark, sf_dir):
     return repetition_scores(_read(spark, sf_dir, "documents"))
 
 
+def _q_unigram_nll(spark, sf_dir):
+    from xhtmlkit_spark.operators.text_stats import unigram_nll_scores
+
+    return unigram_nll_scores(_read(spark, sf_dir, "documents"))
+
+
+def _q_hourly_resample_user_value(spark, sf_dir):
+    """Per-user hourly grid over the events table with the latest
+    value carried forward — resample_forward_fill composed on
+    asof_join. The oracle uses DuckDB's native ASOF LEFT JOIN, a
+    third independent as-of implementation agreeing with the
+    union-scan window."""
+    from xhtmlkit_spark.operators.asof import resample_forward_fill
+
+    e = _read(spark, sf_dir, "events")
+    out = resample_forward_fill(
+        e, key="user_id", ts="ts", value_col="value", tie_col="event_id"
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("value", 2).alias("fill_value")
+    )
+
+
 def _q_contamination_scores(spark, sf_dir):
     """Decontamination vs a deterministic stand-in benchmark: the
     md5-hash 5% sample of the corpus itself (engine-portable, so the
@@ -878,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_doc_freq": _q_bigram_doc_freq,
         "repetition_scores": _q_repetition_scores,
         "contamination_scores": _q_contamination_scores,
+        "unigram_nll": _q_unigram_nll,
+        "hourly_resample_user_value": _q_hourly_resample_user_value,
         "jaccard_candidates": _q_jaccard_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash": _q_simhash,
@@ -1250,6 +1275,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS n_docs
             FROM ex GROUP BY bigram
             ORDER BY n_docs DESC, bigram ASC LIMIT 20
+        """,
+        "unigram_nll": """
+            WITH docs AS (
+              SELECT doc_id, lower(text) AS text FROM documents
+              WHERE text IS NOT NULL),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM docs),
+            tf AS (
+              SELECT doc_id, term, count(*) AS n
+              FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            cf AS (SELECT term, sum(n) AS cn FROM tf GROUP BY term),
+            tot AS (SELECT sum(cn)::DOUBLE AS corpus_tokens FROM cf)
+            SELECT t.doc_id, sum(t.n) AS n_tokens,
+                   round(sum(t.n * -ln(c.cn / corpus_tokens)) / sum(t.n), 6)
+                     AS mean_nll
+            FROM tf t JOIN cf c USING (term) CROSS JOIN tot
+            GROUP BY t.doc_id
+        """,
+        "hourly_resample_user_value": """
+            WITH dedup AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS v
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY user_id, ts),
+            bounds AS (
+              SELECT user_id,
+                     make_timestamp((epoch_us(min(ts)) // 3600000000)
+                                    * 3600000000) AS t0,
+                     max(ts) AS t1
+              FROM dedup GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+              FROM bounds)
+            SELECT g.user_id, g.grid_ts, round(d.v, 2) AS fill_value
+            FROM grid g ASOF LEFT JOIN dedup d
+              ON g.user_id = d.user_id AND g.grid_ts >= d.ts
         """,
         "rolling_hour_user_value": """
             SELECT event_id, user_id,

@@ -819,3 +819,35 @@ def test_contamination_scores_planted_overlap(spark):
     # benchmark side must broadcast (corpus shingles never shuffle)
     plan = contamination_scores(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resample_forward_fill_grid_and_ties(spark):
+    from xhtmlkit_spark.operators.asof import resample_forward_fill
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, ts(10), 1.0),
+            (2, 7, ts(150), 2.0),
+            (3, 7, ts(150), 3.0),  # same instant: higher event_id wins
+            (4, 8, ts(0), 9.0),    # grid point exactly at the observation
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = resample_forward_fill(
+        df, key="user_id", ts="ts", value_col="value", tie_col="event_id"
+    )
+    got = {(r["user_id"], r["grid_ts"]): r["value"] for r in out.collect()}
+    # user 7: grid 00:00 (before first obs -> NULL), 01:00, 02:00
+    assert got[(7, ts(0))] is None
+    assert got[(7, ts(60))] == 1.0
+    assert got[(7, ts(120))] == 1.0
+    assert (7, ts(180)) not in got  # grid stops at max ts (02:30)
+    # user 8: single point, observation exactly on the grid
+    assert got[(8, ts(0))] == 9.0
+    assert len(got) == 4

@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "resample_forward_fill"]
 
 
 def asof_join(
@@ -139,4 +139,66 @@ def asof_join(
     keep = [c for c in carry if c != right_ts or right_ts in value_cols]
     return out.select(
         *left_cols, *[F.col("__xk_payload")[c].alias(c) for c in keep]
+    )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    tie_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key regular time grid with last-observation-carried-forward.
+
+    Emits one row per ``step_seconds`` from floor(min ts) to max ts of
+    each key, carrying the most recent ``value_col`` forward (grid
+    points before the first observation stay NULL). The gap-filling /
+    resample primitive Spark lacks natively.
+
+    Built by composition: the grid is a per-key ``sequence`` over
+    epoch microseconds (two hash aggs: bounds then explode — grid size
+    is (span/step) per key, never |rows|·|grid|), and the fill is
+    ``asof_join(grid, observations)`` — i.e. ONE extra key shuffle,
+    no inequality-pair blow-up. Observations are first reduced to one
+    row per (key, ts) keeping the value of the highest ``tie_col``,
+    which makes the fill deterministic when two rows share an exact
+    timestamp.
+
+    Timestamps are handled in exact epoch microseconds; the returned
+    ``grid_ts`` is TIMESTAMP_NTZ (engine-portable under the pinned-UTC
+    session; see CLAUDE.md on LTZ collect()).
+    """
+    step_us = int(step_seconds) * 1_000_000
+    obs = (
+        df.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .withColumn("__xk_us", F.unix_micros(F.col(ts).cast("timestamp")))
+        .groupBy(key, "__xk_us")
+        .agg(F.max_by(value_col, tie_col).alias(value_col))
+    )
+    bounds = obs.groupBy(key).agg(
+        ((F.min("__xk_us") / step_us).cast("long") * step_us).alias("__xk_t0"),
+        F.max("__xk_us").alias("__xk_t1"),
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence("__xk_t0", "__xk_t1", F.lit(step_us))
+        ).alias("__xk_grid_us"),
+    )
+    filled = asof_join(
+        grid,
+        obs,
+        left_on=key,
+        right_on=key,
+        left_ts="__xk_grid_us",
+        right_ts="__xk_us",
+        value_cols=[value_col],
+        right_tie="__xk_us",  # unique per key after the reduce
+    )
+    return filled.select(
+        key,
+        F.timestamp_micros(F.col("__xk_grid_us")).cast("timestamp_ntz").alias("grid_ts"),
+        value_col,
     )

@@ -27,6 +27,7 @@ __all__ = [
     "tfidf_top_terms",
     "bigram_doc_freq",
     "repetition_scores",
+    "unigram_nll_scores",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -281,5 +282,41 @@ def repetition_scores(df: DataFrame, text: str = "text") -> DataFrame:
             F.round(1 - F.col("n_dist_bigrams") / F.col("n_bigrams"), 6).alias(
                 "dup_bigram_ratio"
             ),
+        )
+    )
+
+
+def unigram_nll_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean negative
+    log-likelihood under the corpus's own unigram LM (the standard
+    cheap stand-in for a KenLM filter — gibberish and boilerplate
+    score high, typical prose low).
+
+    p(term) = corpus_count(term) / corpus_tokens;
+    mean_nll = Σ tf(doc,term)·(-ln p(term)) / Σ tf(doc,term).
+
+    Scale shape: one explode feeds BOTH aggregations (per-doc tf and
+    the corpus LM); the join back is tf-rows ⋈ |vocabulary|, never
+    one row per token occurrence, and the corpus total is a broadcast
+    1-row aggregate.
+    """
+    docs = df.where(F.col(text).isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    cf = tf.groupBy("term").agg(F.sum("n").alias("cn"))
+    total = cf.agg(F.sum("cn").cast("double").alias("corpus_tokens"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * -F.log(F.col("cn") / F.col("corpus_tokens")))
+                / F.sum("n"),
+                6,
+            ).alias("mean_nll"),
         )
     )
