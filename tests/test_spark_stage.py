@@ -455,3 +455,66 @@ def test_iceberg_write_read_roundtrip(spark, corpus_path, tmp_path):
     one_part = out.where(F.col("part") == out.select("part").first()["part"])
     write_spans(one_part, table, fmt="iceberg")
     assert read_corpus(spark, table, fmt="iceberg").count() == out.count()
+
+
+def test_build_training_corpus_incremental_exclusion(spark, tmp_path):
+    """v2 builds with exclude_corpus_path must drop content already in
+    v1: byte-identical docs via the exact content-key tier, near-dup
+    variants via the cross-corpus LSH tier; genuinely new docs land."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs through the quiet field while the dog sleeps near the "
+        "old barn under the warm summer sun with the birds singing in "
+        "the tall green trees beside the slow river all afternoon long"
+    )
+
+    def write_corpus(path, docs):
+        rows = {
+            "doc_id": list(docs),
+            "spans": [
+                [{"kind": "html", "text": f"<p>{t}</p>", "media_ref": None, "offset": 0}]
+                for t in docs.values()
+            ],
+            "part": list(range(len(docs))),
+        }
+        pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), path)
+
+    v1_corpus = str(tmp_path / "v1_corpus.parquet")
+    write_corpus(v1_corpus, {"v1_a": base})
+    v1_out = str(tmp_path / "train_v1")
+    build_training_corpus(
+        spark, v1_corpus, v1_out, langs=("en",), min_quality=0.0, min_tokens=1
+    )
+
+    v2_corpus = str(tmp_path / "v2_corpus.parquet")
+    write_corpus(
+        v2_corpus,
+        {
+            "v2_copy": base,                              # exact tier
+            "v2_near": base.replace("summer", "winter"),  # cross-LSH tier
+            "v2_new": "a brand new page about iceberg snapshot lineage "
+            "and manifest files that no earlier corpus ever contained",
+        },
+    )
+    v2_out = str(tmp_path / "train_v2")
+    funnel = build_training_corpus(
+        spark, v2_corpus, v2_out, langs=("en",), min_quality=0.0, min_tokens=1,
+        exclude_corpus_path=v1_out,
+    )
+    ids = {r["doc_id"] for r in spark.read.parquet(v2_out).select("doc_id").collect()}
+    assert ids == {"v2_new"}
+    assert funnel["extracted"] == 3 and funnel["deduped"] == 1
+    assert funnel["written"] == 1
+
+    # without exclusion the same corpus keeps a representative of each
+    funnel_all = build_training_corpus(
+        spark, v2_corpus, str(tmp_path / "train_v2_all"), langs=("en",),
+        min_quality=0.0, min_tokens=1,
+    )
+    assert funnel_all["deduped"] == 2  # v2_copy≈v2_near collapse, v2_new

@@ -79,6 +79,7 @@ def build_training_corpus(
     num_partitions: int | None = None,
     near_dup: str | None = "both",
     jaccard_threshold: float = 0.8,
+    exclude_corpus_path: str | None = None,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -93,6 +94,19 @@ def build_training_corpus(
     round, and the final write — reads the checkpoint instead of
     re-running extraction. On a real cluster swap localCheckpoint for a
     reliable checkpoint dir; the shape is otherwise unchanged.
+
+    ``exclude_corpus_path`` makes the build INCREMENTAL: content
+    already in that previously-built training set (the output of an
+    earlier build) never re-enters. Two tiers, both folded into
+    ``is_keeper`` before the funnel observes it: (1) exact — the
+    prior set collapses to its DISTINCT content keys and anti-joins
+    the new docs; (2) when the near-dup tier is LSH-enabled, the same
+    banding runs over new ∪ prior and any new doc whose verified
+    cross pair touches prior content drops — and with it any of its
+    own group members it represented (the group is prior-adjacent by
+    transitivity). A production deployment would persist the prior
+    signatures instead of recomputing them; the join shape is
+    identical either way.
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
@@ -134,6 +148,48 @@ def build_training_corpus(
             F.col("is_keeper")
             & (F.col("doc_id") == F.coalesce(F.col("group_id"), F.col("doc_id"))),
         )
+
+    if exclude_corpus_path:
+        prior = spark.read.parquet(exclude_corpus_path).select("doc_id", "text")
+        prior_keys = (
+            prior.select(F.md5(normalized_text("text")).alias("content_key"))
+            .distinct()
+            .withColumn("__xk_prior", F.lit(1))
+        )
+        flagged = (
+            flagged.join(prior_keys, "content_key", "left")
+            .withColumn("is_keeper", F.col("is_keeper") & F.col("__xk_prior").isNull())
+            .drop("__xk_prior")
+        )
+        if near_dup in ("lsh", "both"):
+            marker = "\x00prior\x00"
+            tagged = docs.select("doc_id", "text").unionByName(
+                prior.select(
+                    F.concat(F.lit(marker), F.col("doc_id")).alias("doc_id"), "text"
+                )
+            )
+            verified = jaccard_verify(lsh_candidate_pairs(tagged), tagged).where(
+                F.col("jaccard") >= jaccard_threshold
+            )
+            a_prior = F.col("id_a").startswith(marker)
+            b_prior = F.col("id_b").startswith(marker)
+            hit_new = (
+                verified.where(a_prior != b_prior)
+                .select(
+                    F.when(a_prior, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                        "doc_id"
+                    )
+                )
+                .distinct()
+                .withColumn("__xk_nd_prior", F.lit(1))
+            )
+            flagged = (
+                flagged.join(hit_new, "doc_id", "left")
+                .withColumn(
+                    "is_keeper", F.col("is_keeper") & F.col("__xk_nd_prior").isNull()
+                )
+                .drop("__xk_nd_prior")
+            )
 
     one = F.lit(1).cast("long")
     keep = F.col("is_keeper")
