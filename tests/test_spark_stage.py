@@ -518,3 +518,35 @@ def test_build_training_corpus_incremental_exclusion(spark, tmp_path):
         min_quality=0.0, min_tokens=1,
     )
     assert funnel_all["deduped"] == 2  # v2_copy≈v2_near collapse, v2_new
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """write_bucketed: two tables bucketed on the join key sort-merge
+    join with ZERO exchanges — the 100 TB co-located-join layout."""
+    from xhtmlkit_spark.sources.io import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}'")
+    try:
+        a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bkt_test.ta", "k", n_buckets=4)
+        write_bucketed(b, "bkt_test.tb", "k", n_buckets=4)
+
+        ta, tb = spark.table("bkt_test.ta"), spark.table("bkt_test.tb")
+        joined = ta.hint("merge").join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 1000
+
+        # contrast: the same data as plain path parquet DOES shuffle
+        pa_, pb_ = str(tmp_path / "pa"), str(tmp_path / "pb")
+        a.write.mode("overwrite").parquet(pa_)
+        b.write.mode("overwrite").parquet(pb_)
+        plain = (
+            spark.read.parquet(pa_).hint("merge").join(spark.read.parquet(pb_), "k")
+        )
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan2, plan2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
