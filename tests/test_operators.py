@@ -851,3 +851,52 @@ def test_resample_forward_fill_grid_and_ties(spark):
     # user 8: single point, observation exactly on the grid
     assert got[(8, ts(0))] == 9.0
     assert len(got) == 4
+
+
+def test_foreach_batch_upsert_exactly_once_layout(spark, tmp_path):
+    """foreachBatch sink: per-batch overwrite directories make replayed
+    micro-batches idempotent, and a resumed stream delivers only new
+    batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.streaming.jobs import run_foreach_batch_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_file(name, ids):
+        pq.write_table(pa.table({"event_id": ids, "value": [float(i) for i in ids]}),
+                       str(src / name))
+
+    add_file("f1.parquet", [1, 2, 3])
+    add_file("f2.parquet", [4, 5])
+
+    schema = "event_id long, value double"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    n1 = run_foreach_batch_upsert(stream(), out, ckpt)
+    assert n1 == 2  # one micro-batch per file
+    landed = spark.read.option("basePath", out).parquet(out)
+    assert {r["event_id"] for r in landed.collect()} == {1, 2, 3, 4, 5}
+    assert {r["batch_id"] for r in landed.select("batch_id").collect()} == {0, 1}
+
+    # simulated REPLAY of batch 1 (same pinned content) changes nothing
+    replay = spark.createDataFrame([(4, 4.0), (5, 5.0)], schema)
+    replay.write.mode("overwrite").parquet(f"{out}/batch_id=1")
+    assert spark.read.option("basePath", out).parquet(out).count() == 5
+
+    # resume: a new file yields exactly one new batch, old dirs intact
+    add_file("f3.parquet", [6])
+    n2 = run_foreach_batch_upsert(stream(), out, ckpt)
+    assert n2 == 1
+    landed2 = spark.read.option("basePath", out).parquet(out)
+    assert {r["event_id"] for r in landed2.collect()} == {1, 2, 3, 4, 5, 6}
+    assert {r["batch_id"] for r in landed2.select("batch_id").collect()} == {0, 1, 2}

@@ -57,6 +57,7 @@ def _drain_conf(spark: SparkSession, n: int = DRAIN_SHUFFLE_PARTITIONS):
 __all__ = [
     "read_events_stream",
     "run_available_now",
+    "run_foreach_batch_upsert",
     "hourly_counts_stream",
     "sliding_counts_stream",
     "session_windows_stream",
@@ -467,3 +468,45 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Production sink pattern: foreachBatch with idempotent batch
+    delivery — exactly-once OUTPUT on top of Structured Streaming's
+    at-least-once batch replay.
+
+    The checkpoint makes Spark re-offer a micro-batch after a crash
+    between sink write and offset commit; a sink that blindly appends
+    would double-write it. Each batch therefore lands in its own
+    ``batch_id=N`` directory with mode("overwrite"): a replay of batch
+    N overwrites batch N with identical content instead of duplicating
+    it (the batch's input is pinned by the checkpointed offsets, so
+    the rewrite is byte-stable). This is the parquet stand-in for the
+    Iceberg/Delta MERGE the same callback would run in prod.
+
+    Drains with availableNow (bounded, resumable); returns the number
+    of micro-batches delivered this run.
+    """
+    delivered = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch_id={batch_id}")
+            )
+        )
+        delivered.append(batch_id)
+
+    with _drain_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return len(delivered)
