@@ -110,6 +110,24 @@ PDF15_MULTIPAGE = make_fixture_pdf_15(
 )
 
 # case = (name, spans | html | raw_b64 [, base_url])
+# RC4 standard-security encryption (empty user password): /R 2 40-bit
+# and /R 3 128-bit, plus Flate-under-RC4 (decrypt BEFORE inflate) and
+# the locked (/U mismatch) document degrading to no spans
+from xkit.pdfmini import make_fixture_pdf_encrypted  # noqa: E402
+
+PDF_ENC_R2 = make_fixture_pdf_encrypted(
+    [["Forty bit rc4 secret", "second line"]], r=2
+)
+PDF_ENC_R3 = make_fixture_pdf_encrypted(
+    [["One two eight bit secret"], ["owner locked block"]], r=3
+)
+PDF_ENC_R3_FLATE = make_fixture_pdf_encrypted(
+    [["Encrypted then deflated text"]], r=3, compress=True
+)
+PDF_ENC_LOCKED = make_fixture_pdf_encrypted(
+    [["never readable"]], r=3, corrupt_u=True
+)
+
 CASES = {
     "malformed_markup": [
         ("p_implicit_close", "<p>paragraph one text<p>paragraph two text"),
@@ -357,6 +375,10 @@ CASES = {
         ("pdf15_xrefstream_objstm_predictor", [("pdf", PDF15_OBJSTM, None)]),
         ("pdf15_xrefstream_plain_rows", [("pdf", PDF15_PLAIN, None)]),
         ("pdf15_xrefstream_multipage", [("pdf", PDF15_MULTIPAGE, None)]),
+        ("pdf_rc4_r2_encrypted", [("pdf", PDF_ENC_R2, None)]),
+        ("pdf_rc4_r3_encrypted", [("pdf", PDF_ENC_R3, None)]),
+        ("pdf_rc4_flate_under_encryption", [("pdf", PDF_ENC_R3_FLATE, None)]),
+        ("pdf_user_locked_degrades_empty", [("pdf", PDF_ENC_LOCKED, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the

@@ -351,3 +351,60 @@ def test_objstm_depth_guard_never_loops():
 
     offsets = {1: (2, 0), 2: (1, 0)}
     assert _object_at(b"%PDF-1.5", 1, offsets) is None
+
+
+class TestEncryption:
+    def test_rc4_known_vector(self):
+        from xkit.pdfmini import _rc4
+
+        # classic RC4 test vector (key "Key", plaintext "Plaintext")
+        out = _rc4(b"Key", b"Plaintext")
+        assert out.hex() == "bbf316e8d940af0ad3"
+        assert _rc4(b"Key", out) == b"Plaintext"  # symmetric
+
+    def test_r2_and_r3_roundtrip(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        for r in (2, 3):
+            pdf = make_fixture_pdf_encrypted(
+                [["Alpha secret line", "beta line"], ["gamma block"]], r=r
+            )
+            assert extract_pdf_text(pdf) == [
+                "Alpha secret line beta line",
+                "gamma block",
+            ]
+            # ciphertext really is opaque: plaintext absent from the bytes
+            assert "Alpha secret" not in pdf
+
+    def test_flate_under_rc4(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted([["compressed secret words"]], compress=True)
+        assert extract_pdf_text(pdf) == ["compressed secret words"]
+
+    def test_user_locked_degrades_empty(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted([["hidden"]], corrupt_u=True, compress=True)
+        assert extract_pdf_text(pdf) == []
+
+    def test_corrupt_encrypt_dict_never_raises(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted([["x y z words"]], r=3)
+        # truncate /O, strip /ID, nonsense /V — each must degrade, not raise
+        for mangled in (
+            pdf.replace("/O <", "/O <00", 1),
+            pdf.replace("/ID", "/XD"),
+            pdf.replace("/V 2", "/V 9"),
+            pdf[: pdf.find("/U")] + ">>\nendobj\n%%EOF",
+        ):
+            assert isinstance(extract_pdf_text(mangled), list)
+
+    def test_owner_password_variation_changes_o_not_text(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        a = make_fixture_pdf_encrypted([["same text"]], owner_pwd=b"one")
+        b = make_fixture_pdf_encrypted([["same text"]], owner_pwd=b"two")
+        assert a != b  # /O differs -> file key differs -> ciphertext differs
+        assert extract_pdf_text(a) == extract_pdf_text(b) == ["same text"]

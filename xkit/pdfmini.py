@@ -51,9 +51,19 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   still take the byte-order fallback (which also never sees CMaps —
   page↔font association needs the tree walk).
 
+* **RC4 standard-security decryption** (legacy encrypted PDFs):
+  ``/Filter /Standard`` with ``/V 1|2`` + ``/R 2|3`` (40/128-bit RC4)
+  and an EMPTY user password — the common owner-locked-but-readable
+  case. The file key is derived per spec algorithm 2 (padded password,
+  /O, /P, first /ID element; 50 MD5 rounds for /R 3) and validated
+  against /U (algorithms 4/5) before use; per-object keys are
+  MD5(key + objnum₃ + gen₂). Failing the /U check (a real user
+  password) or any other scheme (AES /V 4+ — no cipher in the
+  sandbox) degrades to skipped streams, never garbage output.
+
 Out of scope, documented: full font CMaps (CID-keyed, embedded
-program tables), encryption, TIFF predictor 2, and the array form of
-``bfrange`` destinations.
+program tables), AES encryption (/V 4+) and non-empty user passwords,
+TIFF predictor 2, and the array form of ``bfrange`` destinations.
 
 Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
 text object is one output block; ``Tj``/``TJ`` strings within it are
@@ -65,10 +75,16 @@ documented here and in FIXTURES.md.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
-__all__ = ["extract_pdf_text", "make_fixture_pdf", "make_fixture_pdf_15"]
+__all__ = [
+    "extract_pdf_text",
+    "make_fixture_pdf",
+    "make_fixture_pdf_15",
+    "make_fixture_pdf_encrypted",
+]
 
 # no EOL requirement before `endstream`: a compressed body whose final
 # byte happens to be 0x0D/0x0A would lose it to `\r?\n` and fail to
@@ -300,6 +316,156 @@ def _decode_stream(obj: bytes) -> bytes | None:
     return body
 
 
+# RC4 standard-security-handler decryption (legacy encrypted PDFs).
+# Scope: /Filter /Standard with /V 1|2 and /R 2|3 (the 40/128-bit RC4
+# generation), EMPTY user password — the overwhelmingly common
+# "owner-locked but world-readable" case. AES (/V 4+) needs a cipher
+# the sandbox doesn't ship and stays out of scope; a failed /U check
+# (real user password) degrades to skipped streams, never garbage.
+# Per spec the xref stream and the /Encrypt dict itself are NOT
+# encrypted; ObjStm members inherit their container's decryption.
+
+_PDF_PAD = bytes(
+    (
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    )
+)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ENC_INT_RE = {
+    k: re.compile(rb"/%s\s+(-?\d+)" % k) for k in (b"V", b"R", b"P", b"Length")
+}
+_ENC_STR_RE = {
+    k: re.compile(
+        rb"/%s\s*(?:\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>)" % k, re.DOTALL
+    )
+    for k in (b"O", b"U")
+}
+_OCT_ESC_RE = re.compile(rb"\\([0-7]{1,3})")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA). Pure Python — fine at dialect-fixture
+    sizes; a corpus-scale encrypted-PDF path would want a C cipher."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_string_bytes(lit: bytes | None, hx: bytes | None) -> bytes | None:
+    """Raw bytes of a PDF string: literal form with \\-escapes (named,
+    octal, escaped delimiters) or hex form."""
+    if hx is not None:
+        h = re.sub(rb"\s+", b"", hx)
+        if len(h) % 2:
+            h += b"0"
+        try:
+            return bytes.fromhex(h.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if lit is None:
+        return None
+    lit = _OCT_ESC_RE.sub(lambda m: bytes([int(m.group(1), 8) & 0xFF]), lit)
+    for esc, raw in (
+        (rb"\n", b"\n"), (rb"\r", b"\r"), (rb"\t", b"\t"), (rb"\b", b"\b"),
+        (rb"\f", b"\f"), (rb"\(", b"("), (rb"\)", b")"), (rb"\\", b"\\"),
+    ):
+        lit = lit.replace(esc, raw)
+    return lit
+
+
+def _std_file_key(
+    o: bytes, p: int, id0: bytes, r: int, length_bits: int, user_pwd: bytes = b""
+) -> bytes:
+    """Standard-handler algorithm 2: the file encryption key."""
+    pad_pwd = (user_pwd + _PDF_PAD)[:32]
+    h = hashlib.md5(
+        pad_pwd + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    n = max(5, min(16, length_bits // 8)) if r >= 3 else 5
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Expected /U prefix for ``key`` (algorithms 4/5)."""
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    x = hashlib.md5(_PDF_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x  # 16 bytes; the other 16 of /U are arbitrary padding
+
+
+class _StdDecryptor:
+    """Per-object RC4 decryption from a validated file key."""
+
+    def __init__(self, key: bytes):
+        self._key = key
+
+    def decrypt(self, num: int, gen: int, body: bytes) -> bytes:
+        h = hashlib.md5(
+            self._key
+            + (num & 0xFFFFFF).to_bytes(3, "little")
+            + (gen & 0xFFFF).to_bytes(2, "little")
+        ).digest()
+        return _rc4(h[: min(len(self._key) + 5, 16)], body)
+
+
+def _find_encryption(data: bytes, offsets: dict):
+    """_StdDecryptor for an encrypted document, or None (unencrypted,
+    or an unsupported/locked scheme — extraction then degrades to
+    skipping the undecodable streams)."""
+    ref = None
+    for m in _ENCRYPT_REF_RE.finditer(data):  # last trailer wins
+        ref = m
+    if ref is None:
+        return None
+    enc = _object_at(data, int(ref.group(1)), offsets)  # never encrypted itself
+    if enc is None or re.search(rb"/Filter\s*/Standard\b", enc) is None:
+        return None
+    ints = {
+        k.decode(): int(r.group(1)) if (r := rx.search(enc)) else None
+        for k, rx in _ENC_INT_RE.items()
+    }
+    v, r, p = ints["V"], ints["R"], ints["P"]
+    if v not in (1, 2) or r not in (2, 3) or p is None:
+        return None
+    o_m = _ENC_STR_RE[b"O"].search(enc)
+    o = _pdf_string_bytes(o_m.group(1), o_m.group(2)) if o_m else None
+    if o is None or len(o) < 32:
+        return None
+    id_m = None
+    for m in _ID_RE.finditer(data):
+        id_m = m
+    id0 = _pdf_string_bytes(None, id_m.group(1)) if id_m else b""
+    key = _std_file_key(o, p, id0 or b"", r, ints["Length"] or 40)
+    u_m = _ENC_STR_RE[b"U"].search(enc)
+    u = _pdf_string_bytes(u_m.group(1), u_m.group(2)) if u_m else None
+    if u is not None:
+        expect = _std_user_check(key, id0 or b"", r)
+        if u[: len(expect)] != expect:
+            return None  # real user password — cannot decrypt
+    return _StdDecryptor(key)
+
+
 # classic xref-table machinery
 _XREF_SUB_RE = re.compile(rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*[\r\n]+")
 _XREF_ENT_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
@@ -339,27 +505,44 @@ def _parse_xref_tables(data: bytes) -> dict:
     return offsets
 
 
-def _object_at(data: bytes, objnum: int, offsets: dict, _depth: int = 0) -> bytes | None:
+def _object_at(
+    data: bytes, objnum: int, offsets: dict, _depth: int = 0, dec=None
+) -> bytes | None:
     """Resolve one object: int entries are byte offsets (classic xref /
     xref-stream type 1), tuple entries are ("container", idx) locations
-    inside a /Type /ObjStm (xref-stream type 2)."""
+    inside a /Type /ObjStm (xref-stream type 2). With ``dec`` set, the
+    object's stream body is RC4-decrypted in place (before any /Filter
+    decode) using its (objnum, gen) key."""
     loc = offsets.get(objnum)
     if loc is None:
         return None
     if isinstance(loc, tuple):
         if _depth > 4:  # corrupt self-referential containers
             return None
-        return _objstm_object(data, loc[0], loc[1], offsets, _depth + 1)
+        return _objstm_object(data, loc[0], loc[1], offsets, _depth + 1, dec)
     if loc >= len(data):
         return None
-    m = re.compile(rb"\s*%d\s+\d+\s+obj\b" % objnum).match(data, loc)
+    m = re.compile(rb"\s*%d\s+(\d+)\s+obj\b" % objnum).match(data, loc)
     if m is None:
         return None
     end = data.find(b"endobj", m.end())
     # an object whose STREAM contains the bytes "endobj" would truncate
     # here; dialect streams never do, and truncation only loses text,
     # never raises
-    return data[m.end() : end if end >= 0 else len(data)]
+    obj = data[m.end() : end if end >= 0 else len(data)]
+    if dec is not None:
+        sm = _STREAM_RE.search(obj)
+        if sm is not None:
+            body = sm.group(1)
+            # _STREAM_RE's capture keeps the EOL that separates the body
+            # from `endstream`; RC4 is positional, so decrypt only the
+            # declared /Length bytes and leave the framing bytes alone
+            lm = _LENGTH_DIRECT_RE.search(obj[: sm.start()])
+            n = int(lm.group(1)) if lm else len(body)
+            n = min(n, len(body))
+            plain = dec.decrypt(objnum, int(m.group(1)), body[:n]) + body[n:]
+            obj = obj[: sm.start(1)] + plain + obj[sm.end(1) :]
+    return obj
 
 
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
@@ -367,12 +550,12 @@ _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
 def _objstm_object(
-    data: bytes, container: int, idx: int, offsets: dict, depth: int
+    data: bytes, container: int, idx: int, offsets: dict, depth: int, dec=None
 ) -> bytes | None:
     """Object #idx inside a /Type /ObjStm container: decode the
     container's stream, read its "objnum offset" header pairs, return
     the object body slice (ObjStm members carry no streams)."""
-    obj = _object_at(data, container, offsets, depth)
+    obj = _object_at(data, container, offsets, depth, dec)
     if obj is None:
         return None
     n_m = _OBJSTM_N_RE.search(obj)
@@ -521,7 +704,7 @@ def _parse_tounicode(body: bytes) -> tuple[dict, int]:
     return cmap, width
 
 
-def _page_cmap(data: bytes, node: bytes, offsets: dict) -> tuple[dict | None, int]:
+def _page_cmap(data: bytes, node: bytes, offsets: dict, dec=None) -> tuple[dict | None, int]:
     """Union of the page's fonts' ToUnicode maps (via /Resources —
     inline dict or indirect ref). Per-Tf font switching is NOT tracked
     (module doc); pages without any ToUnicode get (None, 2) and keep
@@ -529,7 +712,7 @@ def _page_cmap(data: bytes, node: bytes, offsets: dict) -> tuple[dict | None, in
     scopes = [node]
     res_ref = _RESOURCES_REF_RE.search(node)
     if res_ref is not None:
-        res = _object_at(data, int(res_ref.group(1)), offsets)
+        res = _object_at(data, int(res_ref.group(1)), offsets, dec=dec)
         if res is not None:
             scopes.append(res)
     cmap: dict = {}
@@ -540,14 +723,14 @@ def _page_cmap(data: bytes, node: bytes, offsets: dict) -> tuple[dict | None, in
         if fd is None:
             continue
         for ref in _REF_RE.finditer(fd.group(1)):
-            font = _object_at(data, int(ref.group(1)), offsets)
+            font = _object_at(data, int(ref.group(1)), offsets, dec=dec)
             if font is None:
                 continue
             tu = _TOUNICODE_RE.search(font)
             if tu is None:
                 continue
             body = None
-            tu_obj = _object_at(data, int(tu.group(1)), offsets)
+            tu_obj = _object_at(data, int(tu.group(1)), offsets, dec=dec)
             if tu_obj is not None:
                 body = _decode_stream(tu_obj)
             if body is None:
@@ -560,7 +743,7 @@ def _page_cmap(data: bytes, node: bytes, offsets: dict) -> tuple[dict | None, in
     return (cmap, width) if found else (None, 2)
 
 
-def _page_content_objs(data: bytes, offsets: dict) -> list | None:
+def _page_content_objs(data: bytes, offsets: dict, dec=None) -> list | None:
     """Walk trailer /Root → /Pages → /Kids → /Contents; returns
     ``(content_obj_nums, page_node_bytes)`` per page (document order) —
     the node feeds :func:`_page_cmap` — or None when the walk cannot
@@ -570,7 +753,7 @@ def _page_content_objs(data: bytes, offsets: dict) -> list | None:
         root = int(m.group(1))
     if root is None:
         return None
-    catalog = _object_at(data, root, offsets)
+    catalog = _object_at(data, root, offsets, dec=dec)
     if catalog is None:
         return None
     pages_ref = _PAGES_REF_RE.search(catalog)
@@ -583,7 +766,7 @@ def _page_content_objs(data: bytes, offsets: dict) -> list | None:
         if depth > 64 or objnum in seen:  # cycle/bomb guard
             return
         seen.add(objnum)
-        node = _object_at(data, objnum, offsets)
+        node = _object_at(data, objnum, offsets, dec=dec)
         if node is None:
             return
         kids = _KIDS_RE.search(node)
@@ -625,13 +808,14 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     # PDF 1.5+ xref streams compose with (and, in hybrid files,
     # override) classic tables; type-2 entries resolve through ObjStm
     offsets.update(_parse_xref_streams(data))
-    pages = _page_content_objs(data, offsets) if offsets else None
+    dec = _find_encryption(data, offsets) if offsets else None
+    pages = _page_content_objs(data, offsets, dec) if offsets else None
     if pages is not None:
         unresolved = False
         for content_objs, page_node in pages:
             bodies = []
             for objnum in content_objs:
-                obj = _object_at(data, objnum, offsets)
+                obj = _object_at(data, objnum, offsets, dec=dec)
                 if obj is None:
                     # a REFERENCED content object with a stale/corrupt
                     # xref offset: the walk would silently drop that
@@ -647,7 +831,7 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
             if unresolved:
                 break
             if bodies:
-                cmap, width = _page_cmap(data, page_node, offsets)
+                cmap, width = _page_cmap(data, page_node, offsets, dec)
                 # PDF semantics: a page's content streams form ONE
                 # stream when concatenated (operators may span the
                 # boundary); the joining byte keeps tokens separated
@@ -1017,5 +1201,109 @@ def make_fixture_pdf(
     out.append("\n".join(xref))
     out.append(
         "trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (size, pos)
+    )
+    return "\n".join(out)
+
+
+def make_fixture_pdf_encrypted(
+    blocks: list[list[str]] | None = None,
+    r: int = 3,
+    owner_pwd: bytes = b"owner",
+    compress: bool = False,
+    corrupt_u: bool = False,
+) -> str:
+    """Single-page RC4-encrypted fixture (standard security handler,
+    EMPTY user password): /R 2 = 40-bit /V 1, /R 3 = 128-bit /V 2.
+    /O and /U are computed exactly per the spec's algorithms 3-5, so
+    the extractor's key derivation and /U validation are exercised for
+    real, not against hand-picked constants. ``corrupt_u`` flips the
+    /U entry — the document then reads as user-password-locked and
+    extraction must degrade to [] without raising. Deterministic,
+    latin-1-safe string like :func:`make_fixture_pdf`.
+    """
+    if r not in (2, 3):
+        raise ValueError(f"r must be 2 or 3, got {r}")
+    length_bits = 40 if r == 2 else 128
+    n = length_bits // 8
+    id0 = bytes(range(0xA0, 0xB0))  # fixed 16-byte file ID
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    # content stream (same layout rule as make_fixture_pdf)
+    body_parts = []
+    y = 700
+    for block in blocks or []:
+        lines = ["BT", "/F1 12 Tf"]
+        for line in block:
+            lines.append("0 %d Td" % (-14 if len(lines) > 2 else y))
+            lines.append("(%s) Tj" % esc(line))
+        lines.append("ET")
+        body_parts.append("\n".join(lines))
+        y -= 100
+    content = "\n".join(body_parts).encode("latin-1")
+    filt = ""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = " /Filter /FlateDecode"
+
+    # /O (algorithm 3): RC4 of the padded USER password under a key
+    # derived from the owner password
+    h = hashlib.md5((owner_pwd + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    o = _rc4(okey, _PDF_PAD)  # empty user password -> pad itself
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    p = -44  # print allowed, modify denied — a typical owner-locked doc
+    key = _std_file_key(o, p, id0, r, length_bits)
+    u = _std_user_check(key, id0, r)
+    if r >= 3:
+        u += bytes(16)  # /U is 32 bytes; tail is arbitrary padding
+    if corrupt_u:
+        u = bytes(b ^ 0xFF for b in u)
+
+    enc_body = _StdDecryptor(key).decrypt(4, 0, content)  # RC4: enc == dec
+
+    objs = [
+        (1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj"),
+        (
+            2,
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj",
+        ),
+        (
+            3,
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            "/MediaBox [0 0 612 792] >>\nendobj",
+        ),
+        (
+            4,
+            "4 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj"
+            % (len(enc_body), filt, enc_body.decode("latin-1")),
+        ),
+        (
+            5,
+            "5 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
+            "/P %d /O <%s> /U <%s> >>\nendobj"
+            % (1 if r == 2 else 2, r, length_bits, p, o.hex().upper(), u.hex().upper()),
+        ),
+    ]
+    out = ["%PDF-1.4"]
+    offsets: dict = {}
+    pos = len("%PDF-1.4\n")
+    for num, ob in objs:
+        offsets[num] = pos
+        out.append(ob)
+        pos += len(ob) + 1
+    xref = ["xref", "0 6", "0000000000 65535 f "]
+    xref += ["%010d 00000 n " % offsets[num] for num in range(1, 6)]
+    out.append("\n".join(xref))
+    out.append(
+        "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>\n"
+        "startxref\n%d\n%%%%EOF" % (id0.hex().upper(), id0.hex().upper(), pos)
     )
     return "\n".join(out)
