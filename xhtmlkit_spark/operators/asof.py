@@ -78,6 +78,10 @@ def asof_join(
     overlap = set(left_cols) & set(carry)
     if overlap:
         raise ValueError(f"left/right column collision: {sorted(overlap)}")
+    internals = {"__xk_key", "__xk_ts", "__xk_side", "__xk_tie", "__xk_payload"}
+    shadow = internals & set(left_cols)
+    if shadow:
+        raise ValueError(f"left columns shadow internal names: {sorted(shadow)}")
 
     # backward scans time ascending and carries the LAST right payload
     # forward; at an equal timestamp the right row must sort BEFORE the
@@ -178,7 +182,10 @@ def resample_forward_fill(
         .agg(F.max_by(value_col, tie_col).alias(value_col))
     )
     bounds = obs.groupBy(key).agg(
-        ((F.min("__xk_us") / step_us).cast("long") * step_us).alias("__xk_t0"),
+        # floor, not cast: int-cast truncates toward zero, which would
+        # shift the grid start AFTER the first observation for pre-1970
+        # timestamps (negative epoch micros)
+        (F.floor(F.min("__xk_us") / step_us).cast("long") * step_us).alias("__xk_t0"),
         F.max("__xk_us").alias("__xk_t1"),
     )
     grid = bounds.select(
