@@ -524,6 +524,84 @@ def _q_hourly_resample_user_value(spark, sf_dir):
     )
 
 
+# deterministic planted-PII suffix: the synthetic corpus carries no
+# emails/phones/IPs, so the contract query plants them from doc_id —
+# IDENTICALLY in both engines — to exercise every pattern.
+def _pii_planted_col():
+    did = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("call 555-0"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-1234"),
+            ),
+        ),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus with deterministically planted
+    emails / NANP phones / IPv4s (see _pii_planted_col). Row-local
+    regexp expressions only — no shuffle at any scale."""
+    from xhtmlkit_spark.operators.pii import with_pii_redaction
+
+    d = _read(spark, sf_dir, "documents").withColumn("text", _pii_planted_col())
+    return with_pii_redaction(d).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("redacted").cast("long").alias("red_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def _q_line_dedup_stats(spark, sf_dir):
+    """Corpus-level exact line dedup (keep first occurrence), lines =
+    deterministic 8-word chunks (the corpus has no newlines; the tiny
+    synthetic vocabulary makes chunk collisions real). First-occurrence
+    via a partial-aggregatable min(struct) — hot boilerplate lines
+    collapse map-side instead of sorting in one window task."""
+    from xhtmlkit_spark.operators.lines import line_dedup, word_chunk_lines
+
+    d = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = line_dedup(d, word_chunk_lines("text", 8))
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("kept_text").alias("kept_md5")
+    )
+
+
+def _q_c4_line_stats(spark, sf_dir):
+    """C4-style line-quality filtering (≥5 words per line; the
+    terminal-punctuation rule is off here — the synthetic corpus has
+    no punctuation, tests exercise it on planted docs) + lorem/brace
+    document flags. Pure row-local array expressions — zero shuffle."""
+    from xhtmlkit_spark.operators.lines import c4_line_filter, word_chunk_lines
+
+    d = _read(spark, sf_dir, "documents")
+    out = c4_line_filter(
+        d, word_chunk_lines("text", 8), min_words=5, require_terminal_punct=False
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "kept_ratio",
+        "has_lorem",
+        "n_braces",
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
 def _q_contamination_scores(spark, sf_dir):
     """Decontamination vs a deterministic stand-in benchmark: the
     md5-hash 5% sample of the corpus itself (engine-portable, so the
@@ -868,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_custkeys": _q_except_custkeys,
         "pivot_order_counts": _q_pivot_order_counts,
         "lang_guess": _q_lang_guess,
+        "pii_redaction": _q_pii_redaction,
+        "c4_line_stats": _q_c4_line_stats,
         "json_event_props": _q_json_event_props,
         "cube_order_stats": _q_cube_order_stats,
         "quality_scores": _q_quality_scores,
@@ -903,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scores": _q_contamination_scores,
         "unigram_nll": _q_unigram_nll,
         "hourly_resample_user_value": _q_hourly_resample_user_value,
+        "line_dedup_stats": _q_line_dedup_stats,
         "jaccard_candidates": _q_jaccard_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash": _q_simhash,
@@ -1057,6 +1138,66 @@ def _embedding_neardup_oracle(
           JOIN sig sb ON sb.vec_id = p.id_b)
         SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim > {threshold}
     """
+
+
+# 8-word chunk segmentation, the SQL twin of word_chunk_lines(text, 8)
+# (list_slice is 1-based inclusive = Spark slice(arr, i*8+1, 8))
+_LINES8_SQL = """list_filter(
+    list_transform(
+      range(0, CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0) AS INT)),
+      i -> array_to_string(
+             list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                        i * 8 + 1, i * 8 + 8), ' ')),
+    x -> x <> '')"""
+
+# planted-PII suffix, the SQL twin of _pii_planted_col (concat_ws skips
+# the NULL CASE arms in both engines)
+_PII_PLANT_SQL = """concat_ws(' ', text,
+      'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+      CASE WHEN doc_id % 3 = 0
+           THEN 'call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END)"""
+
+
+def _pii_oracle() -> str:
+    from xhtmlkit_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    email, phone, ip = EMAIL_RE, PHONE_RE, IPV4_RE
+    return (
+        """
+        WITH p AS (
+          SELECT doc_id, """
+        + _PII_PLANT_SQL
+        + """ AS text FROM documents),
+        r AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '"""
+        + email
+        + """')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '"""
+        + phone
+        + """')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(text, '"""
+        + ip
+        + """')) AS BIGINT) AS n_ips,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '"""
+        + email
+        + """', '<EMAIL>', 'g'),
+                     '"""
+        + phone
+        + """', '<PHONE>', 'g'),
+                     '"""
+        + ip
+        + """', '<IP>', 'g') AS redacted
+          FROM p)
+        SELECT doc_id, n_emails, n_phones, n_ips,
+               CAST(length(redacted) AS BIGINT) AS red_len,
+               md5(redacted) AS redacted_md5
+        FROM r
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1294,6 +1435,50 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_nll
             FROM tf t JOIN cf c USING (term) CROSS JOIN tot
             GROUP BY t.doc_id
+        """,
+        "pii_redaction": _pii_oracle(),
+        "line_dedup_stats": f"""
+            WITH docs AS (
+              SELECT doc_id, {_LINES8_SQL} AS lines
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (
+              SELECT doc_id, unnest(lines) AS line,
+                     unnest(range(1, len(lines) + 1)) AS line_idx
+              FROM docs WHERE len(lines) > 0),
+            ranked AS (
+              SELECT doc_id, line, line_idx,
+                     row_number() OVER (
+                       PARTITION BY md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))))
+                       ORDER BY doc_id NULLS FIRST, line_idx) AS rn
+              FROM ex)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(string_agg(CASE WHEN rn = 1 THEN line END,
+                                  chr(10) ORDER BY line_idx)) AS kept_md5
+            FROM ranked GROUP BY doc_id
+        """,
+        "c4_line_stats": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_LINES8_SQL} AS lines
+              FROM documents WHERE text IS NOT NULL),
+            f AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines,
+                       x -> len(regexp_split_to_array(x, '\\s+')) >= 5) AS kept
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CASE WHEN len(lines) > 0
+                        THEN round(len(kept) / len(lines), 6)
+                        ELSE 0.0 END AS kept_ratio,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   CAST(length(text) - length(replace(text, '{{', '')) AS BIGINT)
+                     AS n_braces,
+                   md5(CASE WHEN len(kept) > 0
+                            THEN array_to_string(kept, chr(10)) END) AS kept_md5
+            FROM f
         """,
         "hourly_resample_user_value": """
             WITH dedup AS (

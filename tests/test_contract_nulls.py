@@ -32,6 +32,9 @@ QUERIES = [
     "quality_scores",
     "lang_guess",
     "fingerprints",
+    "pii_redaction",
+    "line_dedup_stats",
+    "c4_line_stats",
 ]
 
 
