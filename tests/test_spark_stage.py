@@ -311,6 +311,86 @@ def test_build_training_corpus_near_dup_tier(spark, tmp_path):
     assert funnel_exact["deduped"] == 5
 
 
+def test_build_training_corpus_line_dedup_and_pii_tiers(spark, tmp_path):
+    """dedup_lines + redact_pii composed into the funnel: the shared
+    boilerplate paragraph survives only in its first document, a doc
+    made ENTIRELY of previously-seen lines still counts as extracted
+    but never lands, and landed text carries PII placeholders instead
+    of the planted email/phone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    boiler = (
+        "subscribe to the newsletter of this site and follow the team "
+        "for all of the updates about the product every single week"
+    )
+    docs = {
+        "a": [
+            "the first page is about the spark shuffle and the way a "
+            "partition of the data moves between the stages of a job",
+            boiler,
+        ],
+        "b": [
+            "the second page is about the parquet reader and the arrow "
+            "batches that a scan of the table produces for the engine",
+            boiler,  # duplicate line: must vanish here
+        ],
+        "c": [boiler],  # ALL lines seen before → extracted but never lands
+        "d": [
+            "write to the team at team@example.org or dial 555-010-4242 "
+            "for any of the questions about the product and the billing",
+        ],
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [
+                {"kind": "html", "text": "".join(f"<p>{p}</p>" for p in ps),
+                 "media_ref": None, "offset": 0}
+            ]
+            for ps in docs.values()
+        ],
+        "part": [0, 1, 2, 3],
+    }
+    corpus = str(tmp_path / "lp_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    out = str(tmp_path / "train_lp")
+    funnel = build_training_corpus(
+        spark, corpus, out, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup=None, dedup_lines=True, redact_pii=True,
+    )
+    assert funnel["extracted"] == 4
+    assert funnel["lines_total"] == 6 and funnel["lines_kept"] == 4
+    assert funnel["pii_matches"] == 2
+    assert funnel["written"] == 3  # doc c died (no surviving lines)
+    landed = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert set(landed) == {"a", "b", "d"}
+    assert boiler in landed["a"] and boiler not in landed["b"]
+    assert "<EMAIL>" in landed["d"] and "<PHONE>" in landed["d"]
+    assert "team@example.org" not in landed["d"] and "555-010-4242" not in landed["d"]
+    # deterministic rerun
+    out2 = str(tmp_path / "train_lp2")
+    funnel2 = build_training_corpus(
+        spark, corpus, out2, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup=None, dedup_lines=True, redact_pii=True,
+    )
+    assert funnel == {**funnel2, "output_path": out}
+    # tiers off: boilerplate stays everywhere, PII lands raw
+    funnel_off = build_training_corpus(
+        spark, corpus, str(tmp_path / "train_lp_off"), langs=("en",),
+        min_quality=0.0, min_tokens=1, near_dup=None,
+    )
+    assert funnel_off["written"] == 4
+    assert "lines_total" not in funnel_off and "pii_matches" not in funnel_off
+
+
 def test_ingest_html_files_sniffs_encoding(spark, tmp_path):
     """Raw .html files → corpus rows: BOM and <meta> charsets honored,
     output feeds extract_spans directly."""

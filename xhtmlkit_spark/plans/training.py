@@ -28,6 +28,8 @@ from xhtmlkit_spark.operators.dedup import (
     simhash_band_pairs,
 )
 from xhtmlkit_spark.operators.extract_stage import extract_spans
+from xhtmlkit_spark.operators.lines import line_dedup, split_text_lines
+from xhtmlkit_spark.operators.pii import with_pii_redaction
 from xhtmlkit_spark.operators.sampling import hash_fraction
 from xhtmlkit_spark.operators.text_stats import (
     with_lang_guess,
@@ -80,6 +82,8 @@ def build_training_corpus(
     near_dup: str | None = "both",
     jaccard_threshold: float = 0.8,
     exclude_corpus_path: str | None = None,
+    dedup_lines: bool = False,
+    redact_pii: bool = False,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -94,6 +98,25 @@ def build_training_corpus(
     round, and the final write — reads the checkpoint instead of
     re-running extraction. On a real cluster swap localCheckpoint for a
     reliable checkpoint dir; the shape is otherwise unchanged.
+
+    ``dedup_lines`` inserts corpus-level LINE deduplication between
+    extraction and everything downstream: extracted spans join on
+    newlines, so "lines" are exactly the extracted spans — the place
+    cross-page boilerplate (nav/footer/cookie banners the density
+    heuristics kept) repeats. Only the first occurrence of each
+    normalized line survives (operators/lines.line_dedup — a
+    partial-aggregatable min-struct hash agg, skew-safe for 10^9-
+    occurrence boilerplate lines); a doc whose every line was seen
+    earlier gets NULL text and dies at the quality gate, while still
+    counting in ``extracted``. Funnel gains ``lines_total`` /
+    ``lines_kept``.
+
+    ``redact_pii`` scrubs emails / phones / IPv4s from the (possibly
+    line-deduped) text before stats, dedup keys, and the write — all
+    downstream consumers see clean text. Funnel gains ``pii_matches``
+    (raw-text match count). Both tiers run BEFORE the near-dup
+    localCheckpoint, so connected-components rounds never recompute
+    them.
 
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
@@ -121,6 +144,27 @@ def build_training_corpus(
     docs = extracted.select(
         "doc_id", span_text_concat(F.col("spans"), "\n").alias("text")
     )
+    if dedup_lines:
+        # left join keeps every extracted doc in the funnel; a doc whose
+        # lines were all seen earlier carries NULL text from here on
+        ld = line_dedup(docs, split_text_lines("text")).select(
+            "doc_id", "n_lines", "n_kept", "kept_text"
+        )
+        docs = (
+            docs.join(ld, "doc_id", "left")
+            .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+            .select("doc_id", F.col("kept_text").alias("text"), "n_lines", "n_kept")
+        )
+    if redact_pii:
+        red = with_pii_redaction(docs)
+        docs = red.select(
+            *[c for c in red.columns if c not in ("text", "redacted", "n_emails", "n_phones", "n_ips")],
+            F.col("redacted").alias("text"),
+            F.coalesce(
+                F.col("n_emails") + F.col("n_phones") + F.col("n_ips"), F.lit(0)
+            ).alias("n_pii"),
+        )
     if near_dup:
         docs = docs.localCheckpoint(eager=True)
     stats = with_quality(with_lang_guess(with_token_counts(docs)))
@@ -197,14 +241,21 @@ def build_training_corpus(
     qual = lang & F.col("quality_ok")
     final = qual & F.col("sampled")
     obs = Observation("training_funnel")
-    out = flagged.observe(
-        obs,
+    metrics = [
         F.sum(one).alias("extracted"),
         F.sum(F.when(keep, one)).alias("deduped"),
         F.sum(F.when(lang, one)).alias("lang_kept"),
         F.sum(F.when(qual, one)).alias("quality_kept"),
         F.sum(F.when(final, one)).alias("written"),
-    )
+    ]
+    if dedup_lines:
+        metrics += [
+            F.sum(F.col("n_lines").cast("long")).alias("lines_total"),
+            F.sum(F.col("n_kept").cast("long")).alias("lines_kept"),
+        ]
+    if redact_pii:
+        metrics.append(F.sum(F.col("n_pii").cast("long")).alias("pii_matches"))
+    out = flagged.observe(obs, *metrics)
     (
         out.where(final)
         .select("doc_id", "text", "lang_guess", "quality_score", "n_tokens")
@@ -212,7 +263,7 @@ def build_training_corpus(
         .parquet(output_path)
     )
     m = obs.get
-    return {
+    funnel = {
         "extracted": m["extracted"] or 0,
         "deduped": m["deduped"] or 0,
         "lang_kept": m["lang_kept"] or 0,
@@ -220,3 +271,9 @@ def build_training_corpus(
         "written": m["written"] or 0,
         "output_path": output_path,
     }
+    if dedup_lines:
+        funnel["lines_total"] = m["lines_total"] or 0
+        funnel["lines_kept"] = m["lines_kept"] or 0
+    if redact_pii:
+        funnel["pii_matches"] = m["pii_matches"] or 0
+    return funnel
