@@ -524,6 +524,34 @@ def _q_hourly_resample_user_value(spark, sf_dir):
     )
 
 
+def _q_token_windows(spark, sf_dir):
+    """Overlapping 32-token context windows with stride 24 — the
+    long-doc → fixed-context-trainer packing prep. Pure per-row
+    expressions + one explode; zero shuffle."""
+    from xhtmlkit_spark.operators.text_stats import token_windows
+
+    return token_windows(_read(spark, sf_dir, "documents"), window=32, stride=24)
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """GPT-3-style α=0.5 temperature mixing. The corpus's `source`
+    column is uniform, so the stratum is a deterministic SKEWED
+    stand-in (decimal-digit count of doc_id → group sizes 10/90/400 at
+    sf0.01) computed identically in both engines; output is the
+    per-stratum funnel (docs, rate, sampled)."""
+    from xhtmlkit_spark.operators.sampling import temperature_mix
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "src_grp", F.length(F.col("doc_id").cast("string")).cast("long")
+    )
+    sampled = temperature_mix(d, stratum="src_grp", target_frac=0.5)
+    return (
+        sampled.groupBy("src_grp", "mix_rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select("src_grp", "mix_rate", "n_sampled")
+    )
+
+
 # deterministic planted-PII suffix: the synthetic corpus carries no
 # emails/phones/IPs, so the contract query plants them from doc_id —
 # IDENTICALLY in both engines — to exercise every pattern.
@@ -948,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "pii_redaction": _q_pii_redaction,
         "c4_line_stats": _q_c4_line_stats,
+        "token_windows": _q_token_windows,
+        "temperature_mix": _q_temperature_mix,
         "json_event_props": _q_json_event_props,
         "cube_order_stats": _q_cube_order_stats,
         "quality_scores": _q_quality_scores,
@@ -1437,6 +1467,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "token_windows": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            w AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, 1 + greatest(
+                       CAST(ceil((len(toks) - 32) / 24.0) AS INT), 0))) AS win_idx
+              FROM docs)
+            SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+                   CAST(len(list_slice(toks, win_idx * 24 + 1, win_idx * 24 + 32))
+                        AS BIGINT) AS n_win_tokens,
+                   md5(array_to_string(
+                       list_slice(toks, win_idx * 24 + 1, win_idx * 24 + 32), ' '))
+                     AS win_md5
+            FROM w
+        """,
+        "temperature_mix": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS src_grp
+              FROM documents),
+            c AS (SELECT src_grp, count(*) AS n FROM d GROUP BY src_grp),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+                         sum(sqrt(n)) AS sum_sqrt FROM c),
+            r AS (
+              SELECT src_grp,
+                     round(least(1.0,
+                       sqrt(n) / sum_sqrt * (0.5 * n_total) / n), 6) AS mix_rate
+              FROM c CROSS JOIN t)
+            SELECT d.src_grp, r.mix_rate,
+                   CAST(count(*) AS BIGINT) AS n_sampled
+            FROM d JOIN r USING (src_grp)
+            WHERE (('0x' || substr(md5('mix0' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0) < r.mix_rate
+            GROUP BY d.src_grp, r.mix_rate
+        """,
         "line_dedup_stats": f"""
             WITH docs AS (
               SELECT doc_id, {_LINES8_SQL} AS lines

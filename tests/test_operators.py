@@ -334,6 +334,61 @@ def test_hash_sampling_deterministic_and_nested(spark):
     assert 0 < by_lang.get("en", 0) < 100
 
 
+def test_temperature_mix_flattens_skew(spark):
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.sampling import temperature_mix
+
+    # 500 'big' docs vs 20 'small' docs: α=0.5 must upweight 'small'
+    df = spark.createDataFrame(
+        [(i, "big" if i < 500 else "small") for i in range(520)],
+        "doc_id long, source string",
+    )
+    out = temperature_mix(df, stratum="source", target_frac=0.5)
+    rates = {
+        r["source"]: r["mix_rate"]
+        for r in out.select("source", "mix_rate").distinct().collect()
+    }
+    # small stratum: sqrt(20)/(sqrt(500)+sqrt(20)) * 260 / 20 > 1 → clamped
+    assert rates["small"] == 1.0 and 0.0 < rates["big"] < 1.0
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["small"] == 20  # kept whole
+    # sampled share of 'small' strictly exceeds its corpus share
+    assert counts["small"] / sum(counts.values()) > 20 / 520
+    # deterministic across partitioning
+    ids = lambda d: {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert ids(temperature_mix(df.repartition(13), stratum="source")) == ids(out)
+
+
+def test_token_windows_coverage_and_overlap(spark):
+    from xhtmlkit_spark.operators.text_stats import token_windows
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(50))),  # 2 windows: [0..31],[24..49]
+        (2, "a b c"),  # shorter than one window → exactly 1
+        (3, None),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_windows(df, window=32, stride=24).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    w1 = sorted(by_doc[1], key=lambda r: r["win_idx"])
+    assert [r["n_win_tokens"] for r in w1] == [32, 26]
+    assert [r["win_idx"] for r in w1] == [0, 1]
+    assert by_doc[2][0]["n_win_tokens"] == 3
+    # window hashes match the definition (md5 of the joined token slice)
+    import hashlib
+
+    toks = [f"t{i}" for i in range(50)]
+    assert w1[1]["win_md5"] == hashlib.md5(" ".join(toks[24:50]).encode()).hexdigest()
+
+
 def test_ivf_topk_finds_planted_neighbor(spark):
     import random
 

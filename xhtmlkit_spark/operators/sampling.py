@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "hash_sample", "stratified_sample"]
+__all__ = ["hash_fraction", "hash_sample", "stratified_sample", "temperature_mix"]
 
 _DENOM = float(1 << 32)
 
@@ -58,3 +58,50 @@ def stratified_sample(
             rate_col
         )
     return df.where(hash_fraction(key, salt) < rate_col)
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum: str = "source",
+    target_frac: float = 0.5,
+    key: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the GPT-3-style α=0.5
+    upsampling of small sources): stratum *s* with n_s documents gets
+    sampling rate ``min(1, (√n_s / Σ√n_t) · target_frac·N / n_s)`` —
+    the sampled corpus approaches the n_s^0.5 distribution, flattening
+    source skew while keeping ≈ ``target_frac`` of the corpus. α is
+    fixed at 0.5 because ``sqrt`` is an exactly-rounded IEEE op, so
+    the DuckDB oracle computes bit-identical rates (a general ``pow``
+    is not exactly rounded); rates are rounded to 6 digits before the
+    hash-fraction comparison so a last-ulp summation difference cannot
+    flip a row.
+
+    Scale shape: one hash aggregation to |strata| rows, a broadcast
+    1-row totals append, a broadcast rate join back, then the same
+    pure-filter hash sampling as :func:`hash_sample` — the corpus
+    itself never shuffles. Returns the sampled rows plus their
+    ``mix_rate``.
+    """
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__xk_n"))
+    totals = counts.agg(
+        F.sum("__xk_n").cast("double").alias("__xk_total"),
+        F.sum(F.sqrt("__xk_n")).alias("__xk_sum_sqrt"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        stratum,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt("__xk_n")
+                / F.col("__xk_sum_sqrt")
+                * (F.lit(float(target_frac)) * F.col("__xk_total"))
+                / F.col("__xk_n"),
+            ),
+            6,
+        ).alias("mix_rate"),
+    )
+    return df.join(F.broadcast(rates), stratum).where(
+        hash_fraction(key, salt) < F.col("mix_rate")
+    )

@@ -28,6 +28,7 @@ __all__ = [
     "bigram_doc_freq",
     "repetition_scores",
     "unigram_nll_scores",
+    "token_windows",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -283,6 +284,49 @@ def repetition_scores(df: DataFrame, text: str = "text") -> DataFrame:
                 "dup_bigram_ratio"
             ),
         )
+    )
+
+
+def token_windows(
+    df: DataFrame, window: int = 32, stride: int = 24, text: str = "text"
+) -> DataFrame:
+    """Context-window chunking: split each document's token sequence
+    into overlapping windows of ``window`` tokens advancing by
+    ``stride`` (the standard prep for feeding long documents into a
+    fixed-context trainer; ``window - stride`` tokens of overlap
+    preserve continuity across examples). Window *i* covers tokens
+    ``[i·stride+1, i·stride+window]``; the last window may be shorter;
+    every token is covered; a doc shorter than one window yields
+    exactly one. Docs with NULL/blank text drop.
+
+    Scale shape: per-row array expressions (token split let-bound
+    once) + one explode — zero shuffle; the fan-out is bounded by
+    ``n_tokens/stride`` per document.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    c = F.col(text)
+    docs = df.where(c.isNotNull() & (F.trim(c) != ""))
+
+    def wins(t: Column) -> Column:
+        n_win = F.lit(1) + F.greatest(
+            F.ceil((F.size(t) - window) / F.lit(float(stride))).cast("int"),
+            F.lit(0),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.slice(t, i * stride + 1, window),
+        )
+
+    from xhtmlkit_spark.functions.binding import bind
+
+    return docs.select(
+        "doc_id", F.posexplode(bind(tokens_col(text), wins)).alias("win_idx", "win")
+    ).select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.size("win").cast("long").alias("n_win_tokens"),
+        F.md5(F.array_join("win", " ")).alias("win_md5"),
     )
 
 
