@@ -127,6 +127,22 @@ PDF_ENC_R3_FLATE = make_fixture_pdf_encrypted(
 PDF_ENC_LOCKED = make_fixture_pdf_encrypted(
     [["never readable"]], r=3, corrupt_u=True
 )
+# AES generations (V4 AESV2 crypt filter, V5 AES-256 R5/R6): decrypt
+# is AES-CBC with IV prefix + PKCS#7 strip; R6 exercises the hardened
+# 2.B password hash; the locked AES doc degrades like the RC4 one
+PDF_ENC_AESV2 = make_fixture_pdf_encrypted(
+    [["Aes v4 crypt filter secret", "second line"]], r=4
+)
+PDF_ENC_AESV2_FLATE = make_fixture_pdf_encrypted(
+    [["Aes then deflate text"]], r=4, compress=True
+)
+PDF_ENC_AES256_R5 = make_fixture_pdf_encrypted([["Aes256 r5 legacy text"]], r=5)
+PDF_ENC_AES256_R6 = make_fixture_pdf_encrypted(
+    [["Aes256 hardened hash text"], ["second block"]], r=6
+)
+PDF_ENC_AES_LOCKED = make_fixture_pdf_encrypted(
+    [["never readable"]], r=6, corrupt_u=True
+)
 
 CASES = {
     "malformed_markup": [
@@ -379,6 +395,11 @@ CASES = {
         ("pdf_rc4_r3_encrypted", [("pdf", PDF_ENC_R3, None)]),
         ("pdf_rc4_flate_under_encryption", [("pdf", PDF_ENC_R3_FLATE, None)]),
         ("pdf_user_locked_degrades_empty", [("pdf", PDF_ENC_LOCKED, None)]),
+        ("pdf_aesv2_r4_encrypted", [("pdf", PDF_ENC_AESV2, None)]),
+        ("pdf_aesv2_flate_under_encryption", [("pdf", PDF_ENC_AESV2_FLATE, None)]),
+        ("pdf_aes256_r5_encrypted", [("pdf", PDF_ENC_AES256_R5, None)]),
+        ("pdf_aes256_r6_encrypted", [("pdf", PDF_ENC_AES256_R6, None)]),
+        ("pdf_aes_user_locked_degrades_empty", [("pdf", PDF_ENC_AES_LOCKED, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the

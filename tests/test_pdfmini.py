@@ -408,3 +408,65 @@ class TestEncryption:
         b = make_fixture_pdf_encrypted([["same text"]], owner_pwd=b"two")
         assert a != b  # /O differs -> file key differs -> ciphertext differs
         assert extract_pdf_text(a) == extract_pdf_text(b) == ["same text"]
+
+    def test_aes_fips_197_vectors(self):
+        from xkit.aes import _expand_key, decrypt_block, encrypt_block
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct128 = encrypt_block(_expand_key(bytes(range(16))), pt)
+        ct256 = encrypt_block(_expand_key(bytes(range(32))), pt)
+        assert ct128.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # C.1
+        assert ct256.hex() == "8ea2b7ca516745bfeafc49904b496089"  # C.3
+        assert decrypt_block(_expand_key(bytes(range(16))), ct128) == pt
+        assert decrypt_block(_expand_key(bytes(range(32))), ct256) == pt
+
+    def test_aesv2_v4_roundtrip(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted(
+            [["Aes one twenty eight", "cbc line"], ["second block"]], r=4
+        )
+        assert extract_pdf_text(pdf) == [
+            "Aes one twenty eight cbc line",
+            "second block",
+        ]
+        assert "Aes one" not in pdf  # really encrypted
+        flate = make_fixture_pdf_encrypted([["deflate under aes"]], r=4, compress=True)
+        assert extract_pdf_text(flate) == ["deflate under aes"]
+        locked = make_fixture_pdf_encrypted([["hidden"]], r=4, corrupt_u=True)
+        assert extract_pdf_text(locked) == []
+
+    def test_aes256_r5_r6_roundtrip(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        for r in (5, 6):
+            pdf = make_fixture_pdf_encrypted([["Aes two fifty six text"]], r=r)
+            assert extract_pdf_text(pdf) == ["Aes two fifty six text"]
+            assert "fifty six" not in pdf
+            flate = make_fixture_pdf_encrypted([["squeezed"]], r=r, compress=True)
+            assert extract_pdf_text(flate) == ["squeezed"]
+            locked = make_fixture_pdf_encrypted([["no"]], r=r, corrupt_u=True)
+            assert extract_pdf_text(locked) == []
+
+    def test_hash_2b_shape_and_determinism(self):
+        from xkit.pdfmini import _hash_2b
+
+        a = _hash_2b(b"", bytes(8))
+        assert len(a) == 32 and a == _hash_2b(b"", bytes(8))
+        assert a != _hash_2b(b"", bytes([1] * 8))  # salt-sensitive
+        assert a != _hash_2b(b"pw", bytes(8))  # password-sensitive
+
+    def test_aes_corrupt_ciphertext_degrades(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted([["will be mangled"]], r=4)
+        # shrink the stream body by one byte: CBC misalignment must skip
+        # the stream (possibly salvaging nothing), never raise
+        i = pdf.find("stream\n") + len("stream\n")
+        mangled = pdf[:i] + pdf[i + 1 :]
+        assert isinstance(extract_pdf_text(mangled), list)
+        # /UE truncated to 1 byte: unusable key material degrades to []
+        pdf6 = make_fixture_pdf_encrypted([["locked out"]], r=6)
+        j = pdf6.find("/UE <")
+        mangled6 = pdf6[: j + 5] + "00" + pdf6[pdf6.find(">", j + 5) :]
+        assert extract_pdf_text(mangled6) == []

@@ -51,19 +51,35 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   still take the byte-order fallback (which also never sees CMaps —
   page↔font association needs the tree walk).
 
-* **RC4 standard-security decryption** (legacy encrypted PDFs):
-  ``/Filter /Standard`` with ``/V 1|2`` + ``/R 2|3`` (40/128-bit RC4)
-  and an EMPTY user password — the common owner-locked-but-readable
-  case. The file key is derived per spec algorithm 2 (padded password,
-  /O, /P, first /ID element; 50 MD5 rounds for /R 3) and validated
-  against /U (algorithms 4/5) before use; per-object keys are
-  MD5(key + objnum₃ + gen₂). Failing the /U check (a real user
-  password) or any other scheme (AES /V 4+ — no cipher in the
-  sandbox) degrades to skipped streams, never garbage output.
+* **Standard-security decryption** (encrypted PDFs, EMPTY user
+  password — the common owner-locked-but-readable case), all four
+  handler generations:
+
+  - ``/V 1|2`` + ``/R 2|3`` (40/128-bit RC4): file key per spec
+    algorithm 2 (padded password, /O, /P, first /ID element; 50 MD5
+    rounds for /R 3), validated against /U (algorithms 4/5) before
+    use; per-object keys MD5(key + objnum₃ + gen₂).
+  - ``/V 4`` + ``/R 4`` crypt filters: ``/CFM /AESV2`` = AES-128-CBC
+    (per-object MD5 key with the ``sAlT`` suffix, IV-prefixed body,
+    PKCS#7 strip), ``/CFM /V2`` = RC4 as above, ``/CFM /Identity`` =
+    pass-through; unknown methods skip streams.
+  - ``/V 5`` + ``/R 5|6`` (AES-256): the file key is unwrapped from
+    ``/UE`` with the intermediate key from the key salt (``/U`` bytes
+    32-48); /R 6 uses the hardened ISO 32000-2 algorithm 2.B hash
+    (SHA-256/384/512 over AES-128-CBC rounds), /R 5 the deprecated
+    plain SHA-256. Password validation against ``/U[:32]`` happens
+    before any stream is touched.
+
+  The AES core is xkit/aes.py — pure-Python FIPS-197, verified
+  against the appendix C vectors. Failing the /U check (a real user
+  password) or any unknown scheme degrades to skipped streams, never
+  garbage output.
 
 Out of scope, documented: full font CMaps (CID-keyed, embedded
-program tables), AES encryption (/V 4+) and non-empty user passwords,
-TIFF predictor 2, and the array form of ``bfrange`` destinations.
+program tables), non-empty user passwords, owner-password-only
+validation, the /Perms integrity check, /EncryptMetadata false
+key-derivation variant, TIFF predictor 2, and the array form of
+``bfrange`` destinations.
 
 Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
 text object is one output block; ``Tj``/``TJ`` strings within it are
@@ -78,6 +94,8 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
+
+from xkit.aes import aes_cbc_decrypt, aes_cbc_encrypt
 
 __all__ = [
     "extract_pdf_text",
@@ -316,14 +334,18 @@ def _decode_stream(obj: bytes) -> bytes | None:
     return body
 
 
-# RC4 standard-security-handler decryption (legacy encrypted PDFs).
-# Scope: /Filter /Standard with /V 1|2 and /R 2|3 (the 40/128-bit RC4
-# generation), EMPTY user password — the overwhelmingly common
-# "owner-locked but world-readable" case. AES (/V 4+) needs a cipher
-# the sandbox doesn't ship and stays out of scope; a failed /U check
-# (real user password) degrades to skipped streams, never garbage.
-# Per spec the xref stream and the /Encrypt dict itself are NOT
-# encrypted; ObjStm members inherit their container's decryption.
+# Standard-security-handler decryption (encrypted PDFs).
+# Scope: /Filter /Standard, EMPTY user password — the overwhelmingly
+# common "owner-locked but world-readable" case — across all four
+# generations: /V 1|2 + /R 2|3 (40/128-bit RC4), /V 4 + /R 4 (crypt
+# filters: /CFM /AESV2 = AES-128-CBC per-object keys, /CFM /V2 = RC4,
+# /CFM /Identity = pass-through), and /V 5 + /R 5|6 (AES-256 with the
+# file key recovered from /UE; R6 uses the hardened 2.B hash, which
+# runs AES-128-CBC inside its loop — xkit/aes.py, FIPS-197-verified).
+# A failed /U check (real user password) or an unknown scheme degrades
+# to skipped streams, never garbage. Per spec the xref stream and the
+# /Encrypt dict itself are NOT encrypted; ObjStm members inherit their
+# container's decryption.
 
 _PDF_PAD = bytes(
     (
@@ -342,8 +364,9 @@ _ENC_STR_RE = {
     k: re.compile(
         rb"/%s\s*(?:\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>)" % k, re.DOTALL
     )
-    for k in (b"O", b"U")
+    for k in (b"O", b"U", b"UE")
 }
+_CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
 _OCT_ESC_RE = re.compile(rb"\\([0-7]{1,3})")
 _LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
@@ -414,19 +437,60 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     return x  # 16 bytes; the other 16 of /U are arbitrary padding
 
 
-class _StdDecryptor:
-    """Per-object RC4 decryption from a validated file key."""
+def _aes_cbc_strip(key: bytes, body: bytes) -> bytes:
+    """PDF AES stream layout: 16-byte IV prefix + CBC blocks + PKCS#7
+    padding. Misaligned/truncated ciphertext (corrupt file) decrypts
+    to b'' — skipped stream, never an exception."""
+    if len(key) not in (16, 32) or len(body) < 32 or (len(body) - 16) % 16:
+        return b""
+    plain = aes_cbc_decrypt(key, body[:16], body[16:])
+    pad = plain[-1]
+    return plain[:-pad] if 1 <= pad <= 16 else b""
 
-    def __init__(self, key: bytes):
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 algorithm 2.B (the /R 6 hardened password hash):
+    iterate SHA-256/384/512 over AES-128-CBC encryptions of the
+    password block until the 64-round floor and the data-dependent
+    stop condition are both met."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+class _StdDecryptor:
+    """Per-object decryption from a validated file key.
+
+    ``mode``: 'rc4' (V1/V2, and V4 /CFM /V2), 'aesv2' (V4 /CFM /AESV2
+    — per-object MD5 key with the sAlT suffix, AES-128-CBC), 'aesv3'
+    (V5 — the 256-bit file key used directly, no per-object
+    derivation)."""
+
+    def __init__(self, key: bytes, mode: str = "rc4"):
         self._key = key
+        self._mode = mode
 
     def decrypt(self, num: int, gen: int, body: bytes) -> bytes:
+        if self._mode == "aesv3":
+            return _aes_cbc_strip(self._key, body)
         h = hashlib.md5(
             self._key
             + (num & 0xFFFFFF).to_bytes(3, "little")
             + (gen & 0xFFFF).to_bytes(2, "little")
+            + (b"sAlT" if self._mode == "aesv2" else b"")
         ).digest()
-        return _rc4(h[: min(len(self._key) + 5, 16)], body)
+        k = h[: min(len(self._key) + 5, 16)]
+        if self._mode == "aesv2":
+            return _aes_cbc_strip(k, body)
+        return _rc4(k, body)
 
 
 def _find_encryption(data: bytes, offsets: dict):
@@ -446,24 +510,59 @@ def _find_encryption(data: bytes, offsets: dict):
         for k, rx in _ENC_INT_RE.items()
     }
     v, r, p = ints["V"], ints["R"], ints["P"]
-    if v not in (1, 2) or r not in (2, 3) or p is None:
+
+    def enc_str(name: bytes) -> bytes | None:
+        m = _ENC_STR_RE[name].search(enc)
+        return _pdf_string_bytes(m.group(1), m.group(2)) if m else None
+
+    u = enc_str(b"U")
+
+    if v == 5 and r in (5, 6):
+        # AES-256: recover the file key from /UE with the empty user
+        # password (algorithm 2.A); R5 is the deprecated plain-SHA-256
+        # variant, R6 the hardened 2.B hash
+        ue = enc_str(b"UE")
+        if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            hsh = _hash_2b(b"", vsalt)
+            ik = _hash_2b(b"", ksalt)
+        else:
+            hsh = hashlib.sha256(b"" + vsalt).digest()
+            ik = hashlib.sha256(b"" + ksalt).digest()
+        if hsh != u[:32]:
+            return None  # real user password — cannot decrypt
+        key = aes_cbc_decrypt(ik, bytes(16), ue[:32])
+        return _StdDecryptor(key, "aesv3")
+
+    if v not in (1, 2, 4) or r not in (2, 3, 4) or p is None:
         return None
-    o_m = _ENC_STR_RE[b"O"].search(enc)
-    o = _pdf_string_bytes(o_m.group(1), o_m.group(2)) if o_m else None
+    mode = "rc4"
+    if v == 4:
+        # crypt filters: the default /StdCF names the method; only
+        # AESV2 / V2 / Identity are meaningful for the standard handler
+        cfm = _CFM_RE.search(enc)
+        name = cfm.group(1) if cfm else b"V2"
+        if name == b"AESV2":
+            mode = "aesv2"
+        elif name == b"Identity":
+            return None  # pass-through: document effectively unencrypted
+        elif name != b"V2":
+            return None  # unknown method — skip streams, never garbage
+    o = enc_str(b"O")
     if o is None or len(o) < 32:
         return None
     id_m = None
     for m in _ID_RE.finditer(data):
         id_m = m
     id0 = _pdf_string_bytes(None, id_m.group(1)) if id_m else b""
-    key = _std_file_key(o, p, id0 or b"", r, ints["Length"] or 40)
-    u_m = _ENC_STR_RE[b"U"].search(enc)
-    u = _pdf_string_bytes(u_m.group(1), u_m.group(2)) if u_m else None
+    key = _std_file_key(o, p, id0 or b"", r, ints["Length"] or (128 if v == 4 else 40))
     if u is not None:
         expect = _std_user_check(key, id0 or b"", r)
         if u[: len(expect)] != expect:
             return None  # real user password — cannot decrypt
-    return _StdDecryptor(key)
+    return _StdDecryptor(key, mode)
 
 
 # classic xref-table machinery
@@ -1205,6 +1304,32 @@ def make_fixture_pdf(
     return "\n".join(out)
 
 
+def _encrypt_dict_obj(
+    r: int,
+    length_bits: int,
+    p: int,
+    o: bytes,
+    u: bytes,
+    oe: bytes | None,
+    ue: bytes | None,
+) -> str:
+    """The /Encrypt dictionary for each handler generation."""
+    v = {2: 1, 3: 2, 4: 4, 5: 5, 6: 5}[r]
+    head = "5 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d /P %d" % (
+        v, r, length_bits, p,
+    )
+    if v >= 4:
+        cfm = "AESV2" if v == 4 else "AESV3"
+        head += (
+            " /CF << /StdCF << /CFM /%s /AuthEvent /DocOpen /Length %d >> >>"
+            " /StmF /StdCF /StrF /StdCF" % (cfm, length_bits // 8)
+        )
+    head += " /O <%s> /U <%s>" % (o.hex().upper(), u.hex().upper())
+    if oe is not None and ue is not None:
+        head += " /OE <%s> /UE <%s>" % (oe.hex().upper(), ue.hex().upper())
+    return head + " >>\nendobj"
+
+
 def make_fixture_pdf_encrypted(
     blocks: list[list[str]] | None = None,
     r: int = 3,
@@ -1212,18 +1337,21 @@ def make_fixture_pdf_encrypted(
     compress: bool = False,
     corrupt_u: bool = False,
 ) -> str:
-    """Single-page RC4-encrypted fixture (standard security handler,
-    EMPTY user password): /R 2 = 40-bit /V 1, /R 3 = 128-bit /V 2.
-    /O and /U are computed exactly per the spec's algorithms 3-5, so
-    the extractor's key derivation and /U validation are exercised for
-    real, not against hand-picked constants. ``corrupt_u`` flips the
-    /U entry — the document then reads as user-password-locked and
-    extraction must degrade to [] without raising. Deterministic,
-    latin-1-safe string like :func:`make_fixture_pdf`.
+    """Single-page encrypted fixture (standard security handler, EMPTY
+    user password): /R 2 = 40-bit RC4 /V 1, /R 3 = 128-bit RC4 /V 2,
+    /R 4 = /V 4 crypt filter /CFM /AESV2 (AES-128-CBC), /R 5|6 = /V 5
+    AES-256 (/UE-wrapped file key; R6 uses the hardened 2.B hash).
+    /O, /U (and /UE for V5) are computed exactly per the spec's
+    algorithms, so the extractor's key derivation and /U validation
+    are exercised for real, not against hand-picked constants.
+    ``corrupt_u`` flips the /U entry — the document then reads as
+    user-password-locked and extraction must degrade to [] without
+    raising. Deterministic, latin-1-safe string like
+    :func:`make_fixture_pdf`.
     """
-    if r not in (2, 3):
-        raise ValueError(f"r must be 2 or 3, got {r}")
-    length_bits = 40 if r == 2 else 128
+    if r not in (2, 3, 4, 5, 6):
+        raise ValueError(f"r must be in 2..6, got {r}")
+    length_bits = {2: 40, 3: 128, 4: 128, 5: 256, 6: 256}[r]
     n = length_bits // 8
     id0 = bytes(range(0xA0, 0xB0))  # fixed 16-byte file ID
 
@@ -1247,27 +1375,57 @@ def make_fixture_pdf_encrypted(
         content = zlib.compress(content, 6)
         filt = " /Filter /FlateDecode"
 
-    # /O (algorithm 3): RC4 of the padded USER password under a key
-    # derived from the owner password
-    h = hashlib.md5((owner_pwd + _PDF_PAD)[:32]).digest()
-    if r >= 3:
-        for _ in range(50):
-            h = hashlib.md5(h).digest()
-    okey = h[:n]
-    o = _rc4(okey, _PDF_PAD)  # empty user password -> pad itself
-    if r >= 3:
-        for i in range(1, 20):
-            o = _rc4(bytes(b ^ i for b in okey), o)
-
     p = -44  # print allowed, modify denied — a typical owner-locked doc
-    key = _std_file_key(o, p, id0, r, length_bits)
-    u = _std_user_check(key, id0, r)
-    if r >= 3:
-        u += bytes(16)  # /U is 32 bytes; tail is arbitrary padding
-    if corrupt_u:
-        u = bytes(b ^ 0xFF for b in u)
 
-    enc_body = _StdDecryptor(key).decrypt(4, 0, content)  # RC4: enc == dec
+    def aes_stream(k: bytes, plain: bytes) -> bytes:
+        iv = bytes(range(0x30, 0x40))  # fixed IV: fixture determinism
+        padlen = 16 - len(plain) % 16
+        return iv + aes_cbc_encrypt(k, iv, plain + bytes([padlen]) * padlen)
+
+    oe = ue = None
+    if r >= 5:
+        # AES-256 (V5): /U = 2.A hash + validation/key salts; /UE wraps
+        # the file key; owner entries are spec-shaped dummies (the
+        # empty-user-password reader never consults them)
+        vsalt, ksalt = bytes(range(0x10, 0x18)), bytes(range(0x18, 0x20))
+        key = bytes((i * 7 + 3) & 0xFF for i in range(32))
+        if r == 6:
+            hsh, ik = _hash_2b(b"", vsalt), _hash_2b(b"", ksalt)
+        else:
+            hsh = hashlib.sha256(vsalt).digest()
+            ik = hashlib.sha256(ksalt).digest()
+        u = hsh + vsalt + ksalt
+        ue = aes_cbc_encrypt(ik, bytes(16), key)
+        o, oe = bytes(48), bytes(32)
+        if corrupt_u:
+            u = bytes(b ^ 0xFF for b in u)
+        enc_body = aes_stream(key, content)
+    else:
+        # /O (algorithm 3): RC4 of the padded USER password under a key
+        # derived from the owner password
+        h = hashlib.md5((owner_pwd + _PDF_PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        okey = h[:n]
+        o = _rc4(okey, _PDF_PAD)  # empty user password -> pad itself
+        if r >= 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(b ^ i for b in okey), o)
+
+        key = _std_file_key(o, p, id0, r, length_bits)
+        u = _std_user_check(key, id0, r)
+        if r >= 3:
+            u += bytes(16)  # /U is 32 bytes; tail is arbitrary padding
+        if corrupt_u:
+            u = bytes(b ^ 0xFF for b in u)
+        if r == 4:
+            h4 = hashlib.md5(
+                key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+            ).digest()
+            enc_body = aes_stream(h4[:16], content)
+        else:
+            enc_body = _StdDecryptor(key).decrypt(4, 0, content)  # RC4: enc == dec
 
     objs = [
         (1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj"),
@@ -1285,12 +1443,7 @@ def make_fixture_pdf_encrypted(
             "4 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj"
             % (len(enc_body), filt, enc_body.decode("latin-1")),
         ),
-        (
-            5,
-            "5 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
-            "/P %d /O <%s> /U <%s> >>\nendobj"
-            % (1 if r == 2 else 2, r, length_bits, p, o.hex().upper(), u.hex().upper()),
-        ),
+        (5, _encrypt_dict_obj(r, length_bits, p, o, u, oe, ue)),
     ]
     out = ["%PDF-1.4"]
     offsets: dict = {}
