@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_signatures",
     "cosine_topk",
     "token_counts",
+    "line_dedup_stats",
 ]
 
 
