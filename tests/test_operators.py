@@ -389,6 +389,52 @@ def test_token_windows_coverage_and_overlap(spark):
     assert w1[1]["win_md5"] == hashlib.md5(" ".join(toks[24:50]).encode()).hexdigest()
 
 
+def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """build_ivf_index + ivf_query_topk (the production index-once/
+    query-many split) must return exactly what the in-memory
+    ivf_ann_topk computes for the same centroids, and the cells scan
+    must be partition-PRUNED to the probed inverted lists."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_centroids,
+        ivf_query_topk,
+    )
+
+    rng = random.Random(41)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(200)]
+    rows += [(200, None), (201, [0.0] * 32)]  # dropped at build
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(8, 32)
+
+    stats = build_ivf_index(
+        df, str(tmp_path / "ivf"), n_cells=8, dim=32, centroids=cents
+    )
+    assert stats["n_vectors"] == 200 and stats["n_cells"] == 8
+
+    queries = df.where(F.col("vec_id") < 10)
+    got = ivf_query_topk(
+        spark, str(tmp_path / "ivf"), queries, k=3, nprobe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan  # pruned scan
+    got_rows = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in got.collect()
+    }
+    # reference: the in-memory operator, restricted to the query ids
+    ref = ivf_ann_topk(df, k=3, n_cells=8, nprobe=2, dim=32, centroids=cents)
+    ref_rows = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ref.where(F.col("query_id") < 10).collect()
+    }
+    assert got_rows == ref_rows and len(got_rows) == 30
+
+
 def test_ivf_topk_finds_planted_neighbor(spark):
     import random
 

@@ -33,6 +33,8 @@ __all__ = [
     "kmeans_centroids",
     "ivf_ann_topk",
     "lsh_ann_topk",
+    "build_ivf_index",
+    "ivf_query_topk",
 ]
 
 
@@ -351,6 +353,32 @@ def kmeans_centroids(
     return cents
 
 
+def _cell_rank_col(u: Column, cents: list) -> Column:
+    """Cells ranked by descending dot(u, centroid): (-dot, idx)
+    structs sorted ascending, first-index tie-break — EXACTLY what the
+    contract oracle's list_sort over {d, i} structs does."""
+    entries = []
+    for j, c in enumerate(cents):
+        warr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(u, warr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        entries.append(F.struct((-d).alias("d"), F.lit(j).alias("i")))
+
+    def cmp(x: Column, y: Column) -> Column:
+        return (
+            F.when(x["d"] < y["d"], F.lit(-1))
+            .when(x["d"] > y["d"], F.lit(1))
+            .when(x["i"] < y["i"], F.lit(-1))
+            .when(x["i"] > y["i"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return F.array_sort(F.array(*entries), cmp)
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     k: int = 3,
@@ -389,29 +417,7 @@ def ivf_ann_topk(
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
 
     def cell_ranking(u: Column) -> Column:
-        # (-dot, idx) structs sorted ascending = cells by descending
-        # similarity, first-index tie-break — EXACTLY what the oracle's
-        # list_sort over {d, i} structs does
-        entries = []
-        for j, c in enumerate(cents):
-            warr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(u, warr, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            )
-            entries.append(F.struct((-d).alias("d"), F.lit(j).alias("i")))
-
-        def cmp(x: Column, y: Column) -> Column:
-            return (
-                F.when(x["d"] < y["d"], F.lit(-1))
-                .when(x["d"] > y["d"], F.lit(1))
-                .when(x["i"] < y["i"], F.lit(-1))
-                .when(x["i"] > y["i"], F.lit(1))
-                .otherwise(F.lit(0))
-            )
-
-        return F.array_sort(F.array(*entries), cmp)
+        return _cell_rank_col(u, cents)
 
     # zero-norm vectors: no direction, no cell — dropped like NULLs by
     # the raw-vector pre-filter (see _has_direction)
@@ -487,6 +493,120 @@ def lsh_ann_topk(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
             F.round(dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: list | None = None,
+    learn: bool = True,
+) -> dict:
+    """Materialize the IVF index on disk — the build/query split a
+    production ANN service actually runs (index once, query many):
+
+    * ``path/cells`` — (id, u, cell) parquet PARTITIONED BY cell, so
+      each inverted list is its own partition directory and a probe
+      becomes a partition-PRUNED read (query cost ∝ probed lists, not
+      corpus size);
+    * ``path/centroids`` — the ≤ ``n_cells`` quantizer rows.
+
+    ``centroids`` may be supplied; otherwise k-means-learned from a
+    bounded driver sample (``learn=True``, the production default) or
+    the deterministic engine-portable grid. Zero-norm/NULL vectors are
+    dropped at build (no direction, no cell). The vector count rides
+    the write via ``observe()`` — no extra scan.
+    """
+    from pyspark.sql import Observation
+
+    if centroids is None:
+        centroids = (
+            kmeans_centroids(vectors, n_cells, id_col=id_col, vec_col=vec_col)
+            if learn
+            else ivf_centroids(n_cells, dim)
+        )
+    base = vectors.where(_has_direction(vec_col)).select(
+        F.col(id_col).alias("id"), unit_vector(vec_col).alias("u")
+    )
+    assigned = base.withColumn("cell", _cell_rank_col(F.col("u"), centroids)[0]["i"])
+    obs = Observation("ivf_index_build")
+    (
+        assigned.observe(obs, F.count(F.lit(1)).alias("n_vectors"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    return {
+        "path": path,
+        "n_cells": len(centroids),
+        "n_vectors": obs.get["n_vectors"] or 0,
+    }
+
+
+def ivf_query_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` index: rank cells per query,
+    read ONLY the probed inverted lists, exact in-cell cosine, per-
+    query top-k. Returns (query_id, rnk, neighbor_id, cos_sim); a
+    corpus vector sharing the query's id is excluded (self-match).
+
+    Scale shape: the centroid table (≤ n_cells rows) and the distinct
+    probed-cell set (≤ n_cells ints) are the ONLY driver collects —
+    both bounded by the quantizer size, independent of corpus and
+    query volume. The probed set becomes a LITERAL isin filter on the
+    partition column, so the cells scan shows PartitionFilters and
+    touches just those directories (plan-asserted in the test); the
+    probe join is broadcast (query batches are small next to the
+    corpus — for corpus-sized query sets use :func:`ivf_ann_topk`,
+    which co-shuffles instead).
+    """
+    cents = [
+        r["centroid"]
+        for r in spark.read.parquet(path + "/centroids").orderBy("cell").collect()
+    ]
+    q = queries.where(_has_direction(vec_col)).select(
+        F.col(id_col).alias("qid"), unit_vector(vec_col).alias("qu")
+    )
+    probes = q.withColumn("sd", _cell_rank_col(F.col("qu"), cents)).select(
+        "qid",
+        "qu",
+        F.explode(F.slice(F.transform("sd", lambda e: e["i"]), 1, nprobe)).alias(
+            "cell"
+        ),
+    ).localCheckpoint(eager=True)  # ranked once; reused for pruning + join
+    probed = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    cells = spark.read.parquet(path + "/cells").where(F.col("cell").isin(probed))
+    p, c = probes.alias("p"), cells.alias("c")
+    scored = (
+        F.broadcast(p)
+        .join(c, (F.col("p.cell") == F.col("c.cell")) & (F.col("p.qid") != F.col("c.id")))
+        .select(
+            F.col("p.qid").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(dot(F.col("p.qu"), F.col("c.u")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
