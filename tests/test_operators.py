@@ -693,6 +693,70 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(batch)
 
 
+def test_streaming_clean_extract_matches_batch(spark, tmp_path):
+    """Stateless cleaning tiers in-stream: micro-batch output must
+    equal the identical batch composition on the same files, with the
+    planted PII redacted in the landed corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema, generate_corpus
+    from xhtmlkit_spark.functions.spans import span_text_concat
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.operators.lines import c4_line_filter, split_text_lines
+    from xhtmlkit_spark.operators.pii import with_pii_redaction
+    from xhtmlkit_spark.plans.pipeline import derive_part
+    from xhtmlkit_spark.streaming.jobs import streaming_clean_extract
+
+    corpus = generate_corpus(str(tmp_path / "corpus"), 40, seed=13, chunk_docs=20)
+    # plant a PII doc as one more landing-zone file
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": ["pii_doc"],
+                "spans": [[{
+                    "kind": "html",
+                    "text": "<p>please contact the team at leak@example.org "
+                            "for any of the billing questions today</p>",
+                    "media_ref": None, "offset": 0,
+                }]],
+                "part": [0],
+            },
+            schema=corpus_schema(),
+        ),
+        f"{corpus}/part-pii.parquet",
+    )
+
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    streaming_clean_extract(spark, corpus, out, chk, max_files_per_trigger=1)
+    streamed = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"], r["n_pii"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    docs = extract_spans(derive_part(spark.read.parquet(corpus))).select(
+        "doc_id", "part", span_text_concat(F.col("spans"), "\n").alias("text")
+    )
+    cleaned = c4_line_filter(
+        docs, split_text_lines("text"), min_words=3,
+        require_terminal_punct=False, passthrough=("part",),
+    ).where(F.col("n_kept") > 0)
+    batch = {
+        r["doc_id"]: (r["redacted"], r["n_lines"], r["n_kept"],
+                      r["n_emails"] + r["n_phones"] + r["n_ips"])
+        for r in with_pii_redaction(cleaned, text="kept_text").collect()
+    }
+    assert streamed == batch
+    assert streamed["pii_doc"][3] == 1
+    assert "<EMAIL>" in streamed["pii_doc"][0]
+    assert "leak@example.org" not in streamed["pii_doc"][0]
+    # exactly-once: re-draining the same checkpoint adds nothing
+    streaming_clean_extract(spark, corpus, out, chk, max_files_per_trigger=1)
+    assert spark.read.parquet(out).count() == len(batch)
+
+
 def test_span_functions_roundtrip(spark):
     from xhtmlkit_spark.functions.spans import (
         explode_spans,

@@ -140,6 +140,7 @@ def c4_line_filter(
     require_terminal_punct: bool = True,
     id_col: str = "doc_id",
     text: str = "text",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """C4-style per-document line filtering + document flags.
 
@@ -183,6 +184,7 @@ def c4_line_filter(
     st = F.col("__xk_stats")
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         st["n_lines"].cast("long").alias("n_lines"),
         st["n_kept"].cast("long").alias("n_kept"),
         F.when(

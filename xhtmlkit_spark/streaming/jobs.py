@@ -408,6 +408,72 @@ def streaming_extract(
     q.awaitTermination()
 
 
+def streaming_clean_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_words: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The cleaning tiers composed INTO the ingestion stream: extract →
+    C4 line-quality filter → PII redaction, landing
+    ``(doc_id, part, text, n_lines, n_kept, n_pii)`` through the same
+    exactly-once native file sink as :func:`streaming_extract`.
+
+    Every tier here is STATELESS (row-local expressions on top of the
+    Arrow extraction stage), so micro-batch output ≡ the batch
+    pipeline on the same files — pinned by
+    test_streaming_clean_extract_matches_batch. The stateful tier
+    (corpus-level line dedup needs cross-document first-occurrence
+    state) deliberately stays in the batch builder
+    (plans/training.py); its streaming analogue would be
+    dropDuplicatesWithinWatermark on line keys with different
+    (windowed, not corpus-global) semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.functions.spans import span_text_concat
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.operators.lines import c4_line_filter, split_text_lines
+    from xhtmlkit_spark.operators.pii import with_pii_redaction
+    from xhtmlkit_spark.plans.pipeline import derive_part
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    docs = extract_spans(derive_part(stream)).select(
+        "doc_id", "part", span_text_concat(F.col("spans"), "\n").alias("text")
+    )
+    cleaned = c4_line_filter(
+        docs,
+        split_text_lines("text"),
+        min_words=min_words,
+        require_terminal_punct=False,
+        passthrough=("part",),
+    ).where(F.col("n_kept") > 0)
+    out = with_pii_redaction(cleaned, text="kept_text").select(
+        "doc_id",
+        "part",
+        F.col("redacted").alias("text"),
+        "n_lines",
+        "n_kept",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n_pii"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6+: STREAM-STREAM interval self-join — each side watermarked,
     pairs of same-user events within 2 minutes (the streaming twin of
