@@ -636,6 +636,30 @@ SELECTOR_CASES = [
      '<img src="a.png" alt="hello alt">',
      'img, img @alt, img @src',
      None),
+    ('last_child',
+     '<ul><li>a<li>b<li>last one</ul><div><p>x<p>tail</div>',
+     'li:last-child, p:last-child',
+     None),
+    ('last_child_tag_mismatch',
+     '<div><p>para</p><span>actual last</span></div>',
+     'p:last-child',
+     None),
+    ('nth_last_child_index',
+     '<ul><li>a<li>b<li>c<li>d</ul>',
+     'li:nth-last-child(2)',
+     None),
+    ('nth_last_child_anb',
+     '<ul><li>a<li>b<li>c<li>d<li>e</ul>',
+     'li:nth-last-child(2n+1)',
+     None),
+    ('last_child_with_combinator',
+     '<div><h2>head</h2><p>mid</p><p>final</p></div>',
+     'h2 ~ p:last-child',
+     None),
+    ('first_and_last_same_element',
+     '<div><p>solo</p></div><div><p>a</p><p>b</p></div>',
+     'p:first-child:last-child',
+     None),
 ]
 
 

@@ -90,9 +90,32 @@ def test_extract_doc_offsets_contiguous(spans):
 def test_selector_never_raises_on_any_document(s):
     from xkit.selector import select_html
 
-    for kind, text, ref in select_html(s, "div.a > p[x], script, * @id"):
+    for kind, text, ref in select_html(
+        s, "div.a > p[x], script, * @id, p:last-child, b:nth-last-child(2n+1)"
+    ):
         assert kind in ("text", "media")
         assert (kind == "media") == (ref is not None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_any_text)
+def test_selector_last_child_one_per_nonempty_parent(s):
+    """`*:last-child` matches exactly one element per parent that has
+    any element child — the two-pass counting totals must agree with
+    the stream itself on EVERY parent."""
+    from xkit.selector import select_html
+
+    n_parents = 0
+    depth_has_child = [False]  # index = depth; root at 0
+    for ev in repair(tokenize(s)):
+        if ev[0] == "open":
+            if not depth_has_child[-1]:
+                n_parents += 1
+                depth_has_child[-1] = True
+            depth_has_child.append(False)
+        elif ev[0] == "close":
+            depth_has_child.pop()
+    assert len(select_html(s, "*:last-child")) == n_parents
 
 
 @settings(max_examples=200, deadline=None)

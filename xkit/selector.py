@@ -13,7 +13,8 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
     selector := compound ((ws | ws? (">"|"+"|"~") ws?) compound)* (ws "@" name)?
     compound := [tag | "*"] ("#" id)? ("." class)* attr* pseudo*
     attr     := "[" name (("=" | "^=" | "$=" | "*=" | "~=") value)? "]"
-    pseudo   := ":first-child" | ":nth-child(" (int|odd|even|an+b) ")"
+    pseudo   := ":first-child" | ":last-child"
+              | (":nth-child(" | ":nth-last-child(") (int|odd|even|an+b) ")"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -21,9 +22,12 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   combinator (both sides element siblings, text/comments ignored)
 * ``:first-child`` / ``:nth-child(an+b)`` test the element's 1-based
   position among its parent's element children (CSS semantics);
-  ``:last-child`` is NOT supported — it needs the next sibling, which
-  a single forward pass over the event stream cannot see at element
-  open (rejected with ValueError, not silently unmatched)
+  ``:last-child`` / ``:nth-last-child(an+b)`` count from the end —
+  they need each parent's FINAL child count, so a selector carrying
+  one pays a single counting PRE-PASS over the same deterministic
+  event stream (selectors without them keep the one-pass cost);
+  ``:only-child`` / ``:*-of-type`` remain out of scope (ValueError,
+  not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -70,9 +74,9 @@ __all__ = ["parse_selector", "select_html", "select_doc"]
 class _Simple:
     """One compound selector: tag/id/classes/attr/pseudo tests."""
 
-    __slots__ = ("tag", "id", "classes", "attrs", "pseudos")
+    __slots__ = ("tag", "id", "classes", "attrs", "pseudos", "last_pseudos")
 
-    def __init__(self, tag, id_, classes, attrs, pseudos=()):
+    def __init__(self, tag, id_, classes, attrs, pseudos=(), last_pseudos=()):
         self.tag = tag  # None = any
         self.id = id_
         self.classes = classes  # tuple[str, ...]
@@ -80,18 +84,28 @@ class _Simple:
         # structural pseudo-classes as (a, b) of nth-child's an+b
         # (:first-child ≡ (0, 1)); pos matches when pos = a·k + b, k ≥ 0
         self.pseudos = pseudos
+        # same (a, b) form counted FROM THE END (:last-child ≡ (0, 1));
+        # needs the parent's final child count from the counting pre-pass
+        self.last_pseudos = last_pseudos
 
-    def matches(self, tag: str, attrs: dict, pos: int = 1) -> bool:
+    @staticmethod
+    def _anb(a: int, b: int, pos: int) -> bool:
+        if a == 0:
+            return pos == b
+        d = pos - b
+        return d % a == 0 and d // a >= 0
+
+    def matches(self, tag: str, attrs: dict, pos: int = 1, total=None) -> bool:
         if self.tag is not None and tag != self.tag:
             return False
         for a, b in self.pseudos:
-            if a == 0:
-                if pos != b:
-                    return False
-            else:
-                d = pos - b
-                if d % a != 0 or d // a < 0:
-                    return False
+            if not self._anb(a, b, pos):
+                return False
+        for a, b in self.last_pseudos:
+            # total is the parent's FINAL element-child count (pre-pass);
+            # None means the pre-pass didn't run — defensive no-match
+            if total is None or not self._anb(a, b, total - pos + 1):
+                return False
         if self.id is not None and attrs.get("id") != self.id:
             return False
         if self.classes:
@@ -162,6 +176,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     classes: list = []
     attrs: list = []
     pseudos: list = []
+    last_pseudos: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -244,25 +259,35 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
             if name == "first-child":
                 pseudos.append((0, 1))
                 i = j
-            elif name == "nth-child":
+            elif name == "last-child":
+                last_pseudos.append((0, 1))
+                i = j
+            elif name in ("nth-child", "nth-last-child"):
                 if j >= n or s[j] != "(":
-                    raise ValueError(f":nth-child needs (arg) in selector {s!r}")
+                    raise ValueError(f":{name} needs (arg) in selector {s!r}")
                 k = s.find(")", j + 1)
                 if k < 0:
                     raise ValueError(f"unterminated ( in selector {s!r}")
-                pseudos.append(_parse_nth(s[j + 1 : k], s))
+                (pseudos if name == "nth-child" else last_pseudos).append(
+                    _parse_nth(s[j + 1 : k], s)
+                )
                 i = k + 1
             else:
-                # :last-child and friends need the NEXT sibling, which a
-                # single forward pass can't see at element open — out of
-                # scope, rejected loudly rather than silently unmatched
+                # :only-child, :*-of-type etc. — out of scope, rejected
+                # loudly rather than silently unmatched
                 raise ValueError(f"unsupported pseudo-class :{name} in selector {s!r}")
             matched_any = True
         else:
             break
     if not matched_any:
         raise ValueError(f"expected selector at {start} in {s!r}")
-    return _Simple(tag, id_, tuple(classes), tuple(attrs), tuple(pseudos)), i
+    return (
+        _Simple(
+            tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
+            tuple(last_pseudos),
+        ),
+        i,
+    )
 
 
 def _split_alternatives(selector: str) -> list:
@@ -368,11 +393,14 @@ def parse_selector(selector: str) -> list:
 
 
 def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
-    """stack: list of (tag, attrs, sibs, idx) descriptors with the
-    candidate element on top; ``sibs`` is the parent's ordered list of
-    element-children (tag, attrs) and ``idx`` the element's position in
-    it (so preceding siblings are sibs[:idx] — safe to read later
-    because a parent's child list cannot grow while a child is open).
+    """stack: list of (tag, attrs, sibs, idx, total) descriptors with
+    the candidate element on top; ``sibs`` is the parent's ordered list
+    of element-children (tag, attrs) and ``idx`` the element's position
+    in it (so preceding siblings are sibs[:idx] — safe to read later
+    because a parent's child list cannot grow while a child is open);
+    ``total`` is the parent's FINAL element-child count from the
+    :last-child counting pre-pass (None when no last-of pseudo is in
+    play — the pre-pass is skipped).
 
     The chain's last compound must match the top; earlier compounds
     match per their combinator — ``child`` pins the exact parent,
@@ -384,8 +412,8 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
     depth: the sibling's ancestors are the candidate's ancestors."""
 
     def match_elem(ci: int, anc_len: int, elem) -> bool:
-        tag, attrs, sibs, idx = elem
-        if not chain[ci].matches(tag, attrs, idx + 1):
+        tag, attrs, sibs, idx, total = elem
+        if not chain[ci].matches(tag, attrs, idx + 1, total):
             return False
         if ci == 0:
             return True
@@ -401,11 +429,11 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
             if idx == 0:
                 return False
             p = sibs[idx - 1]
-            return match_elem(ci - 1, anc_len, (p[0], p[1], sibs, idx - 1))
+            return match_elem(ci - 1, anc_len, (p[0], p[1], sibs, idx - 1, total))
         # rel == "sib"
         for j in range(idx - 1, -1, -1):
             p = sibs[j]
-            if match_elem(ci - 1, anc_len, (p[0], p[1], sibs, j)):
+            if match_elem(ci - 1, anc_len, (p[0], p[1], sibs, j, total)):
                 return True
         return False
 
@@ -423,7 +451,28 @@ def select_html(
     """
     groups = parse_selector(selector) if isinstance(selector, str) else selector
     base = options.base_url
-    stack: list = []  # (tag, attrs, parent-sibs, idx) of open elements
+    # :last-child / :nth-last-child need each parent's FINAL element-
+    # child count, which a single forward pass cannot know at element
+    # open — so selectors carrying a last-of pseudo pay ONE counting
+    # pre-pass over the same deterministic event stream (keyed by open
+    # order, identical in both passes). Selectors without them skip it.
+    totals: dict = {}
+    if any(
+        c.last_pseudos for (chain, _), _ in groups for c in chain
+    ):
+        pstack = [-1]
+        totals[-1] = 0
+        pseq = 0
+        for ev in repair(tokenize(html), fragment=options.fragment):
+            if ev[0] == "open":
+                totals[pstack[-1]] += 1
+                pstack.append(pseq)
+                totals[pseq] = 0
+                pseq += 1
+            elif ev[0] == "close":
+                pstack.pop()
+    stack: list = []  # (tag, attrs, parent-sibs, idx, total) of open elements
+    parent_seqs: list = [-1]  # open-seq of the element at each depth-1
     # children_stack[d]: ordered (tag, attrs) element-children of the
     # element at stack depth d-1 (d=0 is the document root) — feeds
     # sibling combinators and :first-child/:nth-child positions
@@ -445,7 +494,8 @@ def select_html(
             sibs = children_stack[-1]
             idx = len(sibs)
             sibs.append((tag, attrs))
-            stack.append((tag, attrs, sibs, idx))
+            stack.append((tag, attrs, sibs, idx, totals.get(parent_seqs[-1])))
+            parent_seqs.append(seq)
             children_stack.append([])
             projs_here = set()
             for (chain, rels), proj in groups:
@@ -465,6 +515,7 @@ def select_html(
         elif k == "close":
             depth = len(stack)
             stack.pop()
+            parent_seqs.pop()
             children_stack.pop()
             # finalize captures opened at this depth (appended in order,
             # so they sit at the tail)
