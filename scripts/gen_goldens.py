@@ -660,6 +660,10 @@ SELECTOR_CASES = [
      '<div><p>solo</p></div><div><p>a</p><p>b</p></div>',
      'p:first-child:last-child',
      None),
+    ('only_child',
+     '<div><p>solo</p></div><div><p>a</p><p>b</p></div><ul><li>single<li>x</ul>',
+     'p:only-child, li:only-child',
+     None),
 ]
 
 

@@ -456,6 +456,38 @@ class TestEncryption:
         assert a != _hash_2b(b"", bytes([1] * 8))  # salt-sensitive
         assert a != _hash_2b(b"pw", bytes(8))  # password-sensitive
 
+    def test_encrypt_metadata_false_key_variant(self):
+        from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
+
+        pdf = make_fixture_pdf_encrypted(
+            [["metadata not encrypted here"]], r=4, encrypt_metadata=False
+        )
+        assert "/EncryptMetadata false" in pdf
+        assert extract_pdf_text(pdf) == ["metadata not encrypted here"]
+        # the flag really changes the key: same doc minus the flag in the
+        # dict (key derived WITH it) must fail /U validation → no spans
+        assert extract_pdf_text(pdf.replace(" /EncryptMetadata false", "")) == []
+
+    def test_tiff_predictor_2_roundtrip(self):
+        import zlib
+
+        from xkit.pdfmini import _decode_stream
+
+        plain = bytes(range(16)) * 3  # 3 rows of 16 columns, 1 color
+        rows = []
+        for r0 in range(0, len(plain), 16):
+            row = bytearray(plain[r0 : r0 + 16])
+            for j in range(15, 0, -1):  # forward-difference = encode
+                row[j] = (row[j] - row[j - 1]) & 0xFF
+            rows.append(bytes(row))
+        comp = zlib.compress(b"".join(rows))
+        obj = (
+            b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 2 /Columns 16 /Colors 1 /BitsPerComponent 8 >> >>\n"
+            b"stream\n%s\nendstream" % (len(comp), comp)
+        )
+        assert _decode_stream(obj) == plain
+
     def test_aes_corrupt_ciphertext_degrades(self):
         from xkit.pdfmini import extract_pdf_text, make_fixture_pdf_encrypted
 

@@ -77,9 +77,10 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 
 Out of scope, documented: full font CMaps (CID-keyed, embedded
 program tables), non-empty user passwords, owner-password-only
-validation, the /Perms integrity check, /EncryptMetadata false
-key-derivation variant, TIFF predictor 2, and the array form of
-``bfrange`` destinations.
+validation, the /Perms integrity check, sub-byte TIFF-predictor
+layouts, and the array form of ``bfrange`` destinations.
+(``/EncryptMetadata false`` key derivation and byte-aligned TIFF
+predictor 2 ARE handled.)
 
 Layout rule (frozen by tests/golden/pdf_dialect.json): each ``BT…ET``
 text object is one output block; ``Tj``/``TJ`` strings within it are
@@ -329,9 +330,31 @@ def _decode_stream(obj: bytes) -> bytes | None:
                 parms["Colors"] or 1,
                 parms["BitsPerComponent"] or 8,
             )
+        elif pred == 2:
+            body = _tiff_predictor_undo(
+                body,
+                parms["Columns"] or 1,
+                parms["Colors"] or 1,
+                parms["BitsPerComponent"] or 8,
+            )
         elif pred != 1:
-            return None  # TIFF predictor 2: out of scope, skip not corrupt
+            return None  # unknown predictor: skip, not corrupt
     return body
+
+
+def _tiff_predictor_undo(body: bytes, columns: int, colors: int, bits: int) -> bytes:
+    """Undo TIFF predictor 2 (horizontal differencing): each sample is
+    stored as the difference from the same-channel sample to its left,
+    per row. Only the byte-aligned ``bits == 8`` layout is handled
+    (the form real PDFs use); sub-byte layouts pass through."""
+    if bits != 8:
+        return body
+    rowlen = columns * colors
+    out = bytearray(body)
+    for r0 in range(0, len(out) - rowlen + 1, rowlen):
+        for j in range(colors, rowlen):
+            out[r0 + j] = (out[r0 + j] + out[r0 + j - colors]) & 0xFF
+    return bytes(out)
 
 
 # Standard-security-handler decryption (encrypted PDFs).
@@ -412,12 +435,24 @@ def _pdf_string_bytes(lit: bytes | None, hx: bytes | None) -> bytes | None:
 
 
 def _std_file_key(
-    o: bytes, p: int, id0: bytes, r: int, length_bits: int, user_pwd: bytes = b""
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length_bits: int,
+    user_pwd: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Standard-handler algorithm 2: the file encryption key."""
+    """Standard-handler algorithm 2: the file encryption key.
+    ``/EncryptMetadata false`` (R ≥ 4) appends ffffffff to the hash
+    input per spec step f."""
     pad_pwd = (user_pwd + _PDF_PAD)[:32]
     h = hashlib.md5(
-        pad_pwd + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        pad_pwd
+        + o[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+        + (b"\xff\xff\xff\xff" if r >= 4 and not encrypt_metadata else b"")
     ).digest()
     n = max(5, min(16, length_bits // 8)) if r >= 3 else 5
     if r >= 3:
@@ -557,7 +592,11 @@ def _find_encryption(data: bytes, offsets: dict):
     for m in _ID_RE.finditer(data):
         id_m = m
     id0 = _pdf_string_bytes(None, id_m.group(1)) if id_m else b""
-    key = _std_file_key(o, p, id0 or b"", r, ints["Length"] or (128 if v == 4 else 40))
+    em = re.search(rb"/EncryptMetadata\s+false", enc) is None
+    key = _std_file_key(
+        o, p, id0 or b"", r, ints["Length"] or (128 if v == 4 else 40),
+        encrypt_metadata=em,
+    )
     if u is not None:
         expect = _std_user_check(key, id0 or b"", r)
         if u[: len(expect)] != expect:
@@ -1312,6 +1351,7 @@ def _encrypt_dict_obj(
     u: bytes,
     oe: bytes | None,
     ue: bytes | None,
+    encrypt_metadata: bool = True,
 ) -> str:
     """The /Encrypt dictionary for each handler generation."""
     v = {2: 1, 3: 2, 4: 4, 5: 5, 6: 5}[r]
@@ -1324,6 +1364,8 @@ def _encrypt_dict_obj(
             " /CF << /StdCF << /CFM /%s /AuthEvent /DocOpen /Length %d >> >>"
             " /StmF /StdCF /StrF /StdCF" % (cfm, length_bits // 8)
         )
+    if not encrypt_metadata:
+        head += " /EncryptMetadata false"
     head += " /O <%s> /U <%s>" % (o.hex().upper(), u.hex().upper())
     if oe is not None and ue is not None:
         head += " /OE <%s> /UE <%s>" % (oe.hex().upper(), ue.hex().upper())
@@ -1336,6 +1378,7 @@ def make_fixture_pdf_encrypted(
     owner_pwd: bytes = b"owner",
     compress: bool = False,
     corrupt_u: bool = False,
+    encrypt_metadata: bool = True,
 ) -> str:
     """Single-page encrypted fixture (standard security handler, EMPTY
     user password): /R 2 = 40-bit RC4 /V 1, /R 3 = 128-bit RC4 /V 2,
@@ -1413,7 +1456,9 @@ def make_fixture_pdf_encrypted(
             for i in range(1, 20):
                 o = _rc4(bytes(b ^ i for b in okey), o)
 
-        key = _std_file_key(o, p, id0, r, length_bits)
+        key = _std_file_key(
+            o, p, id0, r, length_bits, encrypt_metadata=encrypt_metadata
+        )
         u = _std_user_check(key, id0, r)
         if r >= 3:
             u += bytes(16)  # /U is 32 bytes; tail is arbitrary padding
@@ -1443,7 +1488,7 @@ def make_fixture_pdf_encrypted(
             "4 0 obj\n<< /Length %d%s >>\nstream\n%s\nendstream\nendobj"
             % (len(enc_body), filt, enc_body.decode("latin-1")),
         ),
-        (5, _encrypt_dict_obj(r, length_bits, p, o, u, oe, ue)),
+        (5, _encrypt_dict_obj(r, length_bits, p, o, u, oe, ue, encrypt_metadata)),
     ]
     out = ["%PDF-1.4"]
     offsets: dict = {}

@@ -13,7 +13,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
     selector := compound ((ws | ws? (">"|"+"|"~") ws?) compound)* (ws "@" name)?
     compound := [tag | "*"] ("#" id)? ("." class)* attr* pseudo*
     attr     := "[" name (("=" | "^=" | "$=" | "*=" | "~=") value)? "]"
-    pseudo   := ":first-child" | ":last-child"
+    pseudo   := ":first-child" | ":last-child" | ":only-child"
               | (":nth-child(" | ":nth-last-child(") (int|odd|even|an+b) ")"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
@@ -26,8 +26,8 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   they need each parent's FINAL child count, so a selector carrying
   one pays a single counting PRE-PASS over the same deterministic
   event stream (selectors without them keep the one-pass cost);
-  ``:only-child`` / ``:*-of-type`` remain out of scope (ValueError,
-  not silently unmatched)
+  ``:only-child`` ≡ ``:first-child:last-child``; ``:*-of-type``
+  remains out of scope (ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -262,6 +262,10 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
             elif name == "last-child":
                 last_pseudos.append((0, 1))
                 i = j
+            elif name == "only-child":  # ≡ :first-child:last-child
+                pseudos.append((0, 1))
+                last_pseudos.append((0, 1))
+                i = j
             elif name in ("nth-child", "nth-last-child"):
                 if j >= n or s[j] != "(":
                     raise ValueError(f":{name} needs (arg) in selector {s!r}")
@@ -273,8 +277,8 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 )
                 i = k + 1
             else:
-                # :only-child, :*-of-type etc. — out of scope, rejected
-                # loudly rather than silently unmatched
+                # :*-of-type etc. — out of scope, rejected loudly
+                # rather than silently unmatched
                 raise ValueError(f"unsupported pseudo-class :{name} in selector {s!r}")
             matched_any = True
         else:
