@@ -664,6 +664,22 @@ SELECTOR_CASES = [
      '<div><p>solo</p></div><div><p>a</p><p>b</p></div><ul><li>single<li>x</ul>',
      'p:only-child, li:only-child',
      None),
+    ('first_and_last_of_type',
+     '<div><h2>head</h2><p>p1</p><span>s1</span><p>p2</p><p>p3</p></div>',
+     'p:first-of-type, p:last-of-type',
+     None),
+    ('nth_of_type_and_from_end',
+     '<div><h2>x</h2><p>p1</p><em>e</em><p>p2</p><p>p3</p><p>p4</p></div>',
+     'p:nth-of-type(2), p:nth-last-of-type(2)',
+     None),
+    ('only_of_type',
+     '<div><h2>lone heading</h2><p>a</p><p>b</p></div>',
+     'h2:only-of-type, p:only-of-type',
+     None),
+    ('of_type_vs_child_position',
+     '<div><span>s</span><p>first p but second child</p></div>',
+     'p:first-of-type, p:first-child',
+     None),
 ]
 
 

@@ -14,7 +14,9 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
     compound := [tag | "*"] ("#" id)? ("." class)* attr* pseudo*
     attr     := "[" name (("=" | "^=" | "$=" | "*=" | "~=") value)? "]"
     pseudo   := ":first-child" | ":last-child" | ":only-child"
-              | (":nth-child(" | ":nth-last-child(") (int|odd|even|an+b) ")"
+              | ":first-of-type" | ":last-of-type" | ":only-of-type"
+              | (":nth-child(" | ":nth-last-child(" | ":nth-of-type("
+                 | ":nth-last-of-type(") (int|odd|even|an+b) ")"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -26,8 +28,10 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   they need each parent's FINAL child count, so a selector carrying
   one pays a single counting PRE-PASS over the same deterministic
   event stream (selectors without them keep the one-pass cost);
-  ``:only-child`` ≡ ``:first-child:last-child``; ``:*-of-type``
-  remains out of scope (ValueError, not silently unmatched)
+  ``:only-child`` ≡ ``:first-child:last-child``; the ``-of-type``
+  family counts among SAME-TAG siblings only (from-the-end forms use
+  the pre-pass's per-tag totals); non-structural pseudos (``:hover``,
+  ``:not(…)``) stay out of scope (ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -74,9 +78,15 @@ __all__ = ["parse_selector", "select_html", "select_doc"]
 class _Simple:
     """One compound selector: tag/id/classes/attr/pseudo tests."""
 
-    __slots__ = ("tag", "id", "classes", "attrs", "pseudos", "last_pseudos")
+    __slots__ = (
+        "tag", "id", "classes", "attrs", "pseudos", "last_pseudos",
+        "of_type", "last_of_type",
+    )
 
-    def __init__(self, tag, id_, classes, attrs, pseudos=(), last_pseudos=()):
+    def __init__(
+        self, tag, id_, classes, attrs, pseudos=(), last_pseudos=(),
+        of_type=(), last_of_type=(),
+    ):
         self.tag = tag  # None = any
         self.id = id_
         self.classes = classes  # tuple[str, ...]
@@ -87,6 +97,10 @@ class _Simple:
         # same (a, b) form counted FROM THE END (:last-child ≡ (0, 1));
         # needs the parent's final child count from the counting pre-pass
         self.last_pseudos = last_pseudos
+        # of-type variants: position among SAME-TAG siblings; the from-
+        # the-end forms need the pre-pass's per-tag totals
+        self.of_type = of_type
+        self.last_of_type = last_of_type
 
     @staticmethod
     def _anb(a: int, b: int, pos: int) -> bool:
@@ -95,7 +109,10 @@ class _Simple:
         d = pos - b
         return d % a == 0 and d // a >= 0
 
-    def matches(self, tag: str, attrs: dict, pos: int = 1, total=None) -> bool:
+    def matches(
+        self, tag: str, attrs: dict, pos: int = 1, total=None,
+        sibs=(), idx=0, tag_totals=None,
+    ) -> bool:
         if self.tag is not None and tag != self.tag:
             return False
         for a, b in self.pseudos:
@@ -106,6 +123,15 @@ class _Simple:
             # None means the pre-pass didn't run — defensive no-match
             if total is None or not self._anb(a, b, total - pos + 1):
                 return False
+        if self.of_type or self.last_of_type:
+            pos_t = 1 + sum(1 for t, _ in sibs[:idx] if t == tag)
+            for a, b in self.of_type:
+                if not self._anb(a, b, pos_t):
+                    return False
+            for a, b in self.last_of_type:
+                tot_t = tag_totals.get(tag) if tag_totals is not None else None
+                if tot_t is None or not self._anb(a, b, tot_t - pos_t + 1):
+                    return False
         if self.id is not None and attrs.get("id") != self.id:
             return False
         if self.classes:
@@ -177,6 +203,8 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     attrs: list = []
     pseudos: list = []
     last_pseudos: list = []
+    of_type: list = []
+    last_of_type: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -256,28 +284,34 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
             while j < n and (s[j].isalpha() or s[j] == "-"):
                 j += 1
             name = s[i:j].lower()
-            if name == "first-child":
-                pseudos.append((0, 1))
+            _FIRSTS = {
+                "first-child": (pseudos,),
+                "last-child": (last_pseudos,),
+                "only-child": (pseudos, last_pseudos),
+                "first-of-type": (of_type,),
+                "last-of-type": (last_of_type,),
+                "only-of-type": (of_type, last_of_type),
+            }
+            _NTHS = {
+                "nth-child": pseudos,
+                "nth-last-child": last_pseudos,
+                "nth-of-type": of_type,
+                "nth-last-of-type": last_of_type,
+            }
+            if name in _FIRSTS:
+                for dest in _FIRSTS[name]:
+                    dest.append((0, 1))
                 i = j
-            elif name == "last-child":
-                last_pseudos.append((0, 1))
-                i = j
-            elif name == "only-child":  # ≡ :first-child:last-child
-                pseudos.append((0, 1))
-                last_pseudos.append((0, 1))
-                i = j
-            elif name in ("nth-child", "nth-last-child"):
+            elif name in _NTHS:
                 if j >= n or s[j] != "(":
                     raise ValueError(f":{name} needs (arg) in selector {s!r}")
                 k = s.find(")", j + 1)
                 if k < 0:
                     raise ValueError(f"unterminated ( in selector {s!r}")
-                (pseudos if name == "nth-child" else last_pseudos).append(
-                    _parse_nth(s[j + 1 : k], s)
-                )
+                _NTHS[name].append(_parse_nth(s[j + 1 : k], s))
                 i = k + 1
             else:
-                # :*-of-type etc. — out of scope, rejected loudly
+                # :hover, :not(), etc. — out of scope, rejected loudly
                 # rather than silently unmatched
                 raise ValueError(f"unsupported pseudo-class :{name} in selector {s!r}")
             matched_any = True
@@ -288,7 +322,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     return (
         _Simple(
             tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
-            tuple(last_pseudos),
+            tuple(last_pseudos), tuple(of_type), tuple(last_of_type),
         ),
         i,
     )
@@ -416,8 +450,8 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
     depth: the sibling's ancestors are the candidate's ancestors."""
 
     def match_elem(ci: int, anc_len: int, elem) -> bool:
-        tag, attrs, sibs, idx, total = elem
-        if not chain[ci].matches(tag, attrs, idx + 1, total):
+        tag, attrs, sibs, idx, total, ttot = elem
+        if not chain[ci].matches(tag, attrs, idx + 1, total, sibs, idx, ttot):
             return False
         if ci == 0:
             return True
@@ -433,11 +467,13 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
             if idx == 0:
                 return False
             p = sibs[idx - 1]
-            return match_elem(ci - 1, anc_len, (p[0], p[1], sibs, idx - 1, total))
+            return match_elem(
+                ci - 1, anc_len, (p[0], p[1], sibs, idx - 1, total, ttot)
+            )
         # rel == "sib"
         for j in range(idx - 1, -1, -1):
             p = sibs[j]
-            if match_elem(ci - 1, anc_len, (p[0], p[1], sibs, j, total)):
+            if match_elem(ci - 1, anc_len, (p[0], p[1], sibs, j, total, ttot)):
                 return True
         return False
 
@@ -461,21 +497,27 @@ def select_html(
     # pre-pass over the same deterministic event stream (keyed by open
     # order, identical in both passes). Selectors without them skip it.
     totals: dict = {}
+    tag_totals: dict = {}
     if any(
-        c.last_pseudos for (chain, _), _ in groups for c in chain
+        c.last_pseudos or c.last_of_type for (chain, _), _ in groups for c in chain
     ):
         pstack = [-1]
         totals[-1] = 0
+        tag_totals[-1] = {}
         pseq = 0
         for ev in repair(tokenize(html), fragment=options.fragment):
             if ev[0] == "open":
-                totals[pstack[-1]] += 1
+                par = pstack[-1]
+                totals[par] += 1
+                d = tag_totals[par]
+                d[ev[1]] = d.get(ev[1], 0) + 1
                 pstack.append(pseq)
                 totals[pseq] = 0
+                tag_totals[pseq] = {}
                 pseq += 1
             elif ev[0] == "close":
                 pstack.pop()
-    stack: list = []  # (tag, attrs, parent-sibs, idx, total) of open elements
+    stack: list = []  # (tag, attrs, sibs, idx, total, tag_totals) per open element
     parent_seqs: list = [-1]  # open-seq of the element at each depth-1
     # children_stack[d]: ordered (tag, attrs) element-children of the
     # element at stack depth d-1 (d=0 is the document root) — feeds
@@ -498,7 +540,8 @@ def select_html(
             sibs = children_stack[-1]
             idx = len(sibs)
             sibs.append((tag, attrs))
-            stack.append((tag, attrs, sibs, idx, totals.get(parent_seqs[-1])))
+            ps = parent_seqs[-1]
+            stack.append((tag, attrs, sibs, idx, totals.get(ps), tag_totals.get(ps)))
             parent_seqs.append(seq)
             children_stack.append([])
             projs_here = set()
