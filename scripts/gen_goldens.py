@@ -680,6 +680,18 @@ SELECTOR_CASES = [
      '<div><span>s</span><p>first p but second child</p></div>',
      'p:first-of-type, p:first-child',
      None),
+    ('not_class_filter',
+     '<div><p class=ad>buy now</p><p>real content</p><p class="ad x">promo</p></div>',
+     'p:not(.ad)',
+     None),
+    ('not_chained_and_tag',
+     '<div><p id=keep>kept</p><p id=drop>dropped</p><span>other</span></div>',
+     '*:not(span):not([id=drop]):not(div)',
+     None),
+    ('not_structural_inner',
+     '<ul><li>a<li>b<li>c</ul>',
+     'li:not(:last-child)',
+     None),
 ]
 
 

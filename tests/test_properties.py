@@ -93,7 +93,8 @@ def test_selector_never_raises_on_any_document(s):
     for kind, text, ref in select_html(
         s,
         "div.a > p[x], script, * @id, p:last-child, b:nth-last-child(2n+1), "
-        "i:only-of-type, p:nth-of-type(2), a:nth-last-of-type(odd)",
+        "i:only-of-type, p:nth-of-type(2), a:nth-last-of-type(odd), "
+        "div:not(.a):not(:first-child)",
     ):
         assert kind in ("text", "media")
         assert (kind == "media") == (ref is not None)

@@ -17,6 +17,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
               | ":first-of-type" | ":last-of-type" | ":only-of-type"
               | (":nth-child(" | ":nth-last-child(" | ":nth-of-type("
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
+              | ":not(" compound ")"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -30,8 +31,11 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   event stream (selectors without them keep the one-pass cost);
   ``:only-child`` ≡ ``:first-child:last-child``; the ``-of-type``
   family counts among SAME-TAG siblings only (from-the-end forms use
-  the pre-pass's per-tag totals); non-structural pseudos (``:hover``,
-  ``:not(…)``) stay out of scope (ValueError, not silently unmatched)
+  the pre-pass's per-tag totals); ``:not(compound)`` negates one
+  compound (no combinators, no nesting — CSS3-shaped) and evaluates
+  with the same positional context, so ``p:not(:last-of-type)`` works
+  (and triggers the pre-pass); dynamic pseudos (``:hover``) stay out
+  of scope (ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -80,12 +84,12 @@ class _Simple:
 
     __slots__ = (
         "tag", "id", "classes", "attrs", "pseudos", "last_pseudos",
-        "of_type", "last_of_type",
+        "of_type", "last_of_type", "nots",
     )
 
     def __init__(
         self, tag, id_, classes, attrs, pseudos=(), last_pseudos=(),
-        of_type=(), last_of_type=(),
+        of_type=(), last_of_type=(), nots=(),
     ):
         self.tag = tag  # None = any
         self.id = id_
@@ -101,6 +105,9 @@ class _Simple:
         # the-end forms need the pre-pass's per-tag totals
         self.of_type = of_type
         self.last_of_type = last_of_type
+        # :not(compound) negations — inner _Simple selectors that must
+        # NOT match (evaluated with the same positional context)
+        self.nots = nots
 
     @staticmethod
     def _anb(a: int, b: int, pos: int) -> bool:
@@ -132,6 +139,9 @@ class _Simple:
                 tot_t = tag_totals.get(tag) if tag_totals is not None else None
                 if tot_t is None or not self._anb(a, b, tot_t - pos_t + 1):
                     return False
+        for inner in self.nots:
+            if inner.matches(tag, attrs, pos, total, sibs, idx, tag_totals):
+                return False
         if self.id is not None and attrs.get("id") != self.id:
             return False
         if self.classes:
@@ -205,6 +215,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     last_pseudos: list = []
     of_type: list = []
     last_of_type: list = []
+    nots: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -298,7 +309,37 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 "nth-of-type": of_type,
                 "nth-last-of-type": last_of_type,
             }
-            if name in _FIRSTS:
+            if name == "not":
+                if j >= n or s[j] != "(":
+                    raise ValueError(f":not needs (arg) in selector {s!r}")
+                # balanced-paren scan (the inner compound may itself
+                # contain parens — :nth-child(2n+1) — brackets, quotes)
+                depth_p, quote, k = 1, None, j + 1
+                while k < n and depth_p:
+                    ch = s[k]
+                    if quote is not None:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "\"'":
+                        quote = ch
+                    elif ch == "(":
+                        depth_p += 1
+                    elif ch == ")":
+                        depth_p -= 1
+                    k += 1
+                if depth_p:
+                    raise ValueError(f"unterminated :not( in selector {s!r}")
+                inner_s = s[j + 1 : k - 1].strip()
+                if ":not" in inner_s:
+                    raise ValueError(f"nested :not in selector {s!r}")
+                inner, used = _parse_compound(inner_s, 0)
+                if used != len(inner_s):
+                    raise ValueError(
+                        f":not argument must be one compound in selector {s!r}"
+                    )
+                nots.append(inner)
+                i = k
+            elif name in _FIRSTS:
                 for dest in _FIRSTS[name]:
                     dest.append((0, 1))
                 i = j
@@ -323,6 +364,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
         _Simple(
             tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
             tuple(last_pseudos), tuple(of_type), tuple(last_of_type),
+            tuple(nots),
         ),
         i,
     )
@@ -498,9 +540,15 @@ def select_html(
     # order, identical in both passes). Selectors without them skip it.
     totals: dict = {}
     tag_totals: dict = {}
-    if any(
-        c.last_pseudos or c.last_of_type for (chain, _), _ in groups for c in chain
-    ):
+
+    def _needs_pre(c) -> bool:  # :not() inners count too
+        return bool(
+            c.last_pseudos
+            or c.last_of_type
+            or any(_needs_pre(inner) for inner in c.nots)
+        )
+
+    if any(_needs_pre(c) for (chain, _), _ in groups for c in chain):
         pstack = [-1]
         totals[-1] = 0
         tag_totals[-1] = {}
