@@ -334,6 +334,25 @@ def test_hash_sampling_deterministic_and_nested(spark):
     assert 0 < by_lang.get("en", 0) < 100
 
 
+def test_approx_distinct_error_bound(spark):
+    """The HLL sketch (B12, rows-only in the oracle gate — no cross-
+    engine twin exists) is still pinned HERE: approx_count_distinct at
+    the default rsd=0.05 must land within 3 standard deviations (15%)
+    of the exact count on a 40k-distinct column."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 40_000).alias("uid"), (F.col("id") % 4).alias("g")
+    )
+    rows = df.groupBy("g").agg(
+        F.approx_count_distinct("uid").alias("approx"),
+        F.countDistinct("uid").alias("exact"),
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.15, dict(r.asDict())
+
+
 def test_temperature_mix_flattens_skew(spark):
     from pyspark.sql import functions as F
 
