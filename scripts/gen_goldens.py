@@ -130,6 +130,9 @@ PDF_ENC_LOCKED = make_fixture_pdf_encrypted(
 # AES generations (V4 AESV2 crypt filter, V5 AES-256 R5/R6): decrypt
 # is AES-CBC with IV prefix + PKCS#7 strip; R6 exercises the hardened
 # 2.B password hash; the locked AES doc degrades like the RC4 one
+PDF_TOUNICODE_ARRAY = make_fixture_pdf(
+    [["Ωμέγα array form", "δend"]], tounicode=True, tounicode_ranges="array"
+)
 PDF_ENC_AESV2 = make_fixture_pdf_encrypted(
     [["Aes v4 crypt filter secret", "second line"]], r=4
 )
@@ -388,6 +391,7 @@ CASES = {
         ("pdf_tounicode_bfchar", [("pdf", PDF_TOUNICODE_BFCHAR, None)]),
         ("pdf_tounicode_bfrange", [("pdf", PDF_TOUNICODE_BFRANGE, None)]),
         ("pdf_tounicode_chained_filters", [("pdf", PDF_TOUNICODE_CHAINED, None)]),
+        ("pdf_tounicode_bfrange_array_dst", [("pdf", PDF_TOUNICODE_ARRAY, None)]),
         ("pdf15_xrefstream_objstm_predictor", [("pdf", PDF15_OBJSTM, None)]),
         ("pdf15_xrefstream_plain_rows", [("pdf", PDF15_PLAIN, None)]),
         ("pdf15_xrefstream_multipage", [("pdf", PDF15_MULTIPAGE, None)]),

@@ -220,6 +220,29 @@ def test_tounicode_bfrange_scalar_runs():
     assert extract_pdf_text(p) == ["abcdef ghij"]
 
 
+def test_tounicode_bfrange_array_destinations():
+    p = make_fixture_pdf(
+        [["Ωμ mixed αβγ run", "ascii too"]], tounicode=True, tounicode_ranges="array"
+    )
+    assert extract_pdf_text(p) == ["Ωμ mixed αβγ run ascii too"]
+    # mixed scalar + array entries in ONE section must not mis-zip
+    from xkit.pdfmini import _parse_tounicode
+
+    cmap, _ = _parse_tounicode(
+        b"3 beginbfrange\n<0100> <0102> [<0041> <0042> <0043>]\n"
+        b"<0110> <0111> <0061>\n<0120> <0120> [<00E9>]\nendbfrange"
+    )
+    assert cmap == {
+        0x100: "A", 0x101: "B", 0x102: "C",
+        0x110: "a", 0x111: "b", 0x120: "é",
+    }
+    # surplus array members beyond hi and stray brackets degrade quietly
+    cmap2, _ = _parse_tounicode(
+        b"2 beginbfrange\n<0100> <0100> [<0041> <0042>]\n] [\n<0200> <01FF> <0043>\nendbfrange"
+    )
+    assert cmap2 == {0x100: "A"}
+
+
 def test_tounicode_through_compressed_cmap_and_chained_content():
     p = make_fixture_pdf(
         [["混合 mixed 页"]], tounicode=True, compress=True, ascii_wrap="a85"

@@ -30,13 +30,13 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 
 * **minimal /ToUnicode CMaps** for hex-string text: each page's
   ``/Resources /Font`` entries are followed to their ``/ToUnicode``
-  streams; ``bfchar`` pairs and scalar ``bfrange`` runs (UTF-16BE
+  streams; ``bfchar`` pairs and scalar + array-destination ``bfrange`` runs (UTF-16BE
   destinations) are parsed into one code→text map per page (union over
   the page's fonts — per-``Tf`` font switching is NOT tracked), with
   the code width taken from ``begincodespacerange``. Hex strings on a
   CMapped page decode through the map (unmapped codes fall back to
   chr(code) below 256, U+FFFD above); pages without a CMap keep the
-  latin-1 byte rule. The array form of ``bfrange`` destinations is out
+  latin-1 byte rule. CID-keyed font program tables remain out
   of scope.
 
 * **xref STREAMS and object STREAMS** (PDF 1.5+): every object whose
@@ -78,7 +78,7 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 Out of scope, documented: full font CMaps (CID-keyed, embedded
 program tables), non-empty user passwords, owner-password-only
 validation, the /Perms integrity check, sub-byte TIFF-predictor
-layouts, and the array form of ``bfrange`` destinations.
+layouts.
 (``/EncryptMetadata false`` key derivation and byte-aligned TIFF
 predictor 2 ARE handled.)
 
@@ -799,6 +799,7 @@ _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _HEXVAL_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _BFCHAR_SEC_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_SEC_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
@@ -825,20 +826,48 @@ def _parse_tounicode(body: bytes) -> tuple[dict, int]:
             if text is not None:
                 cmap[int(src, 16)] = text
     for sec in _BFRANGE_SEC_RE.finditer(body):
-        vals = _HEXVAL_RE.findall(sec.group(1))
-        for lo, hi, dst in zip(vals[0::3], vals[1::3], vals[2::3]):
-            lo_i, hi_i = int(lo, 16), int(hi, 16)
-            if hi_i < lo_i or hi_i - lo_i > 65535:
-                continue  # corrupt/bomb range
-            text = _dst_text(dst)
-            if text is None:
+        # token scan, not a flat triple-zip: the ARRAY destination form
+        # `<lo> <hi> [<d0> <d1> …]` would otherwise feed its members in
+        # as the lo/hi of later entries and mis-map the whole section
+        toks = list(_BFTOK_RE.finditer(sec.group(1)))
+        i = 0
+        nt = len(toks)
+        while i < nt:
+            if (
+                toks[i].group(1) is None
+                or i + 1 >= nt
+                or toks[i + 1].group(1) is None
+            ):
+                i += 1  # stray bracket / malformed entry: resync
                 continue
-            if len(text) == 1:
-                base = ord(text)
-                for c in range(lo_i, hi_i + 1):
-                    cmap[c] = chr(base + (c - lo_i))
-            else:  # multi-char destination only valid for the start code
-                cmap[lo_i] = text
+            lo_i = int(toks[i].group(1), 16)
+            hi_i = int(toks[i + 1].group(1), 16)
+            i += 2
+            bad = hi_i < lo_i or hi_i - lo_i > 65535  # corrupt/bomb range
+            if i < nt and toks[i].group(2):  # [ array of destinations ]
+                i += 1
+                c = lo_i
+                while i < nt and not toks[i].group(3):
+                    if toks[i].group(1) is not None:
+                        text = _dst_text(toks[i].group(1))
+                        if text is not None and not bad and c <= hi_i:
+                            cmap[c] = text
+                        c += 1
+                    i += 1
+                i += 1  # the closing ]
+            elif i < nt and toks[i].group(1) is not None:
+                text = None if bad else _dst_text(toks[i].group(1))
+                i += 1
+                if text is None:
+                    continue
+                if len(text) == 1:
+                    base = ord(text)
+                    for c in range(lo_i, hi_i + 1):
+                        cp = base + (c - lo_i)
+                        if cp <= 0x10FFFF:  # never-raise: clamp off-plane runs
+                            cmap[c] = chr(cp)
+                else:  # multi-char destination only valid for the start code
+                    cmap[lo_i] = text
     return cmap, width
 
 
@@ -1140,7 +1169,7 @@ def make_fixture_pdf(
     ascii_wrap: str | None = None,
     hex_text: bool = False,
     tounicode: bool = False,
-    tounicode_ranges: bool = False,
+    tounicode_ranges: bool | str = False,
 ) -> str:
     """Build a dialect PDF: one BT…ET object per block, one Td+Tj per line.
 
@@ -1175,7 +1204,8 @@ def make_fixture_pdf(
       character to a code ≥ 0x0100 (codes deliberately NOT latin-1, so
       only a CMap-aware reader decodes them); ``tounicode_ranges=True``
       writes the map as scalar ``bfrange`` runs instead of ``bfchar``
-      pairs.
+      pairs, and ``tounicode_ranges="array"`` as the array-destination
+      bfrange form ``<lo> <hi> [<d0> <d1> …]``.
     """
 
     def esc(s: str) -> str:
@@ -1286,10 +1316,26 @@ def make_fixture_pdf(
                     runs[-1] = (runs[-1][0], runs[-1][1] + c)
                 else:
                     runs.append((code, c))
-            entries = "\n".join(
-                "<%04X> <%04X> <%04X>" % (code, code + len(chars) - 1, ord(chars[0]))
-                for code, chars in runs
-            )
+            if tounicode_ranges == "array":
+                # array-destination form: <lo> <hi> [<d0> <d1> …]
+                entries = "\n".join(
+                    "<%04X> <%04X> [%s]"
+                    % (
+                        code,
+                        code + len(chars) - 1,
+                        " ".join(
+                            "<%s>" % ch.encode("utf-16-be").hex().upper()
+                            for ch in chars
+                        ),
+                    )
+                    for code, chars in runs
+                )
+            else:
+                entries = "\n".join(
+                    "<%04X> <%04X> <%04X>"
+                    % (code, code + len(chars) - 1, ord(chars[0]))
+                    for code, chars in runs
+                )
             section = "%d beginbfrange\n%s\nendbfrange" % (len(runs), entries)
         else:
             entries = "\n".join(
