@@ -630,6 +630,15 @@ def _q_c4_line_stats(spark, sf_dir):
     )
 
 
+def _q_quality_ensemble(spark, sf_dir):
+    """FineWeb-style multi-signal keep/drop: quality + repetition +
+    unigram-NLL composed with frozen weights/calibration (row-local
+    after the component aggregations — no global ranking window)."""
+    from xhtmlkit_spark.operators.text_stats import quality_ensemble
+
+    return quality_ensemble(_read(spark, sf_dir, "documents"))
+
+
 def _q_contamination_scores(spark, sf_dir):
     """Decontamination vs a deterministic stand-in benchmark: the
     md5-hash 5% sample of the corpus itself (engine-portable, so the
@@ -1012,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "contamination_scores": _q_contamination_scores,
         "unigram_nll": _q_unigram_nll,
+        "quality_ensemble": _q_quality_ensemble,
         "hourly_resample_user_value": _q_hourly_resample_user_value,
         "line_dedup_stats": _q_line_dedup_stats,
         "jaccard_candidates": _q_jaccard_candidates,
@@ -1231,6 +1241,34 @@ def _pii_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the ensemble oracle COMPOSES the three component oracles as CTEs
+    # — one definition per signal, no duplicated formulas to drift
+    d["quality_ensemble"] = f"""
+        WITH q AS ({d["quality_scores"]}),
+        r AS ({d["repetition_scores"]}),
+        n AS ({d["unigram_nll"]}),
+        sig AS (
+          SELECT q.doc_id, q.quality_score, r.dup_token_ratio, n.mean_nll,
+                 CAST(round(q.quality_score * 1e4) AS BIGINT) AS q4,
+                 CAST(round(r.dup_token_ratio * 1e6) AS BIGINT) AS d6,
+                 CAST(round(n.mean_nll * 1e6) AS BIGINT) AS n6
+          FROM q JOIN r ON q.doc_id = r.doc_id JOIN n ON q.doc_id = n.doc_id),
+        u AS (
+          SELECT doc_id, quality_score, dup_token_ratio, mean_nll,
+                 q4 * 2400
+                   + (1000000 - least(d6 * 2, 1000000)) * 18
+                   + (6000000 - least(greatest(n6 - 2000000, 0), 6000000)) * 3
+                   AS ensemble_u
+          FROM sig)
+        SELECT doc_id, quality_score, dup_token_ratio, mean_nll,
+               ensemble_u, ensemble_u >= 30000000 AS keep
+        FROM u
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),

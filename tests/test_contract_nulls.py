@@ -35,6 +35,7 @@ QUERIES = [
     "pii_redaction",
     "line_dedup_stats",
     "c4_line_stats",
+    "quality_ensemble",
 ]
 
 

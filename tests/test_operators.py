@@ -334,6 +334,38 @@ def test_hash_sampling_deterministic_and_nested(spark):
     assert 0 < by_lang.get("en", 0) < 100
 
 
+def test_quality_ensemble_separates_planted_docs(spark):
+    """The multi-signal score must rank a clean prose doc above a
+    pathologically repetitive one, with the exact integer micro-unit
+    value matching a hand computation of the frozen formula."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.text_stats import quality_ensemble
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and it runs to the "
+            "river for a drink of cold water in the morning light"),
+        (2, "! " * 80),  # repeated punctuation junk: repetition AND quality fail
+        (3, None),  # no signals → absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_ensemble(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["ensemble_u"] > out[2]["ensemble_u"]
+    assert out[1]["keep"] and not out[2]["keep"]
+    # hand-check the integer composition for doc 1
+    r1 = out[1]
+    q4 = round(r1["quality_score"] * 1e4)
+    d6 = round(r1["dup_token_ratio"] * 1e6)
+    n6 = round(r1["mean_nll"] * 1e6)
+    expect = (
+        q4 * 2400
+        + (1_000_000 - min(d6 * 2, 1_000_000)) * 18
+        + (6_000_000 - min(max(n6 - 2_000_000, 0), 6_000_000)) * 3
+    )
+    assert r1["ensemble_u"] == expect
+
+
 def test_approx_distinct_error_bound(spark):
     """The HLL sketch (B12, rows-only in the oracle gate — no cross-
     engine twin exists) is still pinned HERE: approx_count_distinct at

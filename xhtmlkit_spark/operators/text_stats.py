@@ -29,6 +29,7 @@ __all__ = [
     "repetition_scores",
     "unigram_nll_scores",
     "token_windows",
+    "quality_ensemble",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -363,4 +364,57 @@ def unigram_nll_scores(df: DataFrame, text: str = "text") -> DataFrame:
                 6,
             ).alias("mean_nll"),
         )
+    )
+
+
+def quality_ensemble(
+    df: DataFrame, keep_threshold: float = 0.5, text: str = "text"
+) -> DataFrame:
+    """Multi-signal document filter (the FineWeb-style composition):
+    heuristic quality score, Gopher repetition penalty, and the
+    unigram-LM NLL combined into one calibrated keep/drop score.
+
+        ensemble = 0.4·quality_score
+                 + 0.3·(1 − min(2·dup_token_ratio, 1))
+                 + 0.3·(1 − min(max(mean_nll − 2, 0)/6, 1))
+
+    Weights and the NLL calibration window (2–8 nats) are FROZEN
+    constants, not corpus statistics — a corpus-relative percentile
+    would need a global single-partition ranking window, the classic
+    scale bottleneck; fixed calibration keeps the post-aggregation
+    math row-local.
+
+    The score ships as ``ensemble_u``, a BIGINT in units of 1/(6·10^7)
+    (the LCM denominator of the weights and the /6 calibration):
+    composing already-rounded decimal signals routinely lands the
+    float sum EXACTLY on a round-to-6 midpoint, where Spark (HALF_UP)
+    and DuckDB (double rounding) disagree in the last digit — integer
+    micro-units make the composition exact in both engines instead.
+    Scale shape: three per-doc scalar frames (one row-local, two
+    explode+hash-agg) joined on doc_id; the joins co-partition on the
+    same key. Inner joins ⇒ only docs with ≥ 1 token score (same
+    population as the component signals).
+    """
+    docs = df.where(F.col(text).isNotNull())
+    q = with_quality(docs).select("doc_id", "quality_score")
+    r = repetition_scores(df, text).select("doc_id", "dup_token_ratio")
+    n = unigram_nll_scores(df, text).select("doc_id", "mean_nll")
+    j = q.join(r, "doc_id").join(n, "doc_id")
+    # exact integer recovery of the rounded component signals
+    q4 = F.round(F.col("quality_score") * 1e4).cast("long")
+    d6 = F.round(F.col("dup_token_ratio") * 1e6).cast("long")
+    n6 = F.round(F.col("mean_nll") * 1e6).cast("long")
+    rep6 = F.lit(1_000_000) - F.least(d6 * 2, F.lit(1_000_000))
+    nll_clamp = F.least(
+        F.greatest(n6 - F.lit(2_000_000), F.lit(0)), F.lit(6_000_000)
+    )
+    # ensemble · 6e7 = 2400·q4 + 18·rep6 + 3·(6e6 − nll_clamp)
+    score_u = q4 * 2400 + rep6 * 18 + (F.lit(6_000_000) - nll_clamp) * 3
+    return j.select(
+        "doc_id",
+        "quality_score",
+        "dup_token_ratio",
+        "mean_nll",
+        score_u.alias("ensemble_u"),
+        (score_u >= F.lit(int(round(keep_threshold * 60_000_000)))).alias("keep"),
     )
