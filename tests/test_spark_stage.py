@@ -391,6 +391,50 @@ def test_build_training_corpus_line_dedup_and_pii_tiers(spark, tmp_path):
     assert "lines_total" not in funnel_off and "pii_matches" not in funnel_off
 
 
+def test_build_training_corpus_ensemble_quality_tier(spark, tmp_path):
+    """ensemble_threshold swaps the scalar quality gate for the
+    multi-signal score: the repetitive-junk doc dies while the prose
+    docs land; the funnel stays monotone and deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    docs = {
+        "good_a": "the quick brown fox jumps over a lazy dog and it runs to "
+                  "the river for a drink of cold water in the morning light",
+        "good_b": "a second page of the same friendly prose about the fox and "
+                  "the dog and the river and the warm light of the morning",
+        "junk": "! " * 80,  # repetitive punctuation: ensemble drops it
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [{"kind": "html", "text": f"<p>{t}</p>", "media_ref": None, "offset": 0}]
+            for t in docs.values()
+        ],
+        "part": [0, 1, 2],
+    }
+    corpus = str(tmp_path / "ens_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    out = str(tmp_path / "train_ens")
+    funnel = build_training_corpus(
+        spark, corpus, out, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup=None, ensemble_threshold=0.5,
+    )
+    assert funnel["extracted"] == 3 and funnel["quality_kept"] == 2
+    landed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert landed == {"good_a", "good_b"}
+    # scalar gate at 0.0 keeps the junk — proves the tier is the cause
+    funnel_scalar = build_training_corpus(
+        spark, corpus, str(tmp_path / "train_sc"), langs=("en",),
+        min_quality=0.0, min_tokens=1, near_dup=None,
+    )
+    assert funnel_scalar["quality_kept"] == 3
+
+
 def test_ingest_html_files_sniffs_encoding(spark, tmp_path):
     """Raw .html files → corpus rows: BOM and <meta> charsets honored,
     output feeds extract_spans directly."""

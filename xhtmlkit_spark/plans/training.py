@@ -84,6 +84,7 @@ def build_training_corpus(
     exclude_corpus_path: str | None = None,
     dedup_lines: bool = False,
     redact_pii: bool = False,
+    ensemble_threshold: float | None = None,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -117,6 +118,14 @@ def build_training_corpus(
     (raw-text match count). Both tiers run BEFORE the near-dup
     localCheckpoint, so connected-components rounds never recompute
     them.
+
+    ``ensemble_threshold`` swaps the scalar quality gate for the
+    multi-signal ensemble (operators/text_stats.quality_ensemble —
+    quality + repetition + unigram-NLL in exact integer micro-units):
+    ``quality_ok`` becomes ensemble ≥ threshold AND the token floor.
+    The ensemble's corpus LM is computed over the SAME post-line-dedup
+    / post-redaction text the rest of the funnel sees, and the text is
+    checkpointed first so its two explode passes never re-extract.
 
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
@@ -165,7 +174,7 @@ def build_training_corpus(
                 F.col("n_emails") + F.col("n_phones") + F.col("n_ips"), F.lit(0)
             ).alias("n_pii"),
         )
-    if near_dup:
+    if near_dup or ensemble_threshold is not None:
         docs = docs.localCheckpoint(eager=True)
     stats = with_quality(with_lang_guess(with_token_counts(docs)))
 
@@ -181,6 +190,21 @@ def build_training_corpus(
         )
         .withColumn("sampled", hash_fraction("doc_id", salt) < F.lit(sample_rate))
     )
+    if ensemble_threshold is not None:
+        from xhtmlkit_spark.operators.text_stats import quality_ensemble
+
+        ens = quality_ensemble(docs, keep_threshold=ensemble_threshold).select(
+            "doc_id", F.col("keep").alias("__xk_ens_keep")
+        )
+        flagged = (
+            flagged.join(ens, "doc_id", "left")
+            .withColumn(
+                "quality_ok",
+                F.coalesce(F.col("__xk_ens_keep"), F.lit(False))
+                & (F.col("n_tokens") >= min_tokens),
+            )
+            .drop("__xk_ens_keep")
+        )
     if near_dup:
         # one keeper per near-dup GROUP: group_id is the component's min
         # doc id; docs untouched by any pair keep group_id = themselves.
