@@ -533,6 +533,19 @@ def _q_token_windows(spark, sf_dir):
     return token_windows(_read(spark, sf_dir, "documents"), window=32, stride=24)
 
 
+def _q_pack_chunks(spark, sf_dir):
+    """GPT-style sequence packing plan: concatenate the corpus token
+    stream in doc_id order and cut every 256 tokens; one row per
+    (doc, chunk) incidence. The global offset is a two-phase
+    distributed prefix sum (per-bucket totals + within-bucket window)
+    — never a corpus-wide single-partition ORDER BY window."""
+    from xhtmlkit_spark.operators.packing import pack_chunks
+
+    return pack_chunks(
+        _read(spark, sf_dir, "documents"), context_len=256, n_buckets=16
+    )
+
+
 def _q_temperature_mix(spark, sf_dir):
     """GPT-3-style α=0.5 temperature mixing. The corpus's `source`
     column is uniform, so the stratum is a deterministic SKEWED
@@ -986,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "c4_line_stats": _q_c4_line_stats,
         "token_windows": _q_token_windows,
+        "pack_chunks": _q_pack_chunks,
         "temperature_mix": _q_temperature_mix,
         "json_event_props": _q_json_event_props,
         "cube_order_stats": _q_cube_order_stats,
@@ -1521,6 +1535,32 @@ def _oracle_sql_base() -> dict[str, str]:
                        list_slice(toks, win_idx * 24 + 1, win_idx * 24 + 32), ' '))
                      AS win_md5
             FROM w
+        """,
+        "pack_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            offs AS (
+              SELECT doc_id, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_off
+              FROM toks),
+            bins AS (
+              SELECT doc_id, start_off, start_off + n_tok AS end_off,
+                     unnest(range(start_off // 256,
+                                  (start_off + n_tok - 1) // 256 + 1)) AS chunk_id
+              FROM offs)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(GREATEST(start_off, chunk_id * 256) - start_off AS BIGINT)
+                     AS tok_start,
+                   CAST(LEAST(end_off, (chunk_id + 1) * 256)
+                        - GREATEST(start_off, chunk_id * 256) AS BIGINT) AS tok_len
+            FROM bins
         """,
         "temperature_mix": """
             WITH d AS (

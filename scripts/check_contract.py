@@ -13,6 +13,7 @@ import datetime
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -60,9 +61,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    t_start = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_q = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
@@ -72,7 +75,11 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"– {name}: rows-only ({len(srows)} rows, cols={scols})")
+            print(
+                f"– {name}: rows-only ({len(srows)} rows, cols={scols})"
+                f" [{time.monotonic() - t_q:.1f}s spark,"
+                f" {time.monotonic() - t_start:.0f}s cum]"
+            )
             if len(srows) == 0:
                 print(f"  ⚠ zero rows from rows-only query")
             continue
@@ -104,10 +111,17 @@ def main() -> int:
                     print(f"    duck : {k}")
                 ok = False
         if ok:
-            print(f"✓ {name}: {len(srows)} rows match")
+            print(
+                f"✓ {name}: {len(srows)} rows match"
+                f" [{time.monotonic() - t_q:.1f}s,"
+                f" {time.monotonic() - t_start:.0f}s cum]"
+            )
         else:
             failures += 1
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    print(
+        f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}"
+        f" ({time.monotonic() - t_start:.0f}s total)"
+    )
     return 1 if failures else 0
 
 

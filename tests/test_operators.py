@@ -1116,3 +1116,99 @@ def test_foreach_batch_upsert_exactly_once_layout(spark, tmp_path):
     landed2 = spark.read.option("basePath", out).parquet(out)
     assert {r["event_id"] for r in landed2.collect()} == {1, 2, 3, 4, 5, 6}
     assert {r["batch_id"] for r in landed2.select("batch_id").collect()} == {0, 1, 2}
+
+
+def _pack_reference(docs, context_len):
+    """Pure-Python packing reference: concat tokens in doc_id order,
+    cut every context_len tokens."""
+    out = []
+    off = 0
+    for doc_id, text in sorted(docs, key=lambda d: d[0]):
+        if text is None or not text.strip():
+            continue
+        n = len(text.strip().split())
+        start, end = off, off + n
+        for chunk in range(start // context_len, (end - 1) // context_len + 1):
+            lo = max(start, chunk * context_len)
+            hi = min(end, (chunk + 1) * context_len)
+            out.append((doc_id, chunk, lo - start, hi - lo))
+        off = end
+    return sorted(out)
+
+
+def test_pack_chunks_matches_reference_and_covers(spark):
+    """pack_chunks must equal the concat-and-chunk reference exactly:
+    every token covered once, every chunk but the last exactly full,
+    docs straddling chunk boundaries split correctly."""
+    import random
+
+    from xhtmlkit_spark.operators.packing import pack_chunks
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 40)))) for i in range(60)]
+    rows += [(100, None), (101, "   "), (102, "x " * 75)]  # 75 tokens straddles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["tok_start"], r["tok_len"])
+        for r in pack_chunks(df, context_len=32, n_buckets=8).collect()
+    )
+    assert got == _pack_reference(rows, 32)
+
+    # chunk-level invariant: all full except the last
+    by_chunk: dict = {}
+    for _, chunk, _, ln in got:
+        by_chunk[chunk] = by_chunk.get(chunk, 0) + ln
+    last = max(by_chunk)
+    assert all(v == 32 for c, v in by_chunk.items() if c != last)
+    assert 0 < by_chunk[last] <= 32
+    # doc-level invariant: every kept doc fully covered in order
+    per_doc: dict = {}
+    for doc_id, _, start, ln in got:
+        per_doc.setdefault(doc_id, []).append((start, ln))
+    for doc_id, pieces in per_doc.items():
+        pieces.sort()
+        pos = 0
+        for start, ln in pieces:
+            assert start == pos
+            pos += ln
+
+
+def test_pack_chunks_invariant_to_layout_and_buckets(spark):
+    """The packing plan is a pure function of (ids, texts, context_len):
+    input partitioning and the internal bucket count must not change a
+    single row, and the only nested-loop join in the plan is the
+    bounded 1-row id-bounds broadcast."""
+    from xhtmlkit_spark.operators.packing import pack_chunks
+
+    rows = [(i, " ".join(f"t{j}" for j in range(5 + i % 17))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(d, nb):
+        return sorted(map(tuple, pack_chunks(d, context_len=64, n_buckets=nb).collect()))
+
+    base = run(df, 16)
+    assert base == run(df.repartition(13), 16)
+    assert base == run(df.repartition(1), 3)
+    assert base == run(df, 1)
+
+    # the only nested-loop joins are the bounded 1-row id-bounds
+    # broadcast, which appears once per consumer of the docs subtree
+    # (bucket totals + per-row offsets) — never a corpus×corpus shape
+    plan = pack_chunks(df, context_len=64, n_buckets=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    # pre-counted path (the 100 TB shape: counts materialized once)
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.text_stats import with_token_counts
+
+    pre = with_token_counts(df).withColumn(
+        "n_tokens",
+        F.when(F.trim("text") == "", F.lit(0)).otherwise(F.col("n_tokens")),
+    )
+    got = sorted(
+        map(tuple, pack_chunks(pre, context_len=64, count_col="n_tokens").collect())
+    )
+    assert got == base

@@ -1,0 +1,149 @@
+"""Sequence packing: concat-and-chunk the corpus token stream into
+fixed-length training examples.
+
+The standard LM training prep (GPT-style packing): conceptually
+concatenate every document's tokens in a stable global order and cut
+the stream every ``context_len`` tokens, so each training example is
+exactly full and documents may straddle a boundary. The deliverable is
+the *packing plan* — for every (document, chunk) incidence, which slice
+of the document's tokens lands in which global chunk — not the token
+text itself (the trainer's loader applies the plan to its own
+tokenization).
+
+Scale shape — the whole point of this operator: the global running
+offset is NOT a single-partition ``SUM() OVER (ORDER BY doc_id)``
+window (which would serialize 10^12 rows through one task). It is the
+classic two-phase distributed prefix sum:
+
+1. per-doc token counts — row-local expressions, zero shuffle;
+2. docs land in ``n_buckets`` ORDERED range buckets of the id space;
+   one hash aggregate computes per-bucket token totals (|buckets|
+   rows);
+3. the bucket prefix sum runs a window over that bounded |buckets|-row
+   table (the only single-partition step, capped by construction);
+4. each bucket's docs compute their within-bucket running sum in a
+   window PARTITIONED BY bucket (all buckets in parallel), and the
+   broadcast bucket prefix lifts it to the global offset;
+5. one ``explode(sequence(first_chunk, last_chunk))`` emits the
+   per-chunk slices — fan-out bounded by n_tok/context_len per doc.
+
+At sandbox scale the bucketing is uniform over the id range; on a
+skewed production id space the bucket bounds would come from
+``approxQuantile`` instead (same plan shape). Ids must be numeric and
+orderable — the packing order is ascending ``doc_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xhtmlkit_spark.operators.text_stats import tokens_col
+
+__all__ = ["pack_chunks"]
+
+
+def pack_chunks(
+    df: DataFrame,
+    context_len: int = 512,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Packing plan: one row per (doc, chunk) incidence.
+
+    Returns ``doc_id, chunk_id, tok_start, tok_len`` (all BIGINT):
+    chunk ``chunk_id`` takes ``tok_len`` tokens of this doc starting at
+    0-based in-doc offset ``tok_start``. Every chunk except the final
+    one is exactly ``context_len`` tokens when the per-chunk slices are
+    summed; every token of every kept doc is covered exactly once.
+    Docs with NULL/blank text carry no tokens and drop.
+
+    The (doc_id, n_tok) subtree feeds BOTH the bucket-totals aggregate
+    and the per-row offsets, so a lazy plan scans and tokenizes the
+    corpus twice. At sandbox scale that is free; at 100 TB pass
+    ``count_col`` pointing at an already-materialized token-count
+    column (one line in any stats pass: ``with_token_counts``) so the
+    double pass reads two BIGINTs per row instead of re-splitting the
+    text.
+    """
+    if context_len <= 0 or n_buckets <= 0:
+        raise ValueError(
+            f"context_len/n_buckets must be positive, got {context_len}/{n_buckets}"
+        )
+    if count_col is not None:
+        docs = df.where(
+            F.col(count_col).isNotNull() & (F.col(count_col) > 0)
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(count_col).cast("long").alias("n_tok"),
+        )
+    else:
+        c = F.col(text_col)
+        docs = df.where(c.isNotNull() & (F.trim(c) != "")).select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_col(text_col)).cast("long").alias("n_tok"),
+        )
+
+    # ordered range buckets over the id space (bounds = a broadcast
+    # 1-row aggregate; the same bounded scalar-append shape as
+    # tfidf_top_terms' corpus total)
+    bounds = docs.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+    docs = docs.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(
+            f"least(cast({n_buckets - 1} as bigint),"
+            f" (cast(doc_id as bigint) - cast(__lo as bigint)) * {n_buckets}"
+            f" div (cast(__hi as bigint) - cast(__lo as bigint) + 1))"
+        ),
+    ).drop("__lo", "__hi")
+
+    # bucket totals -> bucket prefix sum. The un-partitioned window is
+    # bounded at n_buckets rows by construction (never corpus-sized).
+    btot = docs.groupBy("bucket").agg(F.sum("n_tok").alias("__btok"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("__btok").over(w_b), F.lit(0)).cast("long").alias(
+            "__bucket_prefix"
+        ),
+    )
+
+    # within-bucket running sum, parallel across buckets
+    w_d = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        docs.join(F.broadcast(bpre), "bucket")
+        .withColumn(
+            "start_off",
+            (
+                F.col("__bucket_prefix")
+                + F.coalesce(F.sum("n_tok").over(w_d), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn("end_off", (F.col("start_off") + F.col("n_tok")).cast("long"))
+    )
+
+    clen = F.lit(int(context_len)).cast("long")
+    first_chunk = F.expr(f"start_off div {context_len}").cast("long")
+    last_chunk = F.expr(f"(end_off - 1) div {context_len}").cast("long")
+    out = offs.select(
+        "doc_id",
+        "start_off",
+        "end_off",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    chunk_lo = F.greatest(F.col("start_off"), F.col("chunk_id") * clen)
+    chunk_hi = F.least(F.col("end_off"), (F.col("chunk_id") + 1) * clen)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (chunk_lo - F.col("start_off")).cast("long").alias("tok_start"),
+        (chunk_hi - chunk_lo).cast("long").alias("tok_len"),
+    )
