@@ -546,6 +546,20 @@ def _q_pack_chunks(spark, sf_dir):
     )
 
 
+def _q_pack_chunks_shuffled(spark, sf_dir):
+    """Same packing plan in deterministic SHUFFLED order — the real
+    training prep (md5(seed ‖ doc_id) order key, hash-range buckets,
+    no bounds broadcast)."""
+    from xhtmlkit_spark.operators.packing import pack_chunks
+
+    return pack_chunks(
+        _read(spark, sf_dir, "documents"),
+        context_len=256,
+        n_buckets=16,
+        shuffle_seed="xk1",
+    )
+
+
 def _q_temperature_mix(spark, sf_dir):
     """GPT-3-style α=0.5 temperature mixing. The corpus's `source`
     column is uniform, so the stratum is a deterministic SKEWED
@@ -1000,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": _q_c4_line_stats,
         "token_windows": _q_token_windows,
         "pack_chunks": _q_pack_chunks,
+        "pack_chunks_shuffled": _q_pack_chunks_shuffled,
         "temperature_mix": _q_temperature_mix,
         "json_event_props": _q_json_event_props,
         "cube_order_stats": _q_cube_order_stats,
@@ -1547,6 +1562,33 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT doc_id, n_tok,
                      CAST(COALESCE(SUM(n_tok) OVER (
                        ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_off
+              FROM toks),
+            bins AS (
+              SELECT doc_id, start_off, start_off + n_tok AS end_off,
+                     unnest(range(start_off // 256,
+                                  (start_off + n_tok - 1) // 256 + 1)) AS chunk_id
+              FROM offs)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(GREATEST(start_off, chunk_id * 256) - start_off AS BIGINT)
+                     AS tok_start,
+                   CAST(LEAST(end_off, (chunk_id + 1) * 256)
+                        - GREATEST(start_off, chunk_id * 256) AS BIGINT) AS tok_len
+            FROM bins
+        """,
+        "pack_chunks_shuffled": """
+            WITH toks AS (
+              SELECT doc_id,
+                     md5('xk1' || CAST(doc_id AS VARCHAR)) AS ord_key,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            offs AS (
+              SELECT doc_id, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       ORDER BY ord_key, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS start_off
               FROM toks),

@@ -1212,3 +1212,55 @@ def test_pack_chunks_invariant_to_layout_and_buckets(spark):
         map(tuple, pack_chunks(pre, context_len=64, count_col="n_tokens").collect())
     )
     assert got == base
+
+
+def test_pack_chunks_shuffled_order_and_no_bounds_join(spark):
+    """shuffle_seed packs in deterministic md5(seed+id) order: matches
+    the Python reference exactly, reruns identically, changes order
+    with the seed, and the hash-bucket path carries NO nested-loop
+    join at all."""
+    import hashlib
+    import random
+
+    from xhtmlkit_spark.operators.packing import pack_chunks
+
+    rng = random.Random(3)
+    rows = [(i, " ".join(f"w{j}" for j in range(rng.randint(1, 30)))) for i in range(70)]
+    rows += [(900, None), (901, " ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref(seed, clen):
+        out, off = [], 0
+        kept = [(d, t) for d, t in rows if t and t.strip()]
+        for doc_id, text in sorted(
+            kept, key=lambda d: (hashlib.md5((seed + str(d[0])).encode()).hexdigest(), d[0])
+        ):
+            n = len(text.strip().split())
+            start, end = off, off + n
+            for chunk in range(start // clen, (end - 1) // clen + 1):
+                lo, hi = max(start, chunk * clen), min(end, (chunk + 1) * clen)
+                out.append((doc_id, chunk, lo - start, hi - lo))
+            off = end
+        return sorted(out)
+
+    def run(seed, nb):
+        return sorted(
+            map(
+                tuple,
+                pack_chunks(df, context_len=32, n_buckets=nb, shuffle_seed=seed).collect(),
+            )
+        )
+
+    assert run("s1", 8) == ref("s1", 32)
+    assert run("s1", 8) == run("s1", 3)  # bucket count is internal
+    assert run("s2", 8) == ref("s2", 32)
+    assert run("s1", 8) != run("s2", 8)  # the seed actually reshuffles
+
+    plan = (
+        pack_chunks(df, context_len=32, shuffle_seed="s1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

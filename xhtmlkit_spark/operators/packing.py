@@ -50,6 +50,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     count_col: str | None = None,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """Packing plan: one row per (doc, chunk) incidence.
 
@@ -59,6 +60,14 @@ def pack_chunks(
     one is exactly ``context_len`` tokens when the per-chunk slices are
     summed; every token of every kept doc is covered exactly once.
     Docs with NULL/blank text carry no tokens and drop.
+
+    ``shuffle_seed`` packs in DETERMINISTIC SHUFFLED order instead of
+    ascending id — real training prep shuffles the corpus before
+    packing so neighboring source docs don't share a context window.
+    The order key becomes ``md5(seed ‖ doc_id)`` (reshuffle = new
+    seed, rerun = identical plan), and the prefix-sum buckets switch
+    to ordered ranges of the hash space — uniform by construction, so
+    this path needs no id-bounds broadcast at all.
 
     The (doc_id, n_tok) subtree feeds BOTH the bucket-totals aggregate
     and the per-row offsets, so a lazy plan scans and tokenizes the
@@ -86,20 +95,39 @@ def pack_chunks(
             F.size(tokens_col(text_col)).cast("long").alias("n_tok"),
         )
 
-    # ordered range buckets over the id space (bounds = a broadcast
-    # 1-row aggregate; the same bounded scalar-append shape as
-    # tfidf_top_terms' corpus total)
-    bounds = docs.agg(
-        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
-    )
-    docs = docs.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.expr(
-            f"least(cast({n_buckets - 1} as bigint),"
-            f" (cast(doc_id as bigint) - cast(__lo as bigint)) * {n_buckets}"
-            f" div (cast(__hi as bigint) - cast(__lo as bigint) + 1))"
-        ),
-    ).drop("__lo", "__hi")
+    if shuffle_seed is not None:
+        # deterministic shuffle: order by md5(seed ‖ id); buckets are
+        # ordered ranges of the (uniform) hash space — no bounds pass
+        docs = docs.withColumn(
+            "__ord",
+            F.md5(F.concat(F.lit(shuffle_seed), F.col("doc_id").cast("string"))),
+        ).withColumn(
+            "bucket",
+            F.expr(
+                f"cast(conv(substring(__ord, 1, 4), 16, 10) as bigint)"
+                f" * {n_buckets} div 65536"
+            ),
+        )
+    else:
+        # ordered range buckets over the id space (bounds = a broadcast
+        # 1-row aggregate; the same bounded scalar-append shape as
+        # tfidf_top_terms' corpus total)
+        bounds = docs.agg(
+            F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+        )
+        docs = (
+            docs.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "bucket",
+                F.expr(
+                    f"least(cast({n_buckets - 1} as bigint),"
+                    f" (cast(doc_id as bigint) - cast(__lo as bigint)) * {n_buckets}"
+                    f" div (cast(__hi as bigint) - cast(__lo as bigint) + 1))"
+                ),
+            )
+            .drop("__lo", "__hi")
+            .withColumn("__ord", F.col("doc_id"))
+        )
 
     # bucket totals -> bucket prefix sum. The un-partitioned window is
     # bounded at n_buckets rows by construction (never corpus-sized).
@@ -115,7 +143,7 @@ def pack_chunks(
     # within-bucket running sum, parallel across buckets
     w_d = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy("__ord", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = (
