@@ -130,3 +130,79 @@ def test_quoted_commas_and_at_in_values():
 def test_attr_operator_parse_errors(bad_op):
     with pytest.raises(ValueError):
         parse_selector(bad_op)
+
+
+# ---------------------------------------------------------------- xpath-lite
+
+
+def test_xpath_translation_strings():
+    from xkit.xpath import xpath_to_selector as x
+
+    assert x("//p") == "p"
+    assert x("p") == "p"  # relative = descendant
+    assert x("//div//span") == "div span"
+    assert x("/html/body/div") == "html > body > div"
+    assert x("//div[@class='note']") == "div[class='note']"
+    assert x("//a[@href]") == "a[href]"
+    assert x('//a[contains(@href,"x")]') == "a[href*='x']"
+    assert x("//a[starts-with(@href,'http')]") == "a[href^='http']"
+    assert x("//ul/li[1]") == "ul > li:nth-of-type(1)"
+    assert x("//li[last()]") == "li:last-of-type"
+    assert x("//*[2]") == "*:nth-child(2)"
+    assert x("//*[last()]") == "*:last-child"
+    assert x("//a/@href") == "a @href"
+    assert x("//p/text()") == "p"
+    assert x("//h1 | //h2") == "h1, h2"
+    assert x("//a[@href][2]") == "a[href]:nth-of-type(2)"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",
+        "//p/..",
+        "//ancestor::div",
+        "//p[position()>1]",
+        "//p[text()='x']",
+        "/div/p",  # absolute path not from /html
+        "//p[",  # unterminated predicate
+        "@href",  # bare attribute
+        "//p/text()/b",  # text() must be final
+        "//node()",
+    ],
+)
+def test_xpath_unsupported_raises(bad):
+    from xkit.xpath import xpath_to_selector
+
+    with pytest.raises(ValueError):
+        xpath_to_selector(bad)
+
+
+def test_xpath_end_to_end_matches_selector():
+    """The translated query must give byte-identical spans to the
+    hand-written selector on a messy document — one evaluator, one
+    semantics."""
+    from xkit.xpath import select_html_xpath
+
+    html = (
+        "<html><head><title>t</title></head><body>"
+        '<div class="note"><p>one</p><p>two<li>stray</div>'
+        '<ul><li>a<li>b<li>c</ul>'
+        '<a href="http://x/1">l1</a><a href="/rel">l2</a>'
+        '<img src="/i.png">'
+        "</body></html>"
+    )
+    assert select_html_xpath(html, "//div[@class='note']//p") == select_html(
+        html, "div[class='note'] p"
+    )
+    assert select_html_xpath(html, "//ul/li[1]") == [("text", "a", None)]
+    assert select_html_xpath(html, "//ul/li[last()]") == [("text", "c", None)]
+    assert select_html_xpath(html, "//a[starts-with(@href,'http')]/@href") == [
+        ("text", "http://x/1", None)
+    ]
+    assert select_html_xpath(html, "/html/body//img") == [
+        ("media", None, "/i.png")
+    ]
+    assert select_html_xpath(html, "//h1 | //title") == [("text", "t", None)]
+    # malformed DOCUMENT never raises; malformed XPATH raises at parse
+    assert select_html_xpath("<<<garbage", "//p") == []
