@@ -206,3 +206,32 @@ def test_xpath_end_to_end_matches_selector():
     assert select_html_xpath(html, "//h1 | //title") == [("text", "t", None)]
     # malformed DOCUMENT never raises; malformed XPATH raises at parse
     assert select_html_xpath("<<<garbage", "//p") == []
+
+
+def test_spark_select_stage_accepts_xpath(tmp_path):
+    """select_spans(xpath=…) must equal select_spans(selector=…) for
+    the translated query — the distributed surface speaks the
+    reference's native idiom; bad usage fails on the driver."""
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.session import get_spark
+
+    spark = get_spark("local[2]", shuffle_partitions=4, app_name="sel-tests")
+    corpus = generate_corpus(str(tmp_path / "corpus"), 30, seed=6, chunk_docs=15)
+    df = spark.read.parquet(corpus)
+
+    def flat(out):
+        return {
+            r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out.collect()
+        }
+
+    got = flat(select_spans(df, xpath="//table//td | //img"))
+    assert got == flat(select_spans(df, "table td, img"))
+    assert any(v for v in got.values())
+
+    with pytest.raises(ValueError):
+        select_spans(df, "p", xpath="//p")  # both
+    with pytest.raises(ValueError):
+        select_spans(df)  # neither
+    with pytest.raises(ValueError):
+        select_spans(df, xpath="//p[position()>1]")  # driver-side reject

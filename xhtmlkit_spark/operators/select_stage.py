@@ -28,18 +28,29 @@ __all__ = ["select_spans"]
 
 def select_spans(
     df: DataFrame,
-    selector: str,
+    selector: str | None = None,
     options: ExtractOptions = DEFAULT_OPTIONS,
     passthrough: tuple = ("part",),
+    xpath: str | None = None,
 ) -> DataFrame:
-    """Evaluate ``selector`` over every document's html spans.
+    """Evaluate ``selector`` (or ``xpath``) over every document's html
+    spans.
 
     Input/output shape is identical to
     :func:`~xhtmlkit_spark.operators.extract_stage.extract_spans`:
     ``doc_id, *passthrough, spans`` in, same layout out with one span
     per selector match (document order; see xkit.selector for the
-    per-match span rule).
+    per-match span rule). ``xpath`` accepts the XPath-lite subset
+    (xkit.xpath) — the reference's native query idiom — compiled on
+    the driver to the same selector evaluation; pass exactly one of
+    the two.
     """
+    if (selector is None) == (xpath is None):
+        raise ValueError("pass exactly one of selector= or xpath=")
+    if xpath is not None:
+        from xkit.xpath import xpath_to_selector
+
+        selector = xpath_to_selector(xpath)  # driver-side translation
     parsed = parse_selector(selector)  # driver-side validation
 
     def batch_fn(n_pt: int):
