@@ -41,7 +41,16 @@ def main() -> None:
         "of extraction — the second headline Arrow stage, measured at "
         "both widths by scaling_bench",
     )
+    ap.add_argument(
+        "--xpath",
+        default=None,
+        metavar="XPATH",
+        help="like --select but the query is XPath-lite (the reference's "
+        "native idiom), compiled to the selector grammar on the driver",
+    )
     args = ap.parse_args()
+    if args.select is not None and args.xpath is not None:
+        ap.error("pass at most one of --select / --xpath")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -80,15 +89,15 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    if args.select is not None:
+    if args.select is not None or args.xpath is not None:
         from xhtmlkit_spark.operators.select_stage import select_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
         df = derive_part(spark.read.parquet(args.input))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
-        select_spans(with_size_salt(df, n), args.select).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        select_spans(
+            with_size_salt(df, n), args.select, xpath=args.xpath
+        ).write.mode("overwrite").format("noop").save()
         res = {"mode": "select_only"}
     elif args.stage_only:
         from xhtmlkit_spark.operators.extract_stage import extract_spans
