@@ -167,3 +167,58 @@ def test_bpe_roundtrip_any_corpus(texts, probe):
     enc = BPE(train_bpe(texts, n_merges=30))
     for w in probe.split():
         assert "".join(enc.encode_word(w)) == w + END
+
+
+_xpath_step = st.one_of(
+    st.sampled_from(["div", "p", "a", "li", "td", "span", "*"]),
+    st.builds(
+        lambda t, a: f"{t}[@{a}]",
+        st.sampled_from(["div", "a", "*"]),
+        st.sampled_from(["href", "class", "id", "data-x"]),
+    ),
+    st.builds(
+        lambda t, a, v: f"{t}[@{a}='{v}']",
+        st.sampled_from(["div", "a"]),
+        st.sampled_from(["href", "class"]),
+        st.text(alphabet="abc/:.x-", max_size=8),
+    ),
+    st.builds(lambda t, n: f"{t}[{n}]", st.sampled_from(["li", "td", "*"]),
+              st.integers(1, 9)),
+    st.builds(lambda t: f"{t}[last()]", st.sampled_from(["li", "*"])),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_xpath_step, min_size=1, max_size=4),
+    st.lists(st.sampled_from(["/", "//"]), min_size=3, max_size=3),
+    st.sampled_from(["", "/@href", "/text()"]),
+)
+def test_xpath_subset_always_compiles_to_valid_selector(steps, seps, tail):
+    """Every expression inside the documented subset must translate to
+    a selector the selector grammar ACCEPTS — the translator never
+    emits syntax the evaluator rejects."""
+    from xkit.selector import parse_selector
+    from xkit.xpath import xpath_to_selector
+
+    xp = "//" + steps[0]
+    for i, s in enumerate(steps[1:]):
+        xp += seps[i % 3] + s
+    xp += tail
+    sel = xpath_to_selector(xp)
+    parse_selector(sel)  # must not raise
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_xpath_translator_never_crashes_unhelpfully(s):
+    """Arbitrary input either translates (to a selector the evaluator
+    accepts) or raises ValueError — never any other exception type."""
+    from xkit.selector import parse_selector
+    from xkit.xpath import xpath_to_selector
+
+    try:
+        sel = xpath_to_selector(s)
+    except ValueError:
+        return
+    parse_selector(sel)
