@@ -696,6 +696,22 @@ SELECTOR_CASES = [
      '<ul><li>a<li>b<li>c</ul>',
      'li:not(:last-child)',
      None),
+    ('root_document_element',
+     '<html><body><div><p>deep</p></div><p>shallow</p></body></html>',
+     'html:root p',
+     None),
+    ('root_rejects_nested',
+     '<html><body><div><p>deep</p></div></body></html>',
+     'div:root, p:root',
+     None),
+    ('root_not_negation',
+     '<html><head><title>t</title></head><body><p>b</p></body></html>',
+     '*:not(:root):not(head):not(title):not(body)',
+     None),
+    ('root_anchored_child_chain',
+     '<html><body><p>direct</p><div><p>nested</p></div></body></html>',
+     'html:root > body > p',
+     None),
 ]
 
 

@@ -141,7 +141,8 @@ def test_xpath_translation_strings():
     assert x("//p") == "p"
     assert x("p") == "p"  # relative = descendant
     assert x("//div//span") == "div span"
-    assert x("/html/body/div") == "html > body > div"
+    assert x("/html/body/div") == "html:root > body > div"
+    assert x("/div/p") == "div:root > p"  # absolute anchors exactly
     assert x("//div[@class='note']") == "div[class='note']"
     assert x("//a[@href]") == "a[href]"
     assert x('//a[contains(@href,"x")]') == "a[href*='x']"
@@ -164,7 +165,6 @@ def test_xpath_translation_strings():
         "//ancestor::div",
         "//p[position()>1]",
         "//p[text()='x']",
-        "/div/p",  # absolute path not from /html
         "//p[",  # unterminated predicate
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
@@ -235,3 +235,31 @@ def test_spark_select_stage_accepts_xpath(tmp_path):
         select_spans(df)  # neither
     with pytest.raises(ValueError):
         select_spans(df, xpath="//p[position()>1]")  # driver-side reject
+
+
+def test_root_pseudo_semantics():
+    """:root matches only elements with no element ancestors — the
+    document element on full pages, each top-level element of a
+    fragment — and composes with :not and absolute XPath."""
+    from xkit.options import ExtractOptions
+    from xkit.xpath import select_html_xpath
+
+    html = "<html><body><div><p>deep</p></div><p>shallow</p></body></html>"
+    assert select_html(html, "html:root p") == [
+        ("text", "deep", None),
+        ("text", "shallow", None),
+    ]
+    assert select_html(html, "p:root") == []
+    assert select_html(html, "div:root") == []  # div is nested on a full page
+    frag = "<div>a</div><div>b<div>c</div></div>"
+    fo = ExtractOptions(fragment=True)
+    assert select_html(frag, "div:root", fo) == [
+        ("text", "a", None),
+        ("text", "bc", None),
+    ]
+    assert select_html(frag, "div:not(:root)", fo) == [("text", "c", None)]
+    # absolute XPath only matches from the document element
+    assert select_html_xpath(html, "/div/p") == []
+    assert select_html_xpath(html, "/html/body/p") == [("text", "shallow", None)]
+    with pytest.raises(ValueError):
+        parse_selector(":rooty")

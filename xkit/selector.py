@@ -17,7 +17,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
               | ":first-of-type" | ":last-of-type" | ":only-of-type"
               | (":nth-child(" | ":nth-last-child(" | ":nth-of-type("
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
-              | ":not(" compound ")"
+              | ":not(" compound ")" | ":root"
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -57,6 +57,10 @@ Semantics (querySelectorAll-like, frozen by the goldens):
   element is empty
 * nested matches each yield their own span (their texts overlap, as
   with querySelectorAll + textContent)
+* ``:root`` matches elements with NO element ancestors (the document
+  element; in fragment mode, every top-level element of the fragment)
+  — it anchors absolute paths, e.g. XPath-lite's ``/div/p`` →
+  ``div:root > p``
 * selection runs over the FULL repaired DOM — script/style/nav are NOT
   stripped (mirroring the reference, which keeps them in the tree and
   lets the query decide); RAWTEXT content is therefore selectable
@@ -84,12 +88,12 @@ class _Simple:
 
     __slots__ = (
         "tag", "id", "classes", "attrs", "pseudos", "last_pseudos",
-        "of_type", "last_of_type", "nots",
+        "of_type", "last_of_type", "nots", "root",
     )
 
     def __init__(
         self, tag, id_, classes, attrs, pseudos=(), last_pseudos=(),
-        of_type=(), last_of_type=(), nots=(),
+        of_type=(), last_of_type=(), nots=(), root=False,
     ):
         self.tag = tag  # None = any
         self.id = id_
@@ -108,6 +112,9 @@ class _Simple:
         # :not(compound) negations — inner _Simple selectors that must
         # NOT match (evaluated with the same positional context)
         self.nots = nots
+        # :root — element with NO element ancestors (in fragment mode
+        # every top-level element of the fragment qualifies)
+        self.root = root
 
     @staticmethod
     def _anb(a: int, b: int, pos: int) -> bool:
@@ -118,9 +125,13 @@ class _Simple:
 
     def matches(
         self, tag: str, attrs: dict, pos: int = 1, total=None,
-        sibs=(), idx=0, tag_totals=None,
+        sibs=(), idx=0, tag_totals=None, depth=None,
     ) -> bool:
         if self.tag is not None and tag != self.tag:
+            return False
+        # depth = number of open element ancestors (0 = top level);
+        # None means the caller has no depth context — fail closed
+        if self.root and depth != 0:
             return False
         for a, b in self.pseudos:
             if not self._anb(a, b, pos):
@@ -140,7 +151,7 @@ class _Simple:
                 if tot_t is None or not self._anb(a, b, tot_t - pos_t + 1):
                     return False
         for inner in self.nots:
-            if inner.matches(tag, attrs, pos, total, sibs, idx, tag_totals):
+            if inner.matches(tag, attrs, pos, total, sibs, idx, tag_totals, depth):
                 return False
         if self.id is not None and attrs.get("id") != self.id:
             return False
@@ -216,6 +227,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     of_type: list = []
     last_of_type: list = []
     nots: list = []
+    root = False
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -339,6 +351,9 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                     )
                 nots.append(inner)
                 i = k
+            elif name == "root":
+                root = True
+                i = j
             elif name in _FIRSTS:
                 for dest in _FIRSTS[name]:
                     dest.append((0, 1))
@@ -364,7 +379,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
         _Simple(
             tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
             tuple(last_pseudos), tuple(of_type), tuple(last_of_type),
-            tuple(nots),
+            tuple(nots), root,
         ),
         i,
     )
@@ -493,7 +508,7 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
 
     def match_elem(ci: int, anc_len: int, elem) -> bool:
         tag, attrs, sibs, idx, total, ttot = elem
-        if not chain[ci].matches(tag, attrs, idx + 1, total, sibs, idx, ttot):
+        if not chain[ci].matches(tag, attrs, idx + 1, total, sibs, idx, ttot, anc_len):
             return False
         if ci == 0:
             return True

@@ -30,10 +30,12 @@ Supported subset and its mapping:
     trailing /text()             → subtree-text projection (default)
     p1 | p2                      → comma group
 
-Absolute paths are supported from ``/html`` only (the selector grammar
-has no document-root anchor; ``html`` is the root element of every
-repaired full-page document, so ``/html/...`` translates exactly).
-Everything else — other axes (``ancestor::``, ``following-sibling::``),
+Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
+selector grammar's ``:root`` matches elements with no element
+ancestors, so a leading ``/`` step only matches the document element —
+or each top-level element in fragment mode, mirroring XPath over a
+fragment's node-set). Everything else —
+other axes (``ancestor::``, ``following-sibling::``),
 ``..``, ``node()``, ``position()`` arithmetic, nested paths in
 predicates — raises ``ValueError`` naming the unsupported construct.
 """
@@ -112,15 +114,14 @@ def _translate_path(path: str, xpath: str) -> str:
     if not path:
         raise ValueError(f"empty XPath path in {xpath!r}")
     # leading axis: '//' = descendant-from-root (selector default);
-    # '/' = absolute, supported from /html only (no root anchor exists)
+    # '/' = absolute — the first step anchors to the document element
+    # via the selector grammar's :root pseudo
+    absolute = False
     if path.startswith("//"):
         rest = path[2:]
     elif path.startswith("/"):
         rest = path[1:]
-        if not (rest == "html" or rest.startswith(("html/", "html["))):
-            raise ValueError(
-                f"unsupported XPath (absolute paths only from /html): {xpath!r}"
-            )
+        absolute = True
     else:
         rest = path  # relative = descendant, like '//'
 
@@ -171,7 +172,8 @@ def _translate_path(path: str, xpath: str) -> str:
                 raise ValueError(f"unterminated predicate in {xpath!r}")
             preds.append(_translate_predicate(rest[i + 1 : j - 1], tag, xpath))
             i = j
-        out.append(combinator + tag + "".join(preds))
+        anchor = ":root" if absolute and not out else ""
+        out.append(combinator + tag + anchor + "".join(preds))
         combinator = ""
         if i < n and rest[i] not in "/":
             raise ValueError(f"unsupported XPath syntax at {rest[i:]!r} in {xpath!r}")
