@@ -555,7 +555,10 @@ def run_foreach_batch_upsert(
     Iceberg/Delta MERGE the same callback would run in prod.
 
     Drains with availableNow (bounded, resumable); returns the number
-    of micro-batches delivered this run.
+    of DISTINCT micro-batches delivered this run — foreachBatch is
+    at-least-once, so the callback can re-fire for the same batch_id
+    on an intra-run retry (the overwrite keeps the output exactly-once
+    either way; the count must not double with it).
     """
     delivered = []
 
@@ -575,4 +578,4 @@ def run_foreach_batch_upsert(
             .start()
         )
         q.awaitTermination()
-    return len(delivered)
+    return len(set(delivered))
