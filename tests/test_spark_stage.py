@@ -674,3 +674,52 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" in plan2, plan2
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+
+
+def test_build_training_corpus_pack_plan(spark, corpus_path, tmp_path):
+    """pack_context_len finishes the funnel with a packing plan over
+    the LANDED corpus: every landed token covered exactly once, every
+    chunk full except the last, metrics riding the plan write."""
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    out = str(tmp_path / "train")
+    funnel = build_training_corpus(
+        spark,
+        corpus_path,
+        out,
+        langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0,
+        min_tokens=1,
+        pack_context_len=32,
+    )
+    assert funnel["pack_output_path"] == out + "_pack"
+    plan = spark.read.parquet(funnel["pack_output_path"])
+    rows = plan.collect()
+    assert len(rows) == funnel["plan_rows"] > 0
+
+    landed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.read.parquet(out).select("doc_id", "n_tokens").collect()
+    }
+    # every landed doc fully covered, nothing else in the plan
+    per_doc: dict = {}
+    by_chunk: dict = {}
+    for r in rows:
+        assert r["doc_id"] in landed
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["tok_len"]
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["tok_len"]
+    assert per_doc == landed
+    assert funnel["packed_tokens"] == sum(landed.values())
+    assert funnel["chunks"] == max(by_chunk) + 1 == len(by_chunk)
+    last = max(by_chunk)
+    assert all(v == 32 for c, v in by_chunk.items() if c != last)
+    assert 0 < by_chunk[last] <= 32
+
+    # deterministic rerun: identical plan
+    funnel2 = build_training_corpus(
+        spark, corpus_path, str(tmp_path / "train2"),
+        langs=("en", "de", "fr", "es", "zh"), min_quality=0.0,
+        min_tokens=1, pack_context_len=32,
+    )
+    plan2 = spark.read.parquet(funnel2["pack_output_path"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plan2.collect()))

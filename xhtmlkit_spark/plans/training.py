@@ -85,6 +85,7 @@ def build_training_corpus(
     dedup_lines: bool = False,
     redact_pii: bool = False,
     ensemble_threshold: float | None = None,
+    pack_context_len: int | None = None,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -126,6 +127,16 @@ def build_training_corpus(
     The ensemble's corpus LM is computed over the SAME post-line-dedup
     / post-redaction text the rest of the funnel sees, and the text is
     checkpointed first so its two explode passes never re-extract.
+
+    ``pack_context_len`` finishes the funnel with TRAINING-READY
+    examples: after the corpus lands, the deterministic-shuffled
+    concat-and-chunk packing plan (operators/packing.pack_chunks,
+    seed = ``{salt}-pack``) is written next to it at
+    ``{output_path}_pack``. The plan is computed FROM the landed
+    parquet — a column-pruned (doc_id, n_tokens) read, so the packing
+    job never re-extracts or re-tokenizes anything — and its metrics
+    (chunks, packed_tokens, plan_rows) ride the plan write via
+    observe(). Funnel gains those keys plus ``pack_output_path``.
 
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
@@ -300,4 +311,27 @@ def build_training_corpus(
         funnel["lines_kept"] = m["lines_kept"] or 0
     if redact_pii:
         funnel["pii_matches"] = m["pii_matches"] or 0
+    if pack_context_len:
+        from xhtmlkit_spark.operators.packing import pack_chunks
+
+        pack_path = output_path.rstrip("/") + "_pack"
+        landed = spark.read.parquet(output_path)  # (doc_id, n_tokens) pruned
+        pobs = Observation("pack_plan")
+        plan = pack_chunks(
+            landed,
+            context_len=pack_context_len,
+            shuffle_seed=f"{salt}-pack",
+            count_col="n_tokens",
+        ).observe(
+            pobs,
+            F.sum(one).alias("plan_rows"),
+            F.sum("tok_len").alias("packed_tokens"),
+            (F.max("chunk_id") + one).alias("chunks"),
+        )
+        plan.write.mode("overwrite").parquet(pack_path)
+        pm = pobs.get
+        funnel["plan_rows"] = pm["plan_rows"] or 0
+        funnel["packed_tokens"] = pm["packed_tokens"] or 0
+        funnel["chunks"] = pm["chunks"] or 0
+        funnel["pack_output_path"] = pack_path
     return funnel
