@@ -712,6 +712,24 @@ SELECTOR_CASES = [
      '<html><body><p>direct</p><div><p>nested</p></div></body></html>',
      'html:root > body > p',
      None),
+    ('has_container_filter',
+     '<div class=card><h2>A</h2><img src=/a.png></div>'
+     '<div class=card><h2>B</h2><p>text only</p></div>',
+     'div.card:has(img)',
+     None),
+    ('has_deep_satisfier_and_attrs',
+     '<article><section><video src=/v></video></section><p>cap</p></article>'
+     '<article><p>plain</p></article>',
+     'article:has(video[src])',
+     None),
+    ('has_unsatisfied_and_alternative_dedupe',
+     '<div><img src=/x></div><div><p>no img</p></div>',
+     'div:has(table), div:has(img), div',
+     None),
+    ('has_projection',
+     '<div data-kind=rich><img src=/i></div><div data-kind=poor>t</div>',
+     'div:has(img) @data-kind',
+     None),
 ]
 
 

@@ -263,3 +263,37 @@ def test_root_pseudo_semantics():
     assert select_html_xpath(html, "/html/body/p") == [("text", "shallow", None)]
     with pytest.raises(ValueError):
         parse_selector(":rooty")
+
+
+def test_has_pseudo_semantics():
+    """:has(compound) on the subject compound: container filtering
+    with correct composition, alternative dedupe, and loud rejection
+    everywhere it can't be evaluated in one forward pass."""
+    from xkit.xpath import select_html_xpath, xpath_to_selector
+
+    html = (
+        "<div class=card><h2>A</h2><img src=/a.png></div>"
+        "<div class=card><h2>B</h2><p>text only</p></div>"
+        "<article><section><video src=/v></video></section><p>cap</p></article>"
+    )
+    assert select_html(html, "div.card:has(img)") == [("text", "A", None)]
+    assert select_html(html, "article:has(video)") == [("text", "cap", None)]
+    assert select_html(html, "div:has(img[src^=/a])") == [("text", "A", None)]
+    assert select_html(html, "article:has(table)") == []
+    assert select_html(html, "img:has(img)") == []  # self is not a descendant
+    assert select_html(html, "div.card:has(h2):has(img)") == [("text", "A", None)]
+    assert select_html(html, "div.card:has(img) @class") == [("text", "card", None)]
+    # one element matched by a satisfied :has alternative AND an
+    # unconditional one emits ONCE (close-time dedupe)
+    assert select_html(html, "div:has(img), div.card") == [
+        ("text", "A", None),
+        ("text", "Btext only", None),
+    ]
+    # XPath container-filter predicate
+    assert xpath_to_selector("//div[.//img]") == "div:has(img)"
+    assert select_html_xpath(html, "//div[.//img]") == [("text", "A", None)]
+    for bad in ("div:has(img) h2", "div:has(p:has(img))", "div:not(:has(img))"):
+        with pytest.raises(ValueError):
+            parse_selector(bad)
+    with pytest.raises(ValueError):
+        xpath_to_selector("//div[.//img]/p")  # non-final [.//] predicate

@@ -18,6 +18,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
               | (":nth-child(" | ":nth-last-child(" | ":nth-of-type("
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
               | ":not(" compound ")" | ":root"
+              | ":has(" compound ")"     (subject compound only)
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -61,6 +62,16 @@ Semantics (querySelectorAll-like, frozen by the goldens):
   element; in fragment mode, every top-level element of the fragment)
   — it anchors absolute paths, e.g. XPath-lite's ``/div/p`` →
   ``div:root > p``
+* ``:has(compound)`` matches when at least one DESCENDANT matches the
+  compound (``div.card:has(img)`` — container filtering, XPath's
+  ``//div[.//img]``). Allowed on the chain's SUBJECT (final) compound
+  only: the verdict is known at the element's CLOSE, so the capture is
+  created optimistically and dropped if no descendant satisfied it —
+  an earlier compound would need the verdict while its descendants are
+  still streaming by, which a single forward pass cannot provide
+  (rejected loudly, like everything else out of scope). Several
+  ``:has()`` on one compound AND together; nesting inside ``:not``/
+  ``:has`` is rejected
 * selection runs over the FULL repaired DOM — script/style/nav are NOT
   stripped (mirroring the reference, which keeps them in the tree and
   lets the query decide); RAWTEXT content is therefore selectable
@@ -88,12 +99,12 @@ class _Simple:
 
     __slots__ = (
         "tag", "id", "classes", "attrs", "pseudos", "last_pseudos",
-        "of_type", "last_of_type", "nots", "root",
+        "of_type", "last_of_type", "nots", "root", "has",
     )
 
     def __init__(
         self, tag, id_, classes, attrs, pseudos=(), last_pseudos=(),
-        of_type=(), last_of_type=(), nots=(), root=False,
+        of_type=(), last_of_type=(), nots=(), root=False, has=(),
     ):
         self.tag = tag  # None = any
         self.id = id_
@@ -115,6 +126,12 @@ class _Simple:
         # :root — element with NO element ancestors (in fragment mode
         # every top-level element of the fragment qualifies)
         self.root = root
+        # :has(compound) requirements — each inner must match at least
+        # one DESCENDANT. Deferred: matches() ignores them (a forward
+        # pass can't know at open); the capture machinery tracks them
+        # while the element is open and drops the capture at close if
+        # any stayed unsatisfied. Subject-position only (parse-checked).
+        self.has = has
 
     @staticmethod
     def _anb(a: int, b: int, pos: int) -> bool:
@@ -228,6 +245,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     last_of_type: list = []
     nots: list = []
     root = False
+    has: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -321,9 +339,9 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 "nth-of-type": of_type,
                 "nth-last-of-type": last_of_type,
             }
-            if name == "not":
+            if name in ("not", "has"):
                 if j >= n or s[j] != "(":
-                    raise ValueError(f":not needs (arg) in selector {s!r}")
+                    raise ValueError(f":{name} needs (arg) in selector {s!r}")
                 # balanced-paren scan (the inner compound may itself
                 # contain parens — :nth-child(2n+1) — brackets, quotes)
                 depth_p, quote, k = 1, None, j + 1
@@ -340,16 +358,16 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                         depth_p -= 1
                     k += 1
                 if depth_p:
-                    raise ValueError(f"unterminated :not( in selector {s!r}")
+                    raise ValueError(f"unterminated :{name}( in selector {s!r}")
                 inner_s = s[j + 1 : k - 1].strip()
-                if ":not" in inner_s:
-                    raise ValueError(f"nested :not in selector {s!r}")
+                if ":not" in inner_s or ":has" in inner_s:
+                    raise ValueError(f"nested :not/:has in selector {s!r}")
                 inner, used = _parse_compound(inner_s, 0)
                 if used != len(inner_s):
                     raise ValueError(
-                        f":not argument must be one compound in selector {s!r}"
+                        f":{name} argument must be one compound in selector {s!r}"
                     )
-                nots.append(inner)
+                (nots if name == "not" else has).append(inner)
                 i = k
             elif name == "root":
                 root = True
@@ -379,7 +397,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
         _Simple(
             tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
             tuple(last_pseudos), tuple(of_type), tuple(last_of_type),
-            tuple(nots), root,
+            tuple(nots), root, tuple(has),
         ),
         i,
     )
@@ -483,6 +501,14 @@ def parse_selector(selector: str) -> list:
             raise ValueError(f"empty selector in {selector!r}")
         if pending_rel != "desc":
             raise ValueError(f"dangling combinator in selector {selector!r}")
+        # :has() decides at element CLOSE (deferred) — only the chain's
+        # SUBJECT (final compound) can carry one; an earlier compound's
+        # match verdict is needed while its descendants are still being
+        # parsed, which a single forward pass cannot provide
+        if any(c.has for c in chain[:-1]):
+            raise ValueError(
+                f":has() is only supported on the subject compound in {selector!r}"
+            )
         out.append(((tuple(chain), tuple(rels)), proj))
     return out
 
@@ -556,11 +582,12 @@ def select_html(
     totals: dict = {}
     tag_totals: dict = {}
 
-    def _needs_pre(c) -> bool:  # :not() inners count too
+    def _needs_pre(c) -> bool:  # :not()/:has() inners count too
         return bool(
             c.last_pseudos
             or c.last_of_type
             or any(_needs_pre(inner) for inner in c.nots)
+            or any(_needs_pre(inner) for inner in c.has)
         )
 
     if any(_needs_pre(c) for (chain, _), _ in groups for c in chain):
@@ -586,7 +613,8 @@ def select_html(
     # element at stack depth d-1 (d=0 is the document root) — feeds
     # sibling combinators and :first-child/:nth-child positions
     children_stack: list = [[]]
-    # [depth, proj, tag, attrs, texts-or-None, seq, cap_idx]
+    # [depth, proj, tag, attrs, texts-or-None, seq, cap_idx,
+    #  pending-:has inners (emitted at close only when emptied)]
     captures: list = []
     results: list = []  # (seq, cap_idx, kind, text, media_ref)
     seq = 0
@@ -607,18 +635,38 @@ def select_html(
             stack.append((tag, attrs, sibs, idx, totals.get(ps), tag_totals.get(ps)))
             parent_seqs.append(seq)
             children_stack.append([])
+            # every still-open capture belongs to an ANCESTOR of this
+            # element, so this element can satisfy their :has() inners
+            # (tested before this element's own captures exist — an
+            # element is not its own descendant)
+            e_total, e_ttot = stack[-1][4], stack[-1][5]
+            e_depth = len(stack) - 1
+            for cap in captures:
+                if cap[7]:
+                    cap[7] = [
+                        h for h in cap[7]
+                        if not h.matches(
+                            tag, attrs, idx + 1, e_total, sibs, idx, e_ttot, e_depth
+                        )
+                    ]
             projs_here = set()
             for (chain, rels), proj in groups:
                 if proj in projs_here:
                     continue  # dedupe: element matched by 2 alternatives
                 if _chain_matches(stack, chain, rels):
-                    projs_here.add(proj)
+                    pending = list(chain[-1].has)
+                    if not pending:
+                        # a pending capture may still DROP at close, so
+                        # it must not shadow an unconditional alternative
+                        # with the same projection (close-time dedupe
+                        # handles the both-emit case)
+                        projs_here.add(proj)
                     wants_text = proj is None and not (
                         tag in MEDIA_TAGS and attrs.get("src")
                     )
                     captures.append(
                         [len(stack), proj, tag, attrs,
-                         [] if wants_text else None, seq, n_caps]
+                         [] if wants_text else None, seq, n_caps, pending]
                     )
                     n_caps += 1
             seq += 1
@@ -628,9 +676,22 @@ def select_html(
             parent_seqs.pop()
             children_stack.pop()
             # finalize captures opened at this depth (appended in order,
-            # so they sit at the tail)
+            # so they sit at the tail); a capture with unsatisfied
+            # :has() inners drops, and one (element, projection) emits
+            # at most once (a satisfied :has alternative and an
+            # unconditional one may both have captured) — the smallest
+            # cap_idx wins, preserving alternative-selector order
+            finalized: list = []
             while captures and captures[-1][0] == depth:
-                _, proj, ctag, cattrs, texts, cseq, cidx = captures.pop()
+                cap = captures.pop()
+                if not cap[7]:
+                    finalized.append(cap)
+            finalized.sort(key=lambda c: c[6])
+            done_projs = set()
+            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend in finalized:
+                if proj in done_projs:
+                    continue
+                done_projs.add(proj)
                 if proj is not None:
                     value = cattrs.get(proj)
                     if value is not None:

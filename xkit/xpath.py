@@ -19,6 +19,7 @@ Supported subset and its mapping:
     [@attr='v'] / [@attr="v"]    → [attr='v']   (exact match)
     [contains(@attr,'v')]        → [attr*='v']
     [starts-with(@attr,'v')]     → [attr^='v']
+    [.//tag]  (final step only)  → :has(tag)    — container filtering
     [N]   (integer literal)      → :nth-of-type(N)  — XPath child::tag[N]
                                    selects the N-th same-tag child of
                                    each parent, which is exactly CSS
@@ -57,6 +58,7 @@ _PRED_FN = re.compile(
     rf"^(contains|starts-with)\(\s*@({_NAME})\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
 )
 _PRED_INT = re.compile(r"^[0-9]+$")
+_PRED_HAS = re.compile(rf"^\.//({_NAME}|\*)$")
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -106,6 +108,9 @@ def _translate_predicate(pred: str, tag: str, xpath: str) -> str:
         return f":{kind}({int(pred)})"
     if pred == "last()":
         return ":last-child" if tag == "*" else ":last-of-type"
+    m = _PRED_HAS.match(pred)
+    if m:
+        return f":has({m.group(1)})"
     raise ValueError(f"unsupported XPath predicate {pred!r} in {xpath!r}")
 
 
@@ -177,6 +182,13 @@ def _translate_path(path: str, xpath: str) -> str:
         combinator = ""
         if i < n and rest[i] not in "/":
             raise ValueError(f"unsupported XPath syntax at {rest[i:]!r} in {xpath!r}")
+    # [.//x] compiles to :has(), which the selector grammar accepts on
+    # the SUBJECT compound only — reject it on earlier steps here so
+    # the translator never emits a selector the evaluator rejects
+    if any(":has(" in step for step in out[:-1]):
+        raise ValueError(
+            f"unsupported XPath ([.//…] only on the final step): {xpath!r}"
+        )
     return "".join(out)
 
 
