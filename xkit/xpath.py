@@ -182,6 +182,8 @@ def _translate_path(path: str, xpath: str) -> str:
         combinator = ""
         if i < n and rest[i] not in "/":
             raise ValueError(f"unsupported XPath syntax at {rest[i:]!r} in {xpath!r}")
+    if not out:  # bare '/', '//', or all-separator input
+        raise ValueError(f"empty XPath path in {xpath!r}")
     # [.//x] compiles to :has(), which the selector grammar accepts on
     # the SUBJECT compound only — reject it on earlier steps here so
     # the translator never emits a selector the evaluator rejects
