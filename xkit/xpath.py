@@ -31,6 +31,13 @@ Supported subset and its mapping:
     trailing /text()             → subtree-text projection (default)
     p1 | p2                      → comma group
 
+Step names are restricted to the selector-expressible charset
+(``[A-Za-z_][A-Za-z0-9_-]*``): a dot or colon in a tag or trailing
+``@attr`` projection cannot round-trip through the selector grammar
+(both are compound delimiters there), so such names raise ValueError
+instead of mis-translating; attribute names inside predicates keep
+the wider XML charset (``xml:lang``, ``data.foo``).
+
 Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
 selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
@@ -45,20 +52,29 @@ from __future__ import annotations
 
 import re
 
-from xkit.selector import select_html
+from xkit.selector import parse_selector, select_html
 
 __all__ = ["xpath_to_selector", "select_html_xpath"]
 
-_NAME = r"[A-Za-z_][A-Za-z0-9_.:-]*"
-_NAME_RE = re.compile(_NAME + r"$")
-_STEP_RE = re.compile(rf"({_NAME}|\*)")
-_PRED_ATTR = re.compile(rf"^@({_NAME})$")
-_PRED_ATTR_EQ = re.compile(rf"^@({_NAME})\s*=\s*('([^']*)'|\"([^\"]*)\")$")
+# Two name charsets, both narrower than XPath's NCName on purpose:
+# the selector grammar terminates tag/projection names at any of
+# " .#[@,>+~:" (selector._NAME_END), so a dot or colon in a STEP or a
+# trailing @attr projection can never round-trip — reject it here
+# rather than emit a selector the evaluator refuses. Attribute names
+# inside [brackets] are scanned up to the operator/']' by the selector
+# parser, so dots/colons stay legal there (xml:lang, data.foo).
+_TAG = r"[A-Za-z_][A-Za-z0-9_-]*"
+_ATTR = r"[A-Za-z_][A-Za-z0-9_.:-]*"
+_PROJ_RE = re.compile(rf"{_TAG}$")
+_STEP_RE = re.compile(rf"({_TAG}|\*)")
+_AXIS_RE = re.compile(r"[A-Za-z-]+::")
+_PRED_ATTR = re.compile(rf"^@({_ATTR})$")
+_PRED_ATTR_EQ = re.compile(rf"^@({_ATTR})\s*=\s*('([^']*)'|\"([^\"]*)\")$")
 _PRED_FN = re.compile(
-    rf"^(contains|starts-with)\(\s*@({_NAME})\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
+    rf"^(contains|starts-with)\(\s*@({_ATTR})\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
 )
 _PRED_INT = re.compile(r"^[0-9]+$")
-_PRED_HAS = re.compile(rf"^\.//({_NAME}|\*)$")
+_PRED_HAS = re.compile(rf"^\.//({_TAG}|\*)$")
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -142,7 +158,7 @@ def _translate_path(path: str, xpath: str) -> str:
         # projection steps must be final
         if rest.startswith("@", i):
             name = rest[i + 1 :]
-            if not _NAME_RE.match(name):
+            if not _PROJ_RE.match(name):
                 raise ValueError(f"unsupported XPath attribute step in {xpath!r}")
             if not out:
                 raise ValueError(f"unsupported XPath (bare attribute): {xpath!r}")
@@ -151,12 +167,13 @@ def _translate_path(path: str, xpath: str) -> str:
             if i + 6 != n or not out:
                 raise ValueError(f"unsupported XPath text() position in {xpath!r}")
             return "".join(out)  # subtree text is the default projection
+        m = _AXIS_RE.match(rest, i)
+        if m:
+            raise ValueError(f"unsupported XPath axis {m.group(0)!r} in {xpath!r}")
         m = _STEP_RE.match(rest, i)
         if not m:
             raise ValueError(f"unsupported XPath step at {rest[i:]!r} in {xpath!r}")
         tag = m.group(1)
-        if ":" in tag and tag != "*":
-            raise ValueError(f"unsupported XPath axis {tag!r} in {xpath!r}")
         i = m.end()
         preds: list[str] = []
         while i < n and rest[i] == "[":
@@ -202,7 +219,19 @@ def xpath_to_selector(xpath: str) -> str:
     if not isinstance(xpath, str) or not xpath.strip():
         raise ValueError("empty XPath expression")
     paths = [_translate_path(p, xpath) for p in _split_top(xpath, "|")]
-    return ", ".join(paths)
+    sel = ", ".join(paths)
+    # contract backstop: the translator must never emit a selector the
+    # evaluator rejects — re-raise any residual corner as ValueError
+    # naming both forms (one extra driver-side parse, never shipped to
+    # executors)
+    try:
+        parse_selector(sel)
+    except ValueError as e:
+        raise ValueError(
+            f"XPath {xpath!r} translates outside the selector subset "
+            f"({sel!r}): {e}"
+        ) from e
+    return sel
 
 
 def select_html_xpath(html, xpath: str, options=None):
