@@ -155,6 +155,16 @@ def test_xpath_translation_strings():
     assert x("//p/text()") == "p"
     assert x("//h1 | //h2") == "h1, h2"
     assert x("//a[@href][2]") == "a[href]:nth-of-type(2)"
+    assert x("//div[.//table]") == "div:has(table)"
+    assert (
+        x("//a[@rel='next' and contains(@href,'page')]")
+        == "a[rel='next'][href*='page']"
+    )
+    assert x("//img[@src and not(@alt)]") == "img[src]:not([alt])"
+    assert x("//input[not(@disabled)]") == "input:not([disabled])"
+    # names the selector grammar cannot round-trip are rejected, but
+    # predicate ATTRIBUTE names keep the XML charset
+    assert x("//a[@xml:lang='en']") == "a[xml:lang='en']"
 
 
 @pytest.mark.parametrize(
@@ -169,6 +179,11 @@ def test_xpath_translation_strings():
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
         "//node()",
+        "A.",  # dot can't round-trip through the selector tag grammar
+        "//x.y",
+        "//a/@og:title",  # projection names are selector-charset only
+        "//p[not(b)]",  # not() takes @attr only
+        "//p[@a and]",  # dangling conjunction
     ],
 )
 def test_xpath_unsupported_raises(bad):

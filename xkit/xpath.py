@@ -20,6 +20,8 @@ Supported subset and its mapping:
     [contains(@attr,'v')]        → [attr*='v']
     [starts-with(@attr,'v')]     → [attr^='v']
     [.//tag]  (final step only)  → :has(tag)    — container filtering
+    [p1 and p2]                  → both predicates on the compound
+    [not(@attr)]                 → :not([attr])
     [N]   (integer literal)      → :nth-of-type(N)  — XPath child::tag[N]
                                    selects the N-th same-tag child of
                                    each parent, which is exactly CSS
@@ -75,6 +77,7 @@ _PRED_FN = re.compile(
 )
 _PRED_INT = re.compile(r"^[0-9]+$")
 _PRED_HAS = re.compile(rf"^\.//({_TAG}|\*)$")
+_PRED_NOT = re.compile(rf"^not\(\s*@({_ATTR})\s*\)$")
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -105,8 +108,44 @@ def _quote_val(v: str, xpath: str) -> str:
     raise ValueError(f"unsupported XPath (mixed quotes in value): {xpath!r}")
 
 
+def _split_and(pred: str) -> list[str]:
+    """Split a predicate on top-level ``and`` (outside quotes/parens)."""
+    parts, depth, quote, start, i, n = [], 0, "", 0, 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and pred.startswith("and", i)
+            and i > 0
+            and pred[i - 1] in " \t"
+            and i + 3 < n
+            and pred[i + 3] in " \t"
+        ):
+            parts.append(pred[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(pred[start:])
+    return parts
+
+
 def _translate_predicate(pred: str, tag: str, xpath: str) -> str:
     pred = pred.strip()
+    conj = _split_and(pred)
+    if len(conj) > 1:
+        # [p1 and p2] = both hold on the same element → predicate
+        # concatenation in the compound grammar
+        return "".join(_translate_predicate(p, tag, xpath) for p in conj)
     m = _PRED_ATTR.match(pred)
     if m:
         return f"[{m.group(1)}]"
@@ -127,6 +166,9 @@ def _translate_predicate(pred: str, tag: str, xpath: str) -> str:
     m = _PRED_HAS.match(pred)
     if m:
         return f":has({m.group(1)})"
+    m = _PRED_NOT.match(pred)
+    if m:
+        return f":not([{m.group(1)}])"
     raise ValueError(f"unsupported XPath predicate {pred!r} in {xpath!r}")
 
 
