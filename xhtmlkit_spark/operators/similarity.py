@@ -426,15 +426,30 @@ def ivf_ann_topk(
         unit_vector(vec_col).alias("u"),
     )
     # u referenced by all n_cells dot products → let-bound via the
-    # materialized column (withColumn), not recomputed per centroid
-    ranked = base.withColumn("sd", cell_ranking(F.col("u")))
-    corpus = ranked.select("id", "u", F.col("sd")[0]["i"].alias("cell"))
+    # materialized column (withColumn), not recomputed per centroid.
+    # The ranking feeds TWO consumers (corpus cells and probe lists);
+    # left lazy, the n_cells×dim scoring expression is planned,
+    # code-generated and EXECUTED twice (the two-consumer-subtree
+    # trap) — so materialize the slim (id, u, cells) projection once.
+    # cells keeps only the nprobe best cell ids: cells[0] is the home
+    # cell, the full slice is the probe list; payload per row is the
+    # unit vector plus nprobe ints, never the 16-struct ranking.
+    ranked = (
+        base.withColumn("sd", cell_ranking(F.col("u")))
+        .select(
+            "id",
+            "u",
+            F.slice(
+                F.transform("sd", lambda e: e["i"]), 1, max(nprobe, 1)
+            ).alias("cells"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    corpus = ranked.select("id", "u", F.col("cells")[0].alias("cell"))
     probes = ranked.select(
         "id",
         "u",
-        F.explode(
-            F.slice(F.transform("sd", lambda e: e["i"]), 1, nprobe)
-        ).alias("cell"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("cell"),
     )
     p, c = probes.alias("p"), corpus.alias("c")
     scored = p.join(
