@@ -696,6 +696,17 @@ SELECTOR_CASES = [
      '<ul><li>a<li>b<li>c</ul>',
      'li:not(:last-child)',
      None),
+    # the two XPath-lite predicate translations: [@a and @b] → attr
+    # conjunction on one compound, [not(@attr)] → :not([attr])
+    ('attr_conjunction',
+     '<a rel=next href=/page2>fwd</a><a rel=next href=/top>up</a>'
+     '<a rel=prev href=/page1>back</a>',
+     "a[rel='next'][href*='page']",
+     None),
+    ('not_attr_absence',
+     '<img src=a.png alt=described><img src=b.png><img alt=orphan>',
+     'img[src]:not([alt]) @src',
+     None),
     ('root_document_element',
      '<html><body><div><p>deep</p></div><p>shallow</p></body></html>',
      'html:root p',
