@@ -81,6 +81,25 @@ def _q_select_spans(spark, sf_dir):
     return explode_spans(select_spans(df, "table td, img"))
 
 
+def _q_select_html_spans(spark, sf_dir):
+    """R33: outer-XHTML projection distributed — harvest every <table>
+    of the corpus as serialized markup (the reference's OuterXml; the
+    training-data "extract table markup" use case). Rows-only like
+    select_spans (needs the parser); markup semantics are pinned by
+    the emit_html_* goldens + the Spark≡pure-Python equality test,
+    which also asserts every emitted span parses as XML."""
+    from xhtmlkit_spark.functions.spans import explode_spans
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = explode_spans(select_spans(df, "table", emit="html"))
+    return out.select(
+        "doc_id", "pos", "kind", F.length("text").alias("n_markup_chars"), "text"
+    )
+
+
 def _q_normalize_xhtml(spark, sf_dir):
     """The reference's headline transform (tag soup → well-formed
     XHTML) as a column. No SQL twin (needs the parser) → rows-only;
@@ -1051,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_xhtml": _q_normalize_xhtml,
         "string_part_features": _q_string_part_features,
         "select_spans": _q_select_spans,
+        "select_html_spans": _q_select_html_spans,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_doc_freq": _q_bigram_doc_freq,
         "repetition_scores": _q_repetition_scores,

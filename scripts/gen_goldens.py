@@ -698,6 +698,27 @@ SELECTOR_CASES = [
      None),
     # the two XPath-lite predicate translations: [@a and @b] → attr
     # conjunction on one compound, [not(@attr)] → :not([attr])
+    # emit="html": outer-XHTML projection (the reference's OuterXml)
+    ('emit_html_table_markup',
+     '<div><h2>T &amp; U</h2><table id=t1><tr><td>a<td>b</table></div>',
+     'table',
+     None,
+     'html'),
+    ('emit_html_nested_overlap',
+     '<div class=outer><div class=inner><p>x</p></div></div>',
+     'div',
+     None,
+     'html'),
+    ('emit_html_soup_repaired',
+     '<table><tr><td>open cell',
+     'table',
+     None,
+     'html'),
+    ('emit_html_attr_projection_unchanged',
+     '<img src=pic.png alt="A pic"><img src=q.png>',
+     'img @alt',
+     None,
+     'html'),
     ('attr_conjunction',
      '<a rel=next href=/page2>fwd</a><a rel=next href=/top>up</a>'
      '<a rel=prev href=/page1>back</a>',
@@ -827,7 +848,9 @@ def main() -> None:
     from xkit.selector import select_html
 
     out_cases = []
-    for name, html, sel, base_url in SELECTOR_CASES:
+    for case in SELECTOR_CASES:
+        name, html, sel, base_url = case[:4]
+        emit = case[4] if len(case) > 4 else "text"
         opts = ExtractOptions(base_url=base_url) if base_url else ExtractOptions()
         rec = {
             "name": name,
@@ -836,9 +859,13 @@ def main() -> None:
             "base_url": base_url,
             "expected_spans": [
                 {"kind": k, "text": t, "media_ref": m, "offset": i}
-                for i, (k, t, m) in enumerate(select_html(html, sel, opts))
+                for i, (k, t, m) in enumerate(
+                    select_html(html, sel, opts, emit=emit)
+                )
             ],
         }
+        if emit != "text":
+            rec["emit"] = emit
         out_cases.append(rec)
         print(f"[selector/{name}]")
         for s in rec["expected_spans"]:

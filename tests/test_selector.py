@@ -30,7 +30,10 @@ def test_selector_golden(case):
     got = [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(
-            select_html(case["html"], case["selector"], opts)
+            select_html(
+                case["html"], case["selector"], opts,
+                emit=case.get("emit", "text"),
+            )
         )
     ]
     assert got == case["expected_spans"]
@@ -101,6 +104,50 @@ def test_spark_select_stage_matches_pure_python(tmp_path):
     assert got == expect
     # at least some docs genuinely matched (the corpus plants tables/images)
     assert any(v for v in got.values())
+
+
+@pytest.mark.spark
+def test_spark_select_stage_emit_html(tmp_path):
+    """emit="html" distributed ≡ pure-Python, every emitted markup
+    span is well-formed XML, and the output feeds back through the
+    engine as a corpus html span (the subtree-corpus contract)."""
+    import xml.etree.ElementTree as ET
+
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.session import get_spark
+
+    spark = get_spark("local[2]", shuffle_partitions=4, app_name="sel-tests")
+    corpus = generate_corpus(str(tmp_path / "corpus"), 30, seed=7, chunk_docs=15)
+    df = spark.read.parquet(corpus)
+    sel = "table"
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in select_spans(df, sel, emit="html").collect()
+    }
+    expect = {}
+    for r in df.collect():
+        spans = r["spans"]
+        k, t, m, o = select_doc(
+            [s["kind"] for s in spans],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+            [s["offset"] for s in spans],
+            sel,
+            emit="html",
+        )
+        expect[r["doc_id"]] = list(zip(k, t, m, o))
+    assert got == expect
+    marked = [s for v in got.values() for s in v]
+    assert marked, "corpus plants tables; emit=html must match some"
+    for kind, markup, ref, _ in marked:
+        assert kind == "html" and ref is None
+        ET.fromstring(markup)  # xml_safe serialization → well-formed
+    # roundtrip: an emitted markup span re-enters selection as a doc
+    any_markup = marked[0][1]
+    assert select_html(any_markup, "td, th, tr") or "<t" in any_markup
+    with pytest.raises(ValueError):
+        select_spans(df, sel, emit="markup")
 
 
 def test_quoted_commas_and_at_in_values():

@@ -32,6 +32,7 @@ def select_spans(
     options: ExtractOptions = DEFAULT_OPTIONS,
     passthrough: tuple = ("part",),
     xpath: str | None = None,
+    emit: str = "text",
 ) -> DataFrame:
     """Evaluate ``selector`` (or ``xpath``) over every document's html
     spans.
@@ -43,7 +44,12 @@ def select_spans(
     per-match span rule). ``xpath`` accepts the XPath-lite subset
     (xkit.xpath) — the reference's native query idiom — compiled on
     the driver to the same selector evaluation; pass exactly one of
-    the two.
+    the two. ``emit="html"`` yields each match's serialized outer
+    XHTML instead of its subtree text (the reference's
+    ``SelectNodes(...).OuterXml`` idiom; see xkit.selector) — the
+    output rows are corpus-shaped html spans, so a markup selection
+    can feed straight back into extract_spans/select_spans as a
+    subtree corpus (e.g. harvest every <table> as training markup).
     """
     if (selector is None) == (xpath is None):
         raise ValueError("pass exactly one of selector= or xpath=")
@@ -52,10 +58,12 @@ def select_spans(
 
         selector = xpath_to_selector(xpath)  # driver-side translation
     parsed = parse_selector(selector)  # driver-side validation
+    if emit not in ("text", "html"):  # fail on the driver, not per task
+        raise ValueError(f"emit must be 'text' or 'html', got {emit!r}")
 
     def batch_fn(n_pt: int):
         def doc_fn(kinds, texts, refs, offsets):
-            return select_doc(kinds, texts, refs, offsets, parsed, options)
+            return select_doc(kinds, texts, refs, offsets, parsed, options, emit)
 
         return make_doc_stage_fn(doc_fn, n_pt)
 

@@ -86,7 +86,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-from xkit.dom import repair
+from xkit.dom import repair, serialize
 from xkit.extract import MEDIA_TAGS, _collapse
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
@@ -564,14 +564,31 @@ def _chain_matches(stack: list, chain: tuple, rels: tuple) -> bool:
 
 
 def select_html(
-    html: str, selector, options: ExtractOptions = DEFAULT_OPTIONS
+    html: str,
+    selector,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    emit: str = "text",
 ) -> list:
     """Evaluate a selector over one HTML document.
 
     ``selector`` is a string or a pre-parsed :func:`parse_selector`
     result. Returns ordered ``(kind, text, media_ref)`` spans (see
     module doc for the per-match span rule).
+
+    ``emit="html"`` switches the default projection from subtree TEXT
+    to the match's serialized outer XHTML (the reference's
+    ``SelectNodes(...)[i].OuterXml`` idiom): each match without an
+    ``@attr`` projection yields ``("html", markup, None)`` where
+    markup is the xml-safe canonical serialization of the element's
+    repaired event slice — media elements included (their markup
+    carries the src). ``@attr`` projections still yield attr values.
+    Emitted "html" spans are corpus-shaped: the output of an
+    ``emit="html"`` selection can be fed back through extract/select
+    as a subtree corpus.
     """
+    if emit not in ("text", "html"):
+        raise ValueError(f"emit must be 'text' or 'html', got {emit!r}")
+    want_html = emit == "html"
     groups = parse_selector(selector) if isinstance(selector, str) else selector
     base = options.base_url
     # :last-child / :nth-last-child need each parent's FINAL element-
@@ -581,6 +598,10 @@ def select_html(
     # order, identical in both passes). Selectors without them skip it.
     totals: dict = {}
     tag_totals: dict = {}
+    # ONE tokenize+repair; the event list feeds the optional counting
+    # pre-pass, the main walk, and (emit="html") the per-match
+    # serialization slices
+    events = repair(tokenize(html), fragment=options.fragment)
 
     def _needs_pre(c) -> bool:  # :not()/:has() inners count too
         return bool(
@@ -595,7 +616,7 @@ def select_html(
         totals[-1] = 0
         tag_totals[-1] = {}
         pseq = 0
-        for ev in repair(tokenize(html), fragment=options.fragment):
+        for ev in events:
             if ev[0] == "open":
                 par = pstack[-1]
                 totals[par] += 1
@@ -614,12 +635,13 @@ def select_html(
     # sibling combinators and :first-child/:nth-child positions
     children_stack: list = [[]]
     # [depth, proj, tag, attrs, texts-or-None, seq, cap_idx,
-    #  pending-:has inners (emitted at close only when emptied)]
+    #  pending-:has inners (emitted at close only when emptied),
+    #  open event index (emit="html" serialization slice start)]
     captures: list = []
     results: list = []  # (seq, cap_idx, kind, text, media_ref)
     seq = 0
     n_caps = 0
-    for ev in repair(tokenize(html), fragment=options.fragment):
+    for ei, ev in enumerate(events):
         k = ev[0]
         if k == "text":
             t = ev[1]
@@ -661,12 +683,14 @@ def select_html(
                         # with the same projection (close-time dedupe
                         # handles the both-emit case)
                         projs_here.add(proj)
-                    wants_text = proj is None and not (
-                        tag in MEDIA_TAGS and attrs.get("src")
+                    wants_text = (
+                        proj is None
+                        and not want_html
+                        and not (tag in MEDIA_TAGS and attrs.get("src"))
                     )
                     captures.append(
                         [len(stack), proj, tag, attrs,
-                         [] if wants_text else None, seq, n_caps, pending]
+                         [] if wants_text else None, seq, n_caps, pending, ei]
                     )
                     n_caps += 1
             seq += 1
@@ -688,7 +712,7 @@ def select_html(
                     finalized.append(cap)
             finalized.sort(key=lambda c: c[6])
             done_projs = set()
-            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend in finalized:
+            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend, oei in finalized:
                 if proj in done_projs:
                     continue
                 done_projs.add(proj)
@@ -696,6 +720,12 @@ def select_html(
                     value = cattrs.get(proj)
                     if value is not None:
                         results.append((cseq, cidx, "text", value, None))
+                elif want_html:
+                    # outer XHTML of the match: the event slice from its
+                    # open to THIS close is balanced by repair's
+                    # construction, so it serializes standalone
+                    markup = serialize(events[oei : ei + 1], xml_safe=True)
+                    results.append((cseq, cidx, "html", markup, None))
                 elif texts is None:  # media element with non-empty src
                     src = cattrs["src"]
                     results.append(
@@ -718,6 +748,7 @@ def select_doc(
     offsets: list,
     selector,
     options: ExtractOptions = DEFAULT_OPTIONS,
+    emit: str = "text",
 ) -> tuple[list, list, list, list]:
     """Doc-level twin of :func:`xkit.doc.extract_doc` for selection:
     runs the selector over every ``html`` input span in offset order
@@ -741,7 +772,7 @@ def select_doc(
             continue
         if isinstance(raw, (bytes, bytearray)):
             raw = decode_html_bytes(bytes(raw))
-        for k, t, m in select_html(raw, selector, options):
+        for k, t, m in select_html(raw, selector, options, emit):
             ok.append(k)
             ot.append(t)
             om.append(m)

@@ -276,11 +276,13 @@ def xpath_to_selector(xpath: str) -> str:
     return sel
 
 
-def select_html_xpath(html, xpath: str, options=None):
+def select_html_xpath(html, xpath: str, options=None, emit: str = "text"):
     """Run an XPath-lite query over a document: translate once, then
     evaluate with the selector engine (same repaired event stream,
-    same golden-frozen semantics)."""
+    same golden-frozen semantics). ``emit="html"`` returns each
+    match's outer XHTML — the reference's ``SelectNodes(...)[i]
+    .OuterXml``."""
     sel = xpath_to_selector(xpath)
     if options is None:
-        return select_html(html, sel)
-    return select_html(html, sel, options)
+        return select_html(html, sel, emit=emit)
+    return select_html(html, sel, options, emit)
