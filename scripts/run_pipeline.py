@@ -48,6 +48,13 @@ def main() -> None:
         help="like --select but the query is XPath-lite (the reference's "
         "native idiom), compiled to the selector grammar on the driver",
     )
+    ap.add_argument(
+        "--emit",
+        default="text",
+        choices=("text", "html"),
+        help="span payload for --select/--xpath: subtree text (default) "
+        "or the match's serialized outer XHTML (OuterXml parity)",
+    )
     args = ap.parse_args()
     if args.select is not None and args.xpath is not None:
         ap.error("pass at most one of --select / --xpath")
@@ -96,7 +103,7 @@ def main() -> None:
         df = derive_part(spark.read.parquet(args.input))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         select_spans(
-            with_size_salt(df, n), args.select, xpath=args.xpath
+            with_size_salt(df, n), args.select, xpath=args.xpath, emit=args.emit
         ).write.mode("overwrite").format("noop").save()
         res = {"mode": "select_only"}
     elif args.stage_only:
