@@ -645,6 +645,61 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+_URL_BLOCKLIST = [
+    "src0-0.example.org",
+    "src1-1.example.org",
+    "src2-2.example.org",
+]
+
+
+def _planted_url_col():
+    """Deterministic URL per document from (source, doc_id), covering
+    every normalization path of operators.urls.url_host: userinfo
+    (%11), www. prefix (%5), uppercase host (%7), explicit port (%13),
+    and outright non-URLs (%17 → NULL host)."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    host_base = F.concat(
+        F.col("source"), F.lit("-"), (did % 3).cast("string"), F.lit(".example.org")
+    )
+    return F.when(
+        did % 17 == 0, F.concat(F.lit("not a url "), ds)
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 11 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.upper(host_base)).otherwise(host_base),
+            F.when(did % 13 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            ds,
+        )
+    )
+
+
+def _q_url_host_policy(spark, sf_dir):
+    """Host-level corpus hygiene (C4/RefinedWeb-style): canonical-host
+    extraction → blocklist anti-join → per-host contribution cap.
+    URLs planted deterministically (see _planted_url_col); the oracle
+    re-implements the cap as NOT IN + window instead of an anti-join."""
+    from xhtmlkit_spark.operators.urls import (
+        cap_per_host,
+        filter_blocklist,
+        url_host,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _planted_url_col().alias("url")
+    )
+    hosts = d.select("doc_id", url_host("url").alias("host")).where(
+        F.col("host").isNotNull()
+    )
+    kept = cap_per_host(filter_blocklist(hosts, _URL_BLOCKLIST), cap=5)
+    return kept.select(
+        "doc_id", "host", F.col("host_rank").cast("int").alias("host_rank")
+    )
+
+
 def _q_line_dedup_stats(spark, sf_dir):
     """Corpus-level exact line dedup (keep first occurrence), lines =
     deterministic 8-word chunks (the corpus has no newlines; the tiny
@@ -1036,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_counts": _q_pivot_order_counts,
         "lang_guess": _q_lang_guess,
         "pii_redaction": _q_pii_redaction,
+        "url_host_policy": _q_url_host_policy,
         "c4_line_stats": _q_c4_line_stats,
         "token_windows": _q_token_windows,
         "pack_chunks": _q_pack_chunks,
@@ -1573,6 +1629,38 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "url_host_policy": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0
+                     THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                     ELSE 'https://'
+                       || CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN upper(source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org')
+                               ELSE source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END
+                       || '/p/' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents),
+            hosts AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) <> ''
+                  THEN regexp_replace(regexp_replace(regexp_replace(
+                         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                         '^[^@]*@', ''), ':[0-9]+$', ''), '^www\\.', '')
+                END AS host
+              FROM planted),
+            kept AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id) AS host_rank
+              FROM hosts
+              WHERE host IS NOT NULL
+                AND host NOT IN ({", ".join(f"'{h}'" for h in _URL_BLOCKLIST)}))
+            SELECT doc_id, host, CAST(host_rank AS INTEGER) AS host_rank
+            FROM kept WHERE host_rank <= 5
+        """,
         "token_windows": """
             WITH docs AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

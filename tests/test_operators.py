@@ -1264,3 +1264,52 @@ def test_pack_chunks_shuffled_order_and_no_bounds_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ urls
+
+
+def test_url_host_normalization(spark):
+    """Every normalization path of url_host: userinfo, port, www,
+    case, and non-URL → NULL."""
+    from xhtmlkit_spark.operators.urls import url_host
+
+    cases = [
+        ("https://Example.ORG/a", "example.org"),
+        ("http://www.example.org/x?q=1", "example.org"),
+        ("https://u:p@example.org:8443/p", "example.org"),
+        ("ftp://WWW.Sub.Example.org", "sub.example.org"),
+        ("https://www.www.example.org", "www.example.org"),  # one www only
+        ("not a url", None),
+        ("/relative/path", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {r["i"]: r["host"] for r in df.select("i", url_host("url").alias("host")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_url_blocklist_and_cap(spark):
+    """Blocklist anti-join drops exactly the listed hosts; the cap
+    keeps the lowest-order rows per host, deterministically."""
+    from xhtmlkit_spark.operators.urls import cap_per_host, filter_blocklist
+
+    rows = [(d, f"h{d % 3}.org") for d in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = filter_blocklist(df, ["h2.org"])
+    assert kept.where("host = 'h2.org'").count() == 0
+    assert kept.count() == 20
+    capped = cap_per_host(kept, cap=4, order_col="doc_id")
+    out = sorted((r["host"], r["doc_id"], r["host_rank"]) for r in capped.collect())
+    # h0: docs 0,3,6,9; h1: docs 1,4,7,10 — ranks 1..4 by ascending id
+    assert out == [
+        ("h0.org", 0, 1), ("h0.org", 3, 2), ("h0.org", 6, 3), ("h0.org", 9, 4),
+        ("h1.org", 1, 1), ("h1.org", 4, 2), ("h1.org", 7, 3), ("h1.org", 10, 4),
+    ]
+    # rerun is identical (deterministic survivors)
+    again = sorted((r["host"], r["doc_id"], r["host_rank"]) for r in capped.collect())
+    assert again == out
