@@ -42,6 +42,9 @@ HEADLINE = [
     "cosine_topk",
     "token_counts",
     "line_dedup_stats",
+    # round-3 second-half additions (new rows, shared set above unchanged)
+    "select_html_spans",
+    "url_host_policy",
 ]
 
 
