@@ -698,6 +698,23 @@ SELECTOR_CASES = [
      None),
     # the two XPath-lite predicate translations: [@a and @b] → attr
     # conjunction on one compound, [not(@attr)] → :not([attr])
+    # text predicates (:contains / :text-is, the XPath text()-idiom map)
+    ('contains_subtree_text',
+     '<ul><li>alpha</li><li>beta <b>bold</b></li><li>gamma</li></ul>',
+     "li:contains('beta')",
+     None),
+    ('text_is_collapsed',
+     '<td>  spaced   value </td><td>spaced value extra</td>',
+     "td:text-is('spaced value')",
+     None),
+    ('contains_attr_projection',
+     '<a href="/n">Next page</a><a href="/p">Prev</a>',
+     "a:contains('Next') @href",
+     None),
+    ('contains_failed_alt_no_shadow',
+     '<p>one</p><p>two zzz</p>',
+     "p:contains('zzz'), p",
+     None),
     # emit="html": outer-XHTML projection (the reference's OuterXml)
     ('emit_html_table_markup',
      '<div><h2>T &amp; U</h2><table id=t1><tr><td>a<td>b</table></div>',

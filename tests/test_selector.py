@@ -209,6 +209,14 @@ def test_xpath_translation_strings():
     )
     assert x("//img[@src and not(@alt)]") == "img[src]:not([alt])"
     assert x("//input[not(@disabled)]") == "input:not([disabled])"
+    assert x("//a[contains(text(),'Next')]") == "a:contains('Next')"
+    assert x("//a[contains(., 'Next')]/@href") == "a:contains('Next') @href"
+    assert x("//td[text()='v']") == "td:text-is('v')"
+    assert x("//td[.=\"v\"]") == "td:text-is('v')"
+    assert (
+        x("//a[@href and contains(text(),'more')]")
+        == "a[href]:contains('more')"
+    )
     # names the selector grammar cannot round-trip are rejected, but
     # predicate ATTRIBUTE names keep the XML charset
     assert x("//a[@xml:lang='en']") == "a[xml:lang='en']"
@@ -221,7 +229,6 @@ def test_xpath_translation_strings():
         "//p/..",
         "//ancestor::div",
         "//p[position()>1]",
-        "//p[text()='x']",
         "//p[",  # unterminated predicate
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
@@ -231,6 +238,9 @@ def test_xpath_translation_strings():
         "//a/@og:title",  # projection names are selector-charset only
         "//p[not(b)]",  # not() takes @attr only
         "//p[@a and]",  # dangling conjunction
+        "//div[text()='x']/p",  # text predicates: final step only
+        "//p[contains(text(),'')]",  # empty needle
+        "//p[contains(@a)]",  # malformed contains
     ],
 )
 def test_xpath_unsupported_raises(bad):

@@ -19,6 +19,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
               | ":not(" compound ")" | ":root"
               | ":has(" compound ")"     (subject compound only)
+              | (":contains(" | ":text-is(") string ")"   (subject only)
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
   (with or without surrounding whitespace) is the CHILD combinator;
@@ -72,6 +73,14 @@ Semantics (querySelectorAll-like, frozen by the goldens):
   (rejected loudly, like everything else out of scope). Several
   ``:has()`` on one compound AND together; nesting inside ``:not``/
   ``:has`` is rejected
+* ``:contains("s")`` matches when the element's whitespace-collapsed
+  SUBTREE text contains ``s`` (case-sensitive, jQuery-style);
+  ``:text-is("s")`` when it EQUALS ``s`` — the pragmatic mapping of
+  XPath's ``[contains(text(),'s')]`` / ``[text()='s']`` (we test the
+  collapsed subtree text, not a single text node; identical on leaf
+  elements, where these predicates live in practice). Deferred like
+  ``:has`` (verdict at close): subject compound only, rejected inside
+  ``:not``/``:has``
 * selection runs over the FULL repaired DOM — script/style/nav are NOT
   stripped (mirroring the reference, which keeps them in the tree and
   lets the query decide); RAWTEXT content is therefore selectable
@@ -99,12 +108,13 @@ class _Simple:
 
     __slots__ = (
         "tag", "id", "classes", "attrs", "pseudos", "last_pseudos",
-        "of_type", "last_of_type", "nots", "root", "has",
+        "of_type", "last_of_type", "nots", "root", "has", "texts",
     )
 
     def __init__(
         self, tag, id_, classes, attrs, pseudos=(), last_pseudos=(),
         of_type=(), last_of_type=(), nots=(), root=False, has=(),
+        texts=(),
     ):
         self.tag = tag  # None = any
         self.id = id_
@@ -132,6 +142,11 @@ class _Simple:
         # while the element is open and drops the capture at close if
         # any stayed unsatisfied. Subject-position only (parse-checked).
         self.has = has
+        # :contains("s") / :text-is("s") — tests on the element's
+        # whitespace-collapsed SUBTREE text, each ("contains"|"is", s).
+        # Deferred like :has (the verdict needs the close); subject-
+        # position only, parse-checked
+        self.texts = texts
 
     @staticmethod
     def _anb(a: int, b: int, pos: int) -> bool:
@@ -246,6 +261,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
     nots: list = []
     root = False
     has: list = []
+    texts_tests: list = []
     start = i
     while i < n and s[i] not in _NAME_END and s[i] != "]":
         i += 1
@@ -339,7 +355,36 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 "nth-of-type": of_type,
                 "nth-last-of-type": last_of_type,
             }
-            if name in ("not", "has"):
+            if name in ("contains", "text-is"):
+                if j >= n or s[j] != "(":
+                    raise ValueError(f":{name} needs (arg) in selector {s!r}")
+                depth_p, quote, k = 1, None, j + 1
+                while k < n and depth_p:
+                    ch = s[k]
+                    if quote is not None:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "\"'":
+                        quote = ch
+                    elif ch == "(":
+                        depth_p += 1
+                    elif ch == ")":
+                        depth_p -= 1
+                    k += 1
+                if depth_p:
+                    raise ValueError(f"unterminated :{name}( in selector {s!r}")
+                arg = s[j + 1 : k - 1].strip()
+                if len(arg) >= 2 and arg[0] in "\"'" and arg[-1] == arg[0]:
+                    arg = arg[1:-1]
+                if not arg and name == "contains":
+                    raise ValueError(
+                        f":contains() needs a non-empty string in selector {s!r}"
+                    )
+                texts_tests.append(
+                    ("contains" if name == "contains" else "is", arg)
+                )
+                i = k
+            elif name in ("not", "has"):
                 if j >= n or s[j] != "(":
                     raise ValueError(f":{name} needs (arg) in selector {s!r}")
                 # balanced-paren scan (the inner compound may itself
@@ -366,6 +411,13 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 if used != len(inner_s):
                     raise ValueError(
                         f":{name} argument must be one compound in selector {s!r}"
+                    )
+                if inner.texts:
+                    # inner :not/:has compounds evaluate in matches(),
+                    # which cannot see subtree text — reject rather than
+                    # silently ignore the test
+                    raise ValueError(
+                        f":contains/:text-is inside :{name} in selector {s!r}"
                     )
                 (nots if name == "not" else has).append(inner)
                 i = k
@@ -397,7 +449,7 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
         _Simple(
             tag, id_, tuple(classes), tuple(attrs), tuple(pseudos),
             tuple(last_pseudos), tuple(of_type), tuple(last_of_type),
-            tuple(nots), root, tuple(has),
+            tuple(nots), root, tuple(has), tuple(texts_tests),
         ),
         i,
     )
@@ -508,6 +560,11 @@ def parse_selector(selector: str) -> list:
         if any(c.has for c in chain[:-1]):
             raise ValueError(
                 f":has() is only supported on the subject compound in {selector!r}"
+            )
+        if any(c.texts for c in chain[:-1]):
+            raise ValueError(
+                ":contains()/:text-is() are only supported on the subject "
+                f"compound in {selector!r}"
             )
         out.append(((tuple(chain), tuple(rels)), proj))
     return out
@@ -636,7 +693,8 @@ def select_html(
     children_stack: list = [[]]
     # [depth, proj, tag, attrs, texts-or-None, seq, cap_idx,
     #  pending-:has inners (emitted at close only when emptied),
-    #  open event index (emit="html" serialization slice start)]
+    #  open event index (emit="html" serialization slice start),
+    #  :contains/:text-is tests (checked on the subtree text at close)]
     captures: list = []
     results: list = []  # (seq, cap_idx, kind, text, media_ref)
     seq = 0
@@ -677,7 +735,8 @@ def select_html(
                     continue  # dedupe: element matched by 2 alternatives
                 if _chain_matches(stack, chain, rels):
                     pending = list(chain[-1].has)
-                    if not pending:
+                    ctests = chain[-1].texts
+                    if not pending and not ctests:
                         # a pending capture may still DROP at close, so
                         # it must not shadow an unconditional alternative
                         # with the same projection (close-time dedupe
@@ -688,9 +747,12 @@ def select_html(
                         and not want_html
                         and not (tag in MEDIA_TAGS and attrs.get("src"))
                     )
+                    # :contains/:text-is need the subtree text even when
+                    # the OUTPUT doesn't (attr/html/media projections)
                     captures.append(
                         [len(stack), proj, tag, attrs,
-                         [] if wants_text else None, seq, n_caps, pending, ei]
+                         [] if (wants_text or ctests) else None,
+                         seq, n_caps, pending, ei, ctests]
                     )
                     n_caps += 1
             seq += 1
@@ -712,7 +774,17 @@ def select_html(
                     finalized.append(cap)
             finalized.sort(key=lambda c: c[6])
             done_projs = set()
-            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend, oei in finalized:
+            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend, oei, ctests in finalized:
+                if ctests:
+                    # text tests drop BEFORE the projection dedupe, so a
+                    # failed conditional alternative never shadows an
+                    # unconditional one (same rule as unsatisfied :has)
+                    subtext = _collapse("".join(texts))
+                    if not all(
+                        (val in subtext) if op == "contains" else subtext == val
+                        for op, val in ctests
+                    ):
+                        continue
                 if proj in done_projs:
                     continue
                 done_projs.add(proj)
@@ -726,7 +798,7 @@ def select_html(
                     # construction, so it serializes standalone
                     markup = serialize(events[oei : ei + 1], xml_safe=True)
                     results.append((cseq, cidx, "html", markup, None))
-                elif texts is None:  # media element with non-empty src
+                elif ctag in MEDIA_TAGS and cattrs.get("src"):
                     src = cattrs["src"]
                     results.append(
                         (cseq, cidx, "media", None, urljoin(base, src) if base else src)

@@ -22,6 +22,12 @@ Supported subset and its mapping:
     [.//tag]  (final step only)  → :has(tag)    — container filtering
     [p1 and p2]                  → both predicates on the compound
     [not(@attr)]                 → :not([attr])
+    [text()='v'] / [.='v']       → :text-is('v')   (final step only;
+                                   tested on the whitespace-collapsed
+                                   SUBTREE text — identical to the
+                                   text-node test on leaf elements)
+    [contains(text(),'v')]       → :contains('v')  (likewise; also
+    [contains(.,'v')]              accepts the . form)
     [N]   (integer literal)      → :nth-of-type(N)  — XPath child::tag[N]
                                    selects the N-th same-tag child of
                                    each parent, which is exactly CSS
@@ -78,6 +84,14 @@ _PRED_FN = re.compile(
 _PRED_INT = re.compile(r"^[0-9]+$")
 _PRED_HAS = re.compile(rf"^\.//({_TAG}|\*)$")
 _PRED_NOT = re.compile(rf"^not\(\s*@({_ATTR})\s*\)$")
+# [text()='v'] / [.='v'] and [contains(text(),'v')] / [contains(.,'v')]
+# — mapped onto the collapsed-subtree-text pseudos (see xkit.selector)
+_PRED_TEXT_EQ = re.compile(
+    r"^(text\(\)|\.)\s*=\s*('([^']*)'|\"([^\"]*)\")$"
+)
+_PRED_TEXT_CONTAINS = re.compile(
+    r"^contains\(\s*(text\(\)|\.)\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
+)
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -169,6 +183,16 @@ def _translate_predicate(pred: str, tag: str, xpath: str) -> str:
     m = _PRED_NOT.match(pred)
     if m:
         return f":not([{m.group(1)}])"
+    m = _PRED_TEXT_EQ.match(pred)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        return f":text-is({_quote_val(val, xpath)})"
+    m = _PRED_TEXT_CONTAINS.match(pred)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        if not val:
+            raise ValueError(f"empty contains() needle in {xpath!r}")
+        return f":contains({_quote_val(val, xpath)})"
     raise ValueError(f"unsupported XPath predicate {pred!r} in {xpath!r}")
 
 
@@ -249,6 +273,10 @@ def _translate_path(path: str, xpath: str) -> str:
     if any(":has(" in step for step in out[:-1]):
         raise ValueError(
             f"unsupported XPath ([.//…] only on the final step): {xpath!r}"
+        )
+    if any(":contains(" in step or ":text-is(" in step for step in out[:-1]):
+        raise ValueError(
+            f"unsupported XPath (text predicates only on the final step): {xpath!r}"
         )
     return "".join(out)
 
