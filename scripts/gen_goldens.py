@@ -731,6 +731,11 @@ SELECTOR_CASES = [
      'table',
      None,
      'html'),
+    ('emit_inner_html_children_only',
+     '<div class=o><p>x</p><img src=i.png></div><span>empty</span><b></b>',
+     'div, b',
+     None,
+     'inner_html'),
     ('emit_html_attr_projection_unchanged',
      '<img src=pic.png alt="A pic"><img src=q.png>',
      'img @alt',

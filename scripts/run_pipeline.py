@@ -51,9 +51,10 @@ def main() -> None:
     ap.add_argument(
         "--emit",
         default="text",
-        choices=("text", "html"),
-        help="span payload for --select/--xpath: subtree text (default) "
-        "or the match's serialized outer XHTML (OuterXml parity)",
+        choices=("text", "html", "inner_html"),
+        help="span payload for --select/--xpath: subtree text (default), "
+        "the match's serialized outer XHTML (OuterXml parity), or the "
+        "children-only markup (InnerXml)",
     )
     args = ap.parse_args()
     if args.select is not None and args.xpath is not None:

@@ -58,8 +58,10 @@ def select_spans(
 
         selector = xpath_to_selector(xpath)  # driver-side translation
     parsed = parse_selector(selector)  # driver-side validation
-    if emit not in ("text", "html"):  # fail on the driver, not per task
-        raise ValueError(f"emit must be 'text' or 'html', got {emit!r}")
+    if emit not in ("text", "html", "inner_html"):  # fail on the driver
+        raise ValueError(
+            f"emit must be 'text', 'html' or 'inner_html', got {emit!r}"
+        )
 
     def batch_fn(n_pt: int):
         def doc_fn(kinds, texts, refs, offsets):

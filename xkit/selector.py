@@ -638,14 +638,19 @@ def select_html(
     ``@attr`` projection yields ``("html", markup, None)`` where
     markup is the xml-safe canonical serialization of the element's
     repaired event slice — media elements included (their markup
-    carries the src). ``@attr`` projections still yield attr values.
-    Emitted "html" spans are corpus-shaped: the output of an
-    ``emit="html"`` selection can be fed back through extract/select
-    as a subtree corpus.
+    carries the src). ``emit="inner_html"`` is the ``InnerXml`` twin:
+    the slice without the element's own open/close ('' for empty
+    elements — a match is still a fact). ``@attr`` projections still
+    yield attr values. Emitted "html" spans are corpus-shaped: the
+    output of a markup selection can be fed back through
+    extract/select as a subtree corpus.
     """
-    if emit not in ("text", "html"):
-        raise ValueError(f"emit must be 'text' or 'html', got {emit!r}")
-    want_html = emit == "html"
+    if emit not in ("text", "html", "inner_html"):
+        raise ValueError(
+            f"emit must be 'text', 'html' or 'inner_html', got {emit!r}"
+        )
+    want_html = emit != "text"
+    inner_only = emit == "inner_html"
     groups = parse_selector(selector) if isinstance(selector, str) else selector
     base = options.base_url
     # :last-child / :nth-last-child need each parent's FINAL element-
@@ -795,8 +800,14 @@ def select_html(
                 elif want_html:
                     # outer XHTML of the match: the event slice from its
                     # open to THIS close is balanced by repair's
-                    # construction, so it serializes standalone
-                    markup = serialize(events[oei : ei + 1], xml_safe=True)
+                    # construction, so it serializes standalone; inner =
+                    # the same slice without the element's own open/close
+                    sl = (
+                        events[oei + 1 : ei]
+                        if inner_only
+                        else events[oei : ei + 1]
+                    )
+                    markup = serialize(sl, xml_safe=True)
                     results.append((cseq, cidx, "html", markup, None))
                 elif ctag in MEDIA_TAGS and cattrs.get("src"):
                     src = cattrs["src"]
