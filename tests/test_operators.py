@@ -744,6 +744,42 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(batch)
 
 
+def test_streaming_select_matches_batch(spark, tmp_path):
+    """Stateless select stage in-stream (markup emit included):
+    micro-batch ≡ batch on the same files, exactly-once on re-drain."""
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.streaming.jobs import streaming_select
+
+    corpus = generate_corpus(str(tmp_path / "corpus"), 40, seed=13, chunk_docs=20)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    streaming_select(
+        spark, corpus, out, chk, xpath="//table", emit="html",
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        r["doc_id"]: str(r["spans"]) for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: str(r["spans"])
+        for r in select_spans(
+            spark.read.parquet(corpus), xpath="//table", emit="html"
+        ).collect()
+    }
+    assert streamed == batch
+    assert any("<table" in v for v in streamed.values())
+    # exactly-once: re-drain with the same checkpoint adds nothing
+    streaming_select(
+        spark, corpus, out, chk, xpath="//table", emit="html",
+        max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(out).count() == len(batch)
+    # malformed query fails on the driver, before any stream starts
+    with pytest.raises(ValueError):
+        streaming_select(spark, corpus, out, chk, xpath="//p[position()>1]")
+
+
 def test_streaming_clean_extract_matches_batch(spark, tmp_path):
     """Stateless cleaning tiers in-stream: micro-batch output must
     equal the identical batch composition on the same files, with the

@@ -408,6 +408,48 @@ def streaming_extract(
     q.awaitTermination()
 
 
+def streaming_select(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    selector: str | None = None,
+    xpath: str | None = None,
+    emit: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Tree selection as a continuous ingestion job — the streaming
+    twin of :func:`streaming_extract` with the select stage (CSS or
+    XPath-lite, any emit mode incl. the markup projections) instead of
+    extraction. The stage is stateless, so micro-batch output ≡ the
+    batch select_spans on the same files (pinned by
+    test_streaming_select_matches_batch); the native file sink's
+    commit log keeps the landing exactly-once. The selector/xpath
+    string is parsed on the driver BEFORE the stream starts — a
+    malformed query fails the job, never a micro-batch."""
+    from xhtmlkit_spark.operators.select_stage import select_spans
+    from xhtmlkit_spark.plans.pipeline import derive_part
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    out = select_spans(
+        derive_part(stream), selector, xpath=xpath, emit=emit
+    ).select("doc_id", "spans", "part")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_clean_extract(
     spark: SparkSession,
     input_dir: str,
