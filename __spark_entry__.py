@@ -700,6 +700,36 @@ def _q_url_host_policy(spark, sf_dir):
     )
 
 
+def _q_select_multi_spans(spark, sf_dir):
+    """R35: N queries in ONE corpus scan+parse — per-doc match counts
+    for three simultaneous queries (markup, media, xpath text).
+    Rows-only like every parser-bound entry; per-column equality with
+    the single-query runs is pinned by test_spark_select_multi_one_scan
+    (which also asserts the one-scan/one-MapInArrow plan)."""
+    from xhtmlkit_spark.operators.select_stage import select_multi
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    # quarter-sample like normalize_xhtml: the operator is exercised
+    # distributed; full-corpus costs stay in select_spans' entry
+    df = df.where(F.crc32(F.col("doc_id")) % 4 == 0)
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = select_multi(
+        df,
+        {
+            "tables": {"selector": "table", "emit": "html"},
+            "imgs": "img",
+            "heads": {"xpath": "//h1 | //h2"},
+        },
+    )
+    return out.select(
+        "doc_id",
+        F.size("tables").alias("n_tables"),
+        F.size("imgs").alias("n_imgs"),
+        F.size("heads").alias("n_heads"),
+    )
+
+
 def _q_line_dedup_stats(spark, sf_dir):
     """Corpus-level exact line dedup (keep first occurrence), lines =
     deterministic 8-word chunks (the corpus has no newlines; the tiny
@@ -1127,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_part_features": _q_string_part_features,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,
+        "select_multi_spans": _q_select_multi_spans,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_doc_freq": _q_bigram_doc_freq,
         "repetition_scores": _q_repetition_scores,

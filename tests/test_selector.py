@@ -107,6 +107,56 @@ def test_spark_select_stage_matches_pure_python(tmp_path):
 
 
 @pytest.mark.spark
+def test_spark_select_multi_one_scan(tmp_path):
+    """N queries in one pass: each column equals its single-query run,
+    the plan carries exactly ONE scan and ONE MapInArrow, and bad
+    specs fail on the driver."""
+    import re
+
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.select_stage import select_multi, select_spans
+    from xhtmlkit_spark.session import get_spark
+
+    spark = get_spark("local[2]", shuffle_partitions=4, app_name="sel-tests")
+    corpus = generate_corpus(str(tmp_path / "corpus"), 50, seed=17, chunk_docs=25)
+    df = spark.read.parquet(corpus)
+    out = select_multi(df, {
+        "tables": {"selector": "table", "emit": "html"},
+        "imgs": "img",
+        "headings": {"xpath": "//h1 | //h2"},
+    })
+    rows = out.collect()
+    assert out.columns == ["doc_id", "part", "tables", "imgs", "headings"]
+
+    def flat(df_):
+        return {
+            r["doc_id"]: [tuple(s) for s in (r["spans"] or [])]
+            for r in df_.collect()
+        }
+
+    for col, single in [
+        ("tables", select_spans(df, "table", emit="html")),
+        ("imgs", select_spans(df, "img")),
+        ("headings", select_spans(df, xpath="//h1 | //h2")),
+    ]:
+        got = {r["doc_id"]: [tuple(s) for s in (r[col] or [])] for r in rows}
+        assert got == flat(single), col
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"MapInArrow", plan)) == 1
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    for bad in [
+        {"doc_id": "p"},
+        {"q": {"selector": "p", "xpath": "//p"}},
+        {"q": {"selector": "p", "emit": "markup"}},
+        {"q-1": "p"},
+        {},
+        {"q": {"selector": "p", "extra": 1}},
+    ]:
+        with pytest.raises(ValueError):
+            select_multi(df, bad)
+
+
+@pytest.mark.spark
 def test_spark_select_stage_emit_html(tmp_path):
     """emit="html" distributed ≡ pure-Python, every emitted markup
     span is well-formed XML, and the output feeds back through the

@@ -100,7 +100,13 @@ from xkit.extract import MEDIA_TAGS, _collapse
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
-__all__ = ["parse_selector", "select_html", "select_doc"]
+__all__ = [
+    "parse_selector",
+    "select_html",
+    "select_events",
+    "select_doc",
+    "select_doc_multi",
+]
 
 
 class _Simple:
@@ -645,14 +651,29 @@ def select_html(
     output of a markup selection can be fed back through
     extract/select as a subtree corpus.
     """
+    groups = parse_selector(selector) if isinstance(selector, str) else selector
+    # ONE tokenize+repair; the event list feeds the optional counting
+    # pre-pass, the main walk, and (emit="html") the per-match
+    # serialization slices
+    events = repair(tokenize(html), fragment=options.fragment)
+    return select_events(events, groups, options.base_url, emit)
+
+
+def select_events(
+    events: list, groups: list, base: str | None = None, emit: str = "text"
+) -> list:
+    """Evaluate pre-parsed selector ``groups`` over a pre-built
+    repaired event list — the multi-query core: N queries over one
+    document share ONE tokenize+repair (see select_doc_multi and the
+    select_multi Spark stage), which at corpus scale means one
+    scan+parse serving every query instead of one per query.
+    :func:`select_html` is the single-query wrapper."""
     if emit not in ("text", "html", "inner_html"):
         raise ValueError(
             f"emit must be 'text', 'html' or 'inner_html', got {emit!r}"
         )
     want_html = emit != "text"
     inner_only = emit == "inner_html"
-    groups = parse_selector(selector) if isinstance(selector, str) else selector
-    base = options.base_url
     # :last-child / :nth-last-child need each parent's FINAL element-
     # child count, which a single forward pass cannot know at element
     # open — so selectors carrying a last-of pseudo pay ONE counting
@@ -660,10 +681,6 @@ def select_html(
     # order, identical in both passes). Selectors without them skip it.
     totals: dict = {}
     tag_totals: dict = {}
-    # ONE tokenize+repair; the event list feeds the optional counting
-    # pre-pass, the main walk, and (emit="html") the per-match
-    # serialization slices
-    events = repair(tokenize(html), fragment=options.fragment)
 
     def _needs_pre(c) -> bool:  # :not()/:has() inners count too
         return bool(
@@ -860,3 +877,47 @@ def select_doc(
             ot.append(t)
             om.append(m)
     return ok, ot, om, list(range(len(ok)))
+
+
+def select_doc_multi(
+    kinds: list,
+    texts: list,
+    media_refs: list,
+    offsets: list,
+    parsed_queries: list,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+) -> list:
+    """N queries over one document sharing ONE tokenize+repair.
+
+    ``parsed_queries`` is a list of ``(groups, emit)`` with groups
+    pre-parsed by :func:`parse_selector`. Returns one ``(k, t, m, o)``
+    parallel-list tuple per query, offsets re-derived 0..m-1 per
+    query. This is the per-doc core of the select_multi Spark stage:
+    at corpus scale the corpus is scanned and parsed ONCE for every
+    query instead of once per query.
+    """
+    from xkit.encoding import decode_html_bytes
+
+    order = sorted(
+        range(len(kinds)),
+        key=lambda i: (offsets[i] is None, offsets[i] if offsets[i] is not None else 0, i),
+    )
+    outs = [([], [], []) for _ in parsed_queries]
+    base = options.base_url
+    for i in order:
+        if kinds[i] != "html":
+            continue
+        raw = texts[i]
+        if raw is None:
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = decode_html_bytes(bytes(raw))
+        events = repair(tokenize(raw), fragment=options.fragment)
+        for (groups, emit), (ok, ot, om) in zip(parsed_queries, outs):
+            for k, t, m in select_events(events, groups, base, emit):
+                ok.append(k)
+                ot.append(t)
+                om.append(m)
+    return [
+        (ok, ot, om, list(range(len(ok)))) for ok, ot, om in outs
+    ]
