@@ -519,6 +519,32 @@ def test_ingest_to_pipeline_roundtrip(spark, tmp_path):
     assert r2["docs_total"] == 0 and spark.read.parquet(out).count() == 8
 
 
+def test_ingest_interleaved_html_and_pdf(spark, tmp_path):
+    """Mixed .html + .pdf ingest (the interleaved file shape): pdf
+    files land as pdf spans (latin-1-lossless bytes) and extract
+    through the SAME pipeline as html docs."""
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.sources.io import ingest_html_files
+    from xkit.pdfmini import make_fixture_pdf
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "page.html").write_bytes(b"<p>an html page of real text</p>")
+    pdf_bytes = make_fixture_pdf([["pdf block one"], ["pdf block two"]])
+    if isinstance(pdf_bytes, str):
+        pdf_bytes = pdf_bytes.encode("latin-1")
+    (d / "doc.pdf").write_bytes(pdf_bytes)
+    corpus = ingest_html_files(spark, str(d), glob="*")
+    kinds = {r["doc_id"]: r["spans"][0]["kind"] for r in corpus.collect()}
+    assert kinds == {"page.html": "html", "doc.pdf": "pdf"}
+    out = {
+        r["doc_id"]: [s["text"] for s in r["spans"] if s["kind"] == "text"]
+        for r in extract_spans(corpus, passthrough=()).collect()
+    }
+    assert out["page.html"] == ["an html page of real text"]
+    assert out["doc.pdf"] == ["pdf block one", "pdf block two"]
+
+
 def test_ingest_html_files_same_basename_distinct_doc_ids(spark, tmp_path):
     """Two files with the same basename in different subdirs must land
     as distinct docs (doc_id = path relative to the ingest root), not

@@ -35,7 +35,11 @@ def ingest_html_files(
     (BOM → <meta> → UTF-8 fallback, xkit.encoding — never raises) in a
     mapInPandas stage, and each file becomes one ``(doc_id, spans)``
     row with a single html span, ready for extract_spans /
-    select_spans / run_pipeline. doc_id = the file path RELATIVE to the
+    select_spans / run_pipeline. ``*.pdf`` files (pass e.g.
+    ``glob="*.{html,pdf}"`` or ``"*"``) become ``pdf`` spans with the
+    bytes latin-1-lossless in the string column — the file-based
+    entry point for the INTERLEAVED corpus shape, one pipeline for
+    both dialects. doc_id = the file path RELATIVE to the
     ingest root (bare basenames collide under recursiveFileLookup or
     when several ingest roots are unioned — subdir/a.html and b/a.html
     must stay distinct docs; falls back to the full scheme-stripped
@@ -73,13 +77,22 @@ def ingest_html_files(
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if path.lower().endswith(".pdf"):
+                    # PDF bytes ride the corpus's string column
+                    # latin-1 (lossless bytes↔str), the same convention
+                    # datagen uses for fixture-PDF spans; extract_doc's
+                    # pdf branch accepts either form
+                    kind, text = "pdf", raw.decode("latin-1")
+                else:
+                    kind, text = "html", decode_html_bytes(raw)
                 rows.append(
                     {
                         "doc_id": _doc_id(path),
                         "spans": [
                             {
-                                "kind": "html",
-                                "text": decode_html_bytes(bytes(content)),
+                                "kind": kind,
+                                "text": text,
                                 "media_ref": None,
                                 "offset": 0,
                             }
