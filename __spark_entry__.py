@@ -120,6 +120,24 @@ def _q_normalize_xhtml(spark, sf_dir):
     return out.select("doc_id", F.length("xhtml").alias("n_xhtml_chars"), "xhtml")
 
 
+def _q_markdown_docs(spark, sf_dir):
+    """HTML → Markdown projection (the LLM-training output shape). No
+    SQL twin (needs the parser) → rows-only; value-level correctness is
+    pinned by the markdown goldens (tests/golden/markdown/) and the
+    Spark≡pure-Python equality test. Quarter-sampled like
+    normalize_xhtml for the same contract-budget reason."""
+    from xhtmlkit_spark.operators.markdown_stage import markdown_docs
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = df.where(F.crc32(F.col("doc_id")) % 4 == 1)
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = markdown_docs(df)
+    return out.select(
+        "doc_id", F.length("markdown").alias("n_md_chars"), "markdown"
+    )
+
+
 # ------------------------------------------------- relational operators (B*)
 
 
@@ -1154,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_top_unshipped": _q03_top_unshipped,
         "q05_region_revenue": _q05_region_revenue,
         "normalize_xhtml": _q_normalize_xhtml,
+        "markdown_docs": _q_markdown_docs,
         "string_part_features": _q_string_part_features,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,

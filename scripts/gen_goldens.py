@@ -462,6 +462,86 @@ ENCODING_CASES = [
 
 
 
+# Markdown-projection goldens (tests/golden/markdown/markdown.json):
+# freeze the HTML→markdown dialect documented in xkit/markdown.py.
+# (name, html, base_url)
+MARKDOWN_CASES = [
+    ('heading_para_inline',
+     '<h1>Title</h1><h3>Sub</h3><p>Hello <b>world</b> and <i>italics</i>.</p>',
+     None),
+    ('nested_lists_tag_soup',
+     '<ul><li>a<li>b<ul><li>b1</ul><li>c</ul>',
+     None),
+    ('ordered_list',
+     '<ol><li>one</li><li>two</li><li>three</li></ol>',
+     None),
+    ('blockquote_nested',
+     '<blockquote><p>quoted</p><blockquote><p>deep</p></blockquote></blockquote>',
+     None),
+    ('pre_fence_preserves_ws',
+     '<p>before</p><pre>  x = 1\n  y = 2</pre><p>after</p>',
+     None),
+    ('pre_inside_blockquote',
+     '<blockquote><pre>code\nhere</pre></blockquote>',
+     None),
+    ('link_inline',
+     "<p>see <a href='/doc'>the doc</a> now</p>",
+     None),
+    ('link_base_url_resolved',
+     "<p><a href='p/q.html'>rel</a> and <img src='../i.png' alt='pic'></p>",
+     'http://ex.com/a/b.html'),
+    ('image_alt_collapsed',
+     "<p><img src='a.png' alt='pic  here'> tail</p>",
+     None),
+    ('image_inside_link',
+     "<p><a href='x.html'><img src='i.png' alt='a'></a></p>",
+     None),
+    ('table_with_header',
+     '<table><tr><th>k</th><th>v</th></tr><tr><td>a|b</td><td>1</td></tr>'
+     '<tr><td>c</td><td>2</td></tr></table>',
+     None),
+    ('table_headerless_ragged',
+     '<table><tr><td>no header</td><td>row</td></tr><tr><td>short</td></tr></table>',
+     None),
+    ('table_nested_flattens',
+     '<table><tr><td><b>bold</b> cell<br>two</td>'
+     '<td><table><tr><td>inner</td></tr></table> outer</td></tr></table>',
+     None),
+    ('hard_break_backslash',
+     '<p>line one<br>line two</p>',
+     None),
+    ('hr_rule',
+     '<p>before</p><hr><p>after</p>',
+     None),
+    ('eof_recovery_unclosed_bold',
+     '<div>unclosed <b>bold',
+     None),
+    ('head_title_dropped',
+     '<head><title>T</title></head><body><p>body text</p></body>',
+     None),
+    ('script_style_dropped',
+     '<div>keep <script>var x=1;</script><style>p{}</style>kept</div>',
+     None),
+    ('stray_li_outside_list',
+     '<li>stray item',
+     None),
+    ('inline_code_entities',
+     '<p>inline <code>x&lt;y</code> code</p>',
+     None),
+    ('li_multi_block_continuation',
+     '<ul><li><p>para in li</p><p>second</p></li></ul>',
+     None),
+    ('empty_blocks_emit_nothing',
+     '<p></p><p>  </p><table></table><p>end</p>',
+     None),
+    ('comments_doctype_dropped',
+     '<!DOCTYPE html><!-- c --><p>text<!-- inner --> more</p>',
+     None),
+    ('transparent_inline_spans',
+     '<p><span>span</span> <u>u</u> <small>small</small></p>',
+     None),
+]
+
 # Selector-lite goldens (tests/golden/selector/selectors.json): every
 # case lives HERE (round-2 lesson: the generator must enumerate every
 # golden case or a regenerate silently drops the hand-added ones).
@@ -894,6 +974,26 @@ def main() -> None:
             print("   ", s)
     os.makedirs(os.path.join(GOLDEN_DIR, "selector"), exist_ok=True)
     path = os.path.join(GOLDEN_DIR, "selector", "selectors.json")
+    with open(path, "w") as f:
+        json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
+    print("wrote", path)
+
+    from xkit.markdown import html_to_markdown
+
+    out_cases = []
+    for name, html, base_url in MARKDOWN_CASES:
+        opts = ExtractOptions(base_url=base_url) if base_url else ExtractOptions()
+        rec = {
+            "name": name,
+            "html": html,
+            "base_url": base_url,
+            "expected_markdown": html_to_markdown(html, opts),
+        }
+        out_cases.append(rec)
+        print(f"[markdown/{name}]")
+        print(rec["expected_markdown"])
+    os.makedirs(os.path.join(GOLDEN_DIR, "markdown"), exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, "markdown", "markdown.json")
     with open(path, "w") as f:
         json.dump({"cases": out_cases}, f, indent=1, ensure_ascii=False)
     print("wrote", path)

@@ -145,6 +145,31 @@ def test_normalize_xhtml_matches_pure_python(spark, corpus_path):
     assert any(v and v.startswith("<") for v in got.values())
 
 
+def test_markdown_docs_matches_pure_python(spark, corpus_path):
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.operators.markdown_stage import (
+        markdown_doc,
+        markdown_docs,
+    )
+
+    got = {
+        r["doc_id"]: r["markdown"]
+        for r in markdown_docs(spark.read.parquet(corpus_path)).collect()
+    }
+    expect = {}
+    for rec in pq.read_table(corpus_path).to_pylist():
+        sp = rec["spans"]
+        expect[rec["doc_id"]] = markdown_doc(
+            [s["kind"] for s in sp],
+            [s["text"] for s in sp],
+            [s["offset"] for s in sp],
+        )
+    assert got == expect
+    # non-trivial: the synthetic corpus has markup-bearing docs
+    assert any(v for v in got.values())
+
+
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     from xhtmlkit_spark.plans.pipeline import run_pipeline
 
