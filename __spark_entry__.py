@@ -81,6 +81,47 @@ def _q_select_spans(spark, sf_dir):
     return explode_spans(select_spans(df, "table td, img"))
 
 
+def _q_table_rows(spark, sf_dir):
+    """R37: structured table harvest — every outermost <table> as
+    typed (table_idx, row_idx, is_header, cells) rows. Rows-only
+    (needs the parser); semantics pinned by test_harvest.py + the
+    Spark≡pure-Python equality test."""
+    from xhtmlkit_spark.operators.harvest_stage import table_rows
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = table_rows(df)
+    return out.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        "is_header",
+        F.array_join("cells", "|").alias("cells_joined"),
+        F.size("cells").alias("n_cells"),
+    )
+
+
+def _q_doc_links(spark, sf_dir):
+    """R37: link harvest — every <a href> as (link_idx, url,
+    anchor_text), hrefs resolved against a fixed base (A21), composed
+    with the URL-hygiene canonical_host so the crawl-frontier shape
+    (host aggregation over harvested links) is exercised end-to-end.
+    Rows-only (needs the parser); semantics pinned by test_harvest.py
+    + the Spark≡pure-Python equality test."""
+    from xhtmlkit_spark.operators.harvest_stage import doc_links
+    from xhtmlkit_spark.operators.urls import url_host
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+    from xkit.options import ExtractOptions
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = doc_links(df, ExtractOptions(base_url="http://corpus.example/d/"))
+    return out.select(
+        "doc_id", "link_idx", "url", "anchor_text", url_host("url").alias("host")
+    )
+
+
 def _q_select_html_spans(spark, sf_dir):
     """R33: outer-XHTML projection distributed — harvest every <table>
     of the corpus as serialized markup (the reference's OuterXml; the
@@ -1174,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_xhtml": _q_normalize_xhtml,
         "markdown_docs": _q_markdown_docs,
         "string_part_features": _q_string_part_features,
+        "table_rows": _q_table_rows,
+        "doc_links": _q_doc_links,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,
         "select_multi_spans": _q_select_multi_spans,

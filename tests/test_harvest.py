@@ -1,0 +1,115 @@
+"""Structured harvest semantics (xkit/harvest.py) — these asserts are
+the frozen spec of the table/link projections, like the golden files
+are for extraction (SURVEY.md R37)."""
+
+from __future__ import annotations
+
+from xkit.dom import repair
+from xkit.harvest import harvest_links, harvest_tables
+from xkit.tokenizer import tokenize
+
+
+def _ev(html: str) -> list:
+    return repair(tokenize(html))
+
+
+# ------------------------------------------------------------- tables
+
+
+def test_tables_header_rows_and_indices():
+    got = harvest_tables(
+        _ev(
+            "<table><tr><th>k</th><th>v</th><tr><td>a</td><td>b  c</td>"
+            "</table><p>x</p><table><tr><td>t2</td></tr></table>"
+        )
+    )
+    assert got == [
+        (0, 0, True, ["k", "v"]),
+        (0, 1, False, ["a", "b c"]),
+        (1, 0, False, ["t2"]),
+    ]
+
+
+def test_tables_nested_flatten_into_cell():
+    got = harvest_tables(
+        _ev(
+            "<table><tr><td>outer<table><tr><td>inner</td></tr></table>"
+            "tail</td></tr></table>"
+        )
+    )
+    assert got == [(0, 0, False, ["outerinnertail"])]
+
+
+def test_tables_empty_rows_dropped_empty_cells_kept():
+    got = harvest_tables(_ev("<table><tr></tr><tr><td></td><td>x</td></tr></table>"))
+    assert got == [(0, 0, False, ["", "x"])]
+
+
+def test_tables_script_in_cell_dropped_img_alt_contributes():
+    got = harvest_tables(
+        _ev(
+            "<table><tr><td>keep<script>drop()</script></td>"
+            "<td><img alt='pic' src='s.png'>txt</td></tr></table>"
+        )
+    )
+    assert got == [(0, 0, False, ["keep", "pic txt"])]
+
+
+def test_tables_tag_soup_implicit_closes():
+    # <td> closed by the next <td>/<tr> (A15) — no explicit closes at all
+    got = harvest_tables(_ev("<table><tr><td>a<td>b<tr><td>c</table>"))
+    assert got == [(0, 0, False, ["a", "b"]), (0, 1, False, ["c"])]
+
+
+def test_tables_none_without_table():
+    assert harvest_tables(_ev("<p>no tables<td>stray cell</td></p>")) == []
+
+
+def test_tables_cell_text_has_no_tabs_or_newlines():
+    # the Spark carrier tab-joins cells; A25 collapse guarantees safety
+    got = harvest_tables(_ev("<table><tr><td>a\tb\nc</td></tr></table>"))
+    assert got == [(0, 0, False, ["a b c"])]
+
+
+# -------------------------------------------------------------- links
+
+
+def test_links_resolution_and_order():
+    got = harvest_links(
+        _ev("<a href='/x'>one</a> <a>skipped</a> <a href='y'>two</a>"),
+        base="http://e.com/a/",
+    )
+    assert got == [("http://e.com/x", "one"), ("http://e.com/a/y", "two")]
+
+
+def test_links_img_alt_is_anchor_text():
+    got = harvest_links(_ev("<a href='y'><img alt='pic' src='s'></a>"))
+    assert got == [("y", "pic")]
+
+
+def test_links_nested_anchors_each_emit_open_order():
+    got = harvest_links(_ev("<a href='1'>out <a href='2'>in</a> tail</a>"))
+    assert got == [("1", "out in tail"), ("2", "in")]
+
+
+def test_links_script_inside_anchor_dropped():
+    got = harvest_links(_ev("<a href='u'>ok<script>'no'</script></a>"))
+    assert got == [("u", "ok")]
+
+
+def test_links_unclosed_anchor_never_emits_until_eof_close():
+    # EOF recovery (A17) closes the anchor, so it still lands
+    got = harvest_links(_ev("<div><a href='u'>text"))
+    assert got == [("u", "text")]
+
+
+def test_harvest_never_raises_on_fuzz_garbage():
+    import random
+
+    rng = random.Random(99)
+    alphabet = "<>/tabledr=\"'& ;!-\n\t"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 150)))
+        ev = _ev(s)
+        assert isinstance(harvest_tables(ev), list)
+        assert isinstance(harvest_links(ev), list)

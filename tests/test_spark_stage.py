@@ -170,6 +170,51 @@ def test_markdown_docs_matches_pure_python(spark, corpus_path):
     assert any(v for v in got.values())
 
 
+def test_harvest_stages_match_pure_python(spark, corpus_path):
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.operators.harvest_stage import (
+        doc_links,
+        harvest_doc_links,
+        harvest_doc_tables,
+        table_rows,
+    )
+
+    df = spark.read.parquet(corpus_path)
+    got_tables: dict = {}
+    for r in table_rows(df).collect():
+        got_tables.setdefault(r["doc_id"], []).append(
+            (r["table_idx"], r["row_idx"], r["is_header"], r["cells"])
+        )
+    got_links: dict = {}
+    for r in doc_links(df).collect():
+        got_links.setdefault(r["doc_id"], []).append(
+            (r["link_idx"], r["url"], r["anchor_text"])
+        )
+    n_table_rows = n_links = 0
+    for rec in pq.read_table(corpus_path).to_pylist():
+        sp = rec["spans"]
+        args = (
+            [s["kind"] for s in sp],
+            [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+            [s["offset"] for s in sp],
+        )
+        ok, ot, om, _ = harvest_doc_tables(*args)
+        expect_t = [
+            (int(m.split(":")[0]), int(m.split(":")[1]), k == "header", t.split("\t"))
+            for k, t, m in zip(ok, ot, om)
+        ]
+        assert sorted(got_tables.get(rec["doc_id"], [])) == sorted(expect_t)
+        n_table_rows += len(expect_t)
+        ok, ot, om, _ = harvest_doc_links(*args)
+        expect_l = [(i, om[i], ot[i]) for i in range(len(ok))]
+        assert sorted(got_links.get(rec["doc_id"], [])) == sorted(expect_l)
+        n_links += len(expect_l)
+    # the synthetic corpus genuinely exercises both projections
+    assert n_table_rows > 50 and n_links > 100
+
+
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     from xhtmlkit_spark.plans.pipeline import run_pipeline
 

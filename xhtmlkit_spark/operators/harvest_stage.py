@@ -1,0 +1,165 @@
+"""Structured harvest, distributed: tables → rows, anchors → links.
+
+The data-shaped twins of select_spans (xkit/harvest.py has the
+per-document semantics and the reference parity note): every
+outermost ``<table>`` lands as typed ``(table_idx, row_idx,
+is_header, cells)`` rows, every ``<a href>`` as ``(link_idx, url,
+anchor_text)`` rows — the two projections crawl/ETL users actually
+join on.
+
+Plumbing: the harvest rides the SAME span-shaped Arrow carrier as
+every other per-doc stage (one column-pruned scan → optional
+size-salt shuffle → one MapInArrow), then unpacks to typed columns
+with pure JVM expressions — table rows travel as one span per row
+(``kind`` = header|row, ``text`` = tab-joined cells, ``media_ref`` =
+"table:row") which is LOSSLESS because harvested cell text is
+whitespace-collapsed (no tabs survive A25), and links travel as one
+span per anchor (``media_ref`` = resolved url). The explode and
+split/cast run inside whole-stage codegen; no extra Python, no
+shuffle beyond the carrier stage's.
+
+100 TB shape: identical to extract_spans — the explode fans out
+rows but stays pipelined in the same stage as the scan of the
+carrier's output; downstream groupBys (e.g. per-host link counts)
+shuffle typed longs/strings, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xhtmlkit_spark.operators.extract_stage import (
+    make_doc_stage_fn,
+    run_doc_stage,
+)
+from xkit.encoding import decode_html_bytes
+from xkit.dom import repair
+from xkit.harvest import harvest_links, harvest_tables
+from xkit.options import DEFAULT_OPTIONS, ExtractOptions
+from xkit.tokenizer import tokenize
+
+__all__ = ["harvest_doc_tables", "harvest_doc_links", "table_rows", "doc_links"]
+
+
+def _doc_events(kinds, texts, offsets, fragment):
+    """Per-span repaired event streams of one document, offset order."""
+    order = sorted(
+        range(len(kinds)),
+        key=lambda i: (offsets[i] is None, offsets[i] if offsets[i] is not None else 0, i),
+    )
+    for i in order:
+        if kinds[i] != "html":
+            continue
+        raw = texts[i]
+        if raw is None:
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = decode_html_bytes(bytes(raw))
+        yield repair(tokenize(raw), fragment=fragment)
+
+
+def harvest_doc_tables(
+    kinds: list, texts: list, refs: list, offsets: list, fragment: bool = False
+) -> tuple[list, list, list, list]:
+    """Doc-level table harvest in the span carrier: one span per table
+    row — kind header|row, text = tab-joined cells, media_ref =
+    "table_idx:row_idx". table_idx runs across the doc's html spans in
+    offset order (a doc is one page split into spans, not many pages).
+    """
+    ok: list = []
+    ot: list = []
+    om: list = []
+    t_base = 0
+    for events in _doc_events(kinds, texts, offsets, fragment):
+        rows = harvest_tables(events)
+        for t_idx, r_idx, is_header, cells in rows:
+            ok.append("header" if is_header else "row")
+            ot.append("\t".join(cells))
+            om.append("%d:%d" % (t_base + t_idx, r_idx))
+        if rows:
+            t_base += rows[-1][0] + 1
+    return ok, ot, om, list(range(len(ok)))
+
+
+def harvest_doc_links(
+    kinds: list,
+    texts: list,
+    refs: list,
+    offsets: list,
+    base: str | None = None,
+    fragment: bool = False,
+) -> tuple[list, list, list, list]:
+    """Doc-level link harvest in the span carrier: one span per anchor
+    — kind link, text = anchor text, media_ref = resolved url."""
+    ok: list = []
+    ot: list = []
+    om: list = []
+    for events in _doc_events(kinds, texts, offsets, fragment):
+        for url, text in harvest_links(events, base=base):
+            ok.append("link")
+            ot.append(text)
+            om.append(url)
+    return ok, ot, om, list(range(len(ok)))
+
+
+def table_rows(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """(doc_id, *passthrough, table_idx, row_idx, is_header, cells) —
+    one row per harvested table row, cells an array<string>."""
+    pt = [c for c in passthrough if c in df.columns]
+    fragment = options.fragment
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            return harvest_doc_tables(kinds, texts, refs, offsets, fragment)
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    out = run_doc_stage(df, batch_fn, passthrough)
+    s = out.select("doc_id", *pt, F.explode("spans").alias("s"))
+    loc = F.split(F.col("s.media_ref"), ":")
+    return s.select(
+        "doc_id",
+        *pt,
+        loc.getItem(0).cast("int").alias("table_idx"),
+        loc.getItem(1).cast("int").alias("row_idx"),
+        (F.col("s.kind") == F.lit("header")).alias("is_header"),
+        F.split(F.col("s.text"), "\t").alias("cells"),
+    )
+
+
+def doc_links(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """(doc_id, *passthrough, link_idx, url, anchor_text) — one row per
+    <a href>, document order, href resolved vs options.base_url (A21).
+    Feed the url column straight into operators/urls.py
+    (canonical_host / blocklist / per-host caps) for the crawl-frontier
+    hygiene tier."""
+    pt = [c for c in passthrough if c in df.columns]
+    base = options.base_url
+    fragment = options.fragment
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            return harvest_doc_links(kinds, texts, refs, offsets, base, fragment)
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    out = run_doc_stage(df, batch_fn, passthrough)
+    s = out.select(
+        "doc_id", *pt, F.posexplode("spans").alias("link_idx", "s")
+    )
+    return s.select(
+        "doc_id",
+        *pt,
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.col("s.media_ref").alias("url"),
+        F.col("s.text").alias("anchor_text"),
+    )

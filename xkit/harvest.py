@@ -1,0 +1,155 @@
+"""Structured harvest from the repaired event stream: tables + links.
+
+Two high-frequency "give me the data, not the page" projections a
+markup-harvest engine owes its users (the reference's SelectNodes
+idiom is how its users pull tables and link lists out of pages —
+[P: XHtmlKit README.md]):
+
+* :func:`harvest_tables` — every outermost ``<table>`` as structured
+  rows ``(table_idx, row_idx, is_header, cells)``. Cell text is the
+  whitespace-collapsed subtree text (A25 rule) including nested-table
+  content (inner tables flatten into the enclosing cell, same rule as
+  the markdown projection); a row is a header row iff it contains any
+  ``<th>``. Rows with zero cells are dropped; ``colspan`` is not
+  expanded (cells are positional).
+
+* :func:`harvest_links` — every ``<a>`` with a non-empty ``href`` as
+  ``(url, anchor_text)`` in document order. ``href`` is resolved
+  against ``base`` when given (A21, same rule as media refs); anchor
+  text is the collapsed subtree text with ``<img alt>`` contributing
+  (the alt text is the anchor signal when a link wraps an image).
+  Nested anchors (tag soup) each get their own entry with their own
+  subtree text.
+
+Both walk the same well-nested ``repair(tokenize(html))`` event
+stream as every other projection, so all tag-soup recovery rules
+(A14–A17) apply before harvesting. Pure Python, stdlib only.
+
+Post-collapse cell/anchor text contains no tabs or newlines — the
+Spark stage (operators/harvest_stage.py) relies on this to carry
+rows losslessly through the span-shaped Arrow boundary.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+__all__ = ["harvest_tables", "harvest_links"]
+
+# content that never reaches harvested text (head-section tags can't
+# contain tables/anchors, so the content-only drop set suffices)
+_DROP = frozenset("script style noscript template".split())
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def harvest_tables(events: list) -> list:
+    """``[(table_idx, row_idx, is_header, [cell, ...]), ...]`` for
+    every outermost table in the event stream (module doc has the
+    semantics)."""
+    out: list = []
+    table_idx = -1
+    row_idx = 0
+    depth = 0  # table nesting depth; capture only at 1
+    drop = 0
+    row: list | None = None
+    row_has_th = False
+    cell: list | None = None
+    for ev in events:
+        kind = ev[0]
+        if kind == "text":
+            if not drop and cell is not None:
+                cell.append(ev[1])
+        elif kind == "open":
+            tag = ev[1]
+            if drop or tag in _DROP:
+                drop += 1
+                continue
+            if tag == "table":
+                depth += 1
+                if depth == 1:
+                    table_idx += 1
+                    row_idx = 0
+                    row = None
+                    cell = None
+            elif depth == 1:
+                if tag == "tr":
+                    row = []
+                    row_has_th = False
+                elif tag in ("td", "th") and row is not None:
+                    cell = []
+                    if tag == "th":
+                        row_has_th = True
+                elif tag == "img" and cell is not None:
+                    alt = ev[2].get("alt")
+                    if alt:
+                        cell.append(" %s " % alt)
+        elif kind == "close":
+            tag = ev[1]
+            if drop:
+                drop -= 1
+                continue
+            if tag == "table":
+                if depth:
+                    depth -= 1
+                if depth == 0:
+                    row = None
+                    cell = None
+            elif depth == 1:
+                if tag == "tr":
+                    if row:
+                        out.append((table_idx, row_idx, row_has_th, row))
+                        row_idx += 1
+                    row = None
+                elif tag in ("td", "th"):
+                    if row is not None and cell is not None:
+                        row.append(_collapse("".join(cell)))
+                    cell = None
+    return out
+
+
+def harvest_links(events: list, base: str | None = None) -> list:
+    """``[(url, anchor_text), ...]`` for every ``<a href>`` in
+    document order (module doc has the semantics)."""
+    out: list = []
+    # stack of [href_or_None, buf, order] — nested anchors each collect
+    # their own subtree text; order fixes emission to OPEN order even
+    # though the text completes at close
+    stack: list = []
+    drop = 0
+    n_opened = 0
+    done: list = []  # (order, url, text) finished anchors
+    for ev in events:
+        kind = ev[0]
+        if kind == "text":
+            if not drop and stack:
+                t = ev[1]
+                for entry in stack:
+                    entry[1].append(t)
+        elif kind == "open":
+            tag = ev[1]
+            if drop or tag in _DROP:
+                drop += 1
+                continue
+            if tag == "a":
+                href = ev[2].get("href") or None
+                stack.append([href, [], n_opened])
+                n_opened += 1
+            elif tag == "img" and stack:
+                alt = ev[2].get("alt")
+                if alt:
+                    for entry in stack:
+                        entry[1].append(" %s " % alt)
+        elif kind == "close":
+            if drop:
+                drop -= 1
+                continue
+            if ev[1] == "a" and stack:
+                href, buf, order = stack.pop()
+                if href:
+                    url = urljoin(base, href) if base else href
+                    done.append((order, url, _collapse("".join(buf))))
+    done.sort()
+    return [(u, t) for _, u, t in done]
