@@ -45,6 +45,8 @@ HEADLINE = [
     # round-3 second-half additions (new rows, shared set above unchanged)
     "select_html_spans",
     "url_host_policy",
+    "markdown_docs",
+    "doc_links",
 ]
 
 
