@@ -215,6 +215,34 @@ def test_harvest_stages_match_pure_python(spark, corpus_path):
     assert n_table_rows > 50 and n_links > 100
 
 
+def test_project_docs_matches_single_stages(spark, corpus_path):
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.operators.markdown_stage import markdown_docs
+    from xhtmlkit_spark.operators.normalize_stage import normalize_xhtml
+    from xhtmlkit_spark.operators.project_stage import project_docs
+
+    df = spark.read.parquet(corpus_path)
+    got = {
+        r["doc_id"]: (
+            [tuple(s) for s in r["spans"]] if r["spans"] is not None else None,
+            r["markdown"],
+            r["xhtml"],
+        )
+        for r in project_docs(df, want_xhtml=True).collect()
+    }
+    spans = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]] if r["spans"] is not None else None
+        for r in extract_spans(df).collect()
+    }
+    mds = {r["doc_id"]: r["markdown"] for r in markdown_docs(df).collect()}
+    xhs = {r["doc_id"]: r["xhtml"] for r in normalize_xhtml(df).collect()}
+    assert set(got) == set(spans)
+    for did, (sp, md, xh) in got.items():
+        assert sp == spans[did], did
+        assert md == mds[did], did
+        assert xh == xhs[did], did
+
+
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     from xhtmlkit_spark.plans.pipeline import run_pipeline
 
@@ -459,6 +487,63 @@ def test_build_training_corpus_line_dedup_and_pii_tiers(spark, tmp_path):
     )
     assert funnel_off["written"] == 4
     assert "lines_total" not in funnel_off and "pii_matches" not in funnel_off
+
+
+def test_build_training_corpus_emit_markdown(spark, tmp_path):
+    """emit_markdown lands the model-facing markdown view next to text
+    via the fused projection (no extra parse), identical to the
+    single-stage renderer, with PII scrubbed from BOTH views."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.operators.markdown_stage import markdown_doc
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    html_a = (
+        "<h1>Spark Notes</h1><p>the first page is about the spark "
+        "shuffle and the way a partition of the data moves between "
+        "the stages of a job</p><ul><li>first item of the page"
+        "<li>second item of the page</ul>"
+    )
+    html_b = (
+        "<p>write to the team at team@example.org for any of the "
+        "questions about the product and the billing of the account</p>"
+    )
+    rows = {
+        "doc_id": ["a", "b"],
+        "spans": [
+            [{"kind": "html", "text": h, "media_ref": None, "offset": 0}]
+            for h in (html_a, html_b)
+        ],
+        "part": [0, 1],
+    }
+    corpus = str(tmp_path / "md_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    out = str(tmp_path / "train_md")
+    funnel = build_training_corpus(
+        spark, corpus, out, langs=("en",), min_quality=0.0, min_tokens=1,
+        near_dup=None, redact_pii=True, emit_markdown=True,
+    )
+    assert funnel["written"] == 2
+    landed = {
+        r["doc_id"]: (r["text"], r["markdown"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # markdown is the structural view, text the flat one
+    assert landed["a"][1].startswith("# Spark Notes")
+    assert "- first item of the page" in landed["a"][1]
+    assert "#" not in landed["a"][0]
+    # identical to the single-stage renderer (pre-redaction doc b aside)
+    sp = [{"kind": "html", "text": html_a, "media_ref": None, "offset": 0}]
+    assert landed["a"][1] == markdown_doc(
+        [s["kind"] for s in sp], [s["text"] for s in sp], [s["offset"] for s in sp]
+    )
+    # PII scrubbed from BOTH views
+    for view in landed["b"]:
+        assert "<EMAIL>" in view and "team@example.org" not in view
+    assert funnel["pii_matches"] == 1  # raw-TEXT count, not doubled
 
 
 def test_build_training_corpus_ensemble_quality_tier(spark, tmp_path):

@@ -77,13 +77,19 @@ def _collapse(s: str) -> str:
     return " ".join(s.split())
 
 
-def _extract_html_tokens(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -> list:
+def _extract_html_tokens(
+    html: str, options: ExtractOptions = DEFAULT_OPTIONS, _tokens: list | None = None
+) -> list:
     """Token-driven REFERENCE implementation of :func:`extract_html`.
 
     Consumes ``tokenize()`` output; kept as the readable spec of the
     consumer semantics and as the differential-test twin of the fused
     production path below (test_extract.py asserts equality on goldens
-    and fuzz input). Not on the hot path.
+    and fuzz input). Not on the single-projection hot path — but it IS
+    the extraction half of the fused multi-projection pass
+    (xkit.project), which passes its shared token list via ``_tokens``
+    (``html`` is then ignored; fusing the tokenizer into this consumer
+    was measured at only ~1.4%, so token-driven ≈ the fused path).
     """
     out: list = []
     pieces: list = []  # raw text fragments of the in-progress block
@@ -142,7 +148,7 @@ def _extract_html_tokens(html: str, options: ExtractOptions = DEFAULT_OPTIONS) -
         elif tag == "a" and anchor_depth > 0:
             anchor_depth -= 1
 
-    for tok in tokenize(html):
+    for tok in tokenize(html) if _tokens is None else _tokens:
         k = tok[0]
         if k == "text":
             if drop_depth == 0:
