@@ -86,6 +86,7 @@ def build_training_corpus(
     redact_pii: bool = False,
     ensemble_threshold: float | None = None,
     pack_context_len: int | None = None,
+    emit_markdown: bool = False,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -138,6 +139,15 @@ def build_training_corpus(
     (chunks, packed_tokens, plan_rows) ride the plan write via
     observe(). Funnel gains those keys plus ``pack_output_path``.
 
+    ``emit_markdown`` lands a ``markdown`` column next to ``text`` in
+    the output — the model-facing representation — rendered by the
+    FUSED multi-projection stage (operators/project_stage), so the
+    second view costs no extra parse/scan: stats, dedup keys, and
+    every gate still run on the extracted text exactly as before.
+    When ``redact_pii`` is on, the same redaction expressions scrub
+    the markdown too (funnel ``pii_matches`` stays the raw-TEXT count
+    — markdown counts the same entities rendered differently).
+
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
     earlier build) never re-enters. Two tiers, both folded into
@@ -155,14 +165,22 @@ def build_training_corpus(
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
     corpus = spark.read.parquet(corpus_path)
-    extracted = extract_spans(
-        with_size_salt(corpus, num_partitions), passthrough=()
-    )
+    if emit_markdown:
+        from xhtmlkit_spark.operators.project_stage import project_docs
+
+        extracted = project_docs(
+            with_size_salt(corpus, num_partitions), passthrough=()
+        )
+    else:
+        extracted = extract_spans(
+            with_size_salt(corpus, num_partitions), passthrough=()
+        )
+    md_cols = ["markdown"] if emit_markdown else []
     # span_text_concat restricts to kind=='text' itself — wrapping its
     # argument in another F.filter would run two consecutive array
     # passes per document (Catalyst doesn't collapse them)
     docs = extracted.select(
-        "doc_id", span_text_concat(F.col("spans"), "\n").alias("text")
+        "doc_id", span_text_concat(F.col("spans"), "\n").alias("text"), *md_cols
     )
     if dedup_lines:
         # left join keeps every extracted doc in the funnel; a doc whose
@@ -174,9 +192,23 @@ def build_training_corpus(
             docs.join(ld, "doc_id", "left")
             .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
             .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
-            .select("doc_id", F.col("kept_text").alias("text"), "n_lines", "n_kept")
+            .select(
+                "doc_id",
+                F.col("kept_text").alias("text"),
+                "n_lines",
+                "n_kept",
+                *md_cols,
+            )
         )
     if redact_pii:
+        if emit_markdown:
+            # scrub the markdown view FIRST — its match counts are then
+            # overwritten by the text pass below, which is the funnel's
+            # authoritative pii_matches (raw-text facts)
+            mred = with_pii_redaction(docs, text="markdown")
+            docs = mred.drop(
+                "markdown", "n_emails", "n_phones", "n_ips"
+            ).withColumnRenamed("redacted", "markdown")
         red = with_pii_redaction(docs)
         docs = red.select(
             *[c for c in red.columns if c not in ("text", "redacted", "n_emails", "n_phones", "n_ips")],
@@ -293,7 +325,9 @@ def build_training_corpus(
     out = flagged.observe(obs, *metrics)
     (
         out.where(final)
-        .select("doc_id", "text", "lang_guess", "quality_score", "n_tokens")
+        .select(
+            "doc_id", "text", *md_cols, "lang_guess", "quality_score", "n_tokens"
+        )
         .write.mode("overwrite")
         .parquet(output_path)
     )
