@@ -1140,8 +1140,15 @@ def test_foreach_batch_upsert_exactly_once_layout(spark, tmp_path):
     assert {r["event_id"] for r in landed.collect()} == {1, 2, 3, 4, 5}
     assert {r["batch_id"] for r in landed.select("batch_id").collect()} == {0, 1}
 
-    # simulated REPLAY of batch 1 (same pinned content) changes nothing
-    replay = spark.createDataFrame([(4, 4.0), (5, 5.0)], schema)
+    # simulated REPLAY of batch 1 (same pinned content) changes nothing.
+    # The batch's content comes from the OUTPUT, not a hardcoded file:
+    # the file source breaks equal-mtime ties arbitrarily, so batch 1
+    # may be either source file — a replay is pinned to whatever the
+    # checkpointed offsets actually assigned it.
+    b1_rows = spark.read.parquet(f"{out}/batch_id=1").collect()
+    replay = spark.createDataFrame(
+        [(r["event_id"], r["value"]) for r in b1_rows], schema
+    )
     replay.write.mode("overwrite").parquet(f"{out}/batch_id=1")
     assert spark.read.option("basePath", out).parquet(out).count() == 5
 
