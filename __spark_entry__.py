@@ -778,6 +778,50 @@ def _q_url_host_policy(spark, sf_dir):
     )
 
 
+_ROBOTS_COMMON = (
+    "\nUser-agent: fancybot\nDisallow: /\n\nUser-agent: *\n"
+    "User-agent: megabot\nDisallow: /p/1\nAllow: /p/12\n"
+    "Disallow: /p/3\nAllow: /p/3\n"
+)
+
+
+def _q_robots_policy(spark, sf_dir):
+    """Crawl-frontier robots tier: per-host robots.txt parsed into
+    star-agent rules (comment/blank handling, multi-UA groups via one
+    running-sum window) and applied per URL with the Google-REP
+    longest-prefix / allow-wins-ties decision. Robots text and paths
+    planted deterministically from (source, doc_id); per-host variants
+    exercise extra-disallow and allow-root rules."""
+    from xhtmlkit_spark.operators.urls import parse_robots, robots_filter
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.org"),
+    )
+    hosts = d.select(
+        host.alias("host"), (F.col("doc_id") % 3).cast("string").alias("hidx")
+    ).distinct()
+    txt = F.concat(
+        F.lit("# robots for "),
+        F.col("host"),
+        F.lit(_ROBOTS_COMMON),
+        F.when(F.col("hidx") == "1", F.lit("Disallow: /p/2\n")).otherwise(F.lit("")),
+        F.when(F.col("hidx") == "2", F.lit("Allow: /\n")).otherwise(F.lit("")),
+    )
+    rules = parse_robots(hosts.withColumn("robots_txt", txt))
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 23).cast("string")).alias("path"),
+    )
+    return robots_filter(urls, rules).select(
+        "doc_id", "host", "path", "allowed", "matched_directive", "matched_prefix"
+    )
+
+
 def _q_select_multi_spans(spark, sf_dir):
     """R35: N queries in ONE corpus scan+parse — per-doc match counts
     for three simultaneous queries (markup, media, xpath text).
@@ -1200,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "pii_redaction": _q_pii_redaction,
         "url_host_policy": _q_url_host_policy,
+        "robots_policy": _q_robots_policy,
         "c4_line_stats": _q_c4_line_stats,
         "token_windows": _q_token_windows,
         "pack_chunks": _q_pack_chunks,
@@ -1773,6 +1818,72 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND host NOT IN ({", ".join(f"'{h}'" for h in _URL_BLOCKLIST)}))
             SELECT doc_id, host, CAST(host_rank AS INTEGER) AS host_rank
             FROM kept WHERE host_rank <= 5
+        """,
+        "robots_policy": """
+            WITH hosts AS (
+              SELECT DISTINCT
+                source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+                CAST(doc_id % 3 AS VARCHAR) AS hidx
+              FROM documents),
+            robots AS (
+              SELECT host,
+                '# robots for ' || host || chr(10)
+                || 'User-agent: fancybot' || chr(10) || 'Disallow: /' || chr(10)
+                || chr(10)
+                || 'User-agent: *' || chr(10) || 'User-agent: megabot' || chr(10)
+                || 'Disallow: /p/1' || chr(10) || 'Allow: /p/12' || chr(10)
+                || 'Disallow: /p/3' || chr(10) || 'Allow: /p/3' || chr(10)
+                || CASE WHEN hidx = '1' THEN 'Disallow: /p/2' || chr(10) ELSE '' END
+                || CASE WHEN hidx = '2' THEN 'Allow: /' || chr(10) ELSE '' END
+                AS txt
+              FROM hosts),
+            lines AS (
+              SELECT host,
+                     unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS line_idx,
+                     unnest(string_split(txt, chr(10))) AS line
+              FROM robots),
+            kv AS (
+              SELECT host, line_idx,
+                lower(trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^([^:]+):', 1))) AS key,
+                trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^[^:]+:(.*)$', 1)) AS value
+              FROM lines),
+            kept AS (SELECT * FROM kv WHERE key <> ''),
+            lagged AS (
+              SELECT *, (key = 'user-agent') AS is_ua,
+                coalesce(lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY line_idx), false) AS prev_ua
+              FROM kept),
+            grouped AS (
+              SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY line_idx ROWS UNBOUNDED PRECEDING) AS group_id
+              FROM lagged),
+            star_groups AS (
+              SELECT DISTINCT host, group_id FROM grouped
+              WHERE is_ua AND value = '*'),
+            rules AS (
+              SELECT g.host, g.key AS directive, g.value AS path_prefix
+              FROM grouped g JOIN star_groups s
+                ON g.host = s.host AND g.group_id = s.group_id
+              WHERE g.key IN ('allow', 'disallow') AND g.value <> ''),
+            urls AS (
+              SELECT doc_id,
+                source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+                '/p/' || CAST(doc_id % 23 AS VARCHAR) AS path
+              FROM documents),
+            matched AS (
+              SELECT u.doc_id, u.host, u.path, r.directive, r.path_prefix
+              FROM urls u LEFT JOIN rules r
+                ON u.host = r.host AND starts_with(u.path, r.path_prefix)),
+            win AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY length(path_prefix) DESC NULLS LAST,
+                         (directive = 'allow') DESC NULLS LAST) AS rn
+              FROM matched)
+            SELECT doc_id, host, path,
+                   (path_prefix IS NULL OR directive = 'allow') AS allowed,
+                   directive AS matched_directive,
+                   path_prefix AS matched_prefix
+            FROM win WHERE rn = 1
         """,
         "token_windows": """
             WITH docs AS (

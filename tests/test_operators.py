@@ -1356,3 +1356,62 @@ def test_url_blocklist_and_cap(spark):
     # rerun is identical (deterministic survivors)
     again = sorted((r["host"], r["doc_id"], r["host_rank"]) for r in capped.collect())
     assert again == out
+
+
+def test_robots_parse_and_filter(spark):
+    """Google-REP robots subset: comments/blank lines, multi-UA groups
+    (star group applies, others ignored), longest-prefix decision,
+    allow-wins ties, no-match/no-rules → allowed."""
+    from xhtmlkit_spark.operators.urls import parse_robots, robots_filter
+
+    robots = (
+        "# banner comment\n"
+        "User-agent: fancybot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: megabot\n"
+        "Disallow: /p/1\n"
+        "Allow: /p/12\n"
+        "Disallow: /p/3\n"
+        "Allow: /p/3\n"
+        "Disallow:\n"  # empty value: no rule (REP allow-all)
+    )
+    rdf = spark.createDataFrame(
+        [("h.org", robots), ("otherbot.org", "User-agent: bot\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(rdf)
+    got_rules = sorted(tuple(r) for r in rules.collect())
+    assert got_rules == [
+        ("h.org", "allow", "/p/12"),
+        ("h.org", "allow", "/p/3"),
+        ("h.org", "disallow", "/p/1"),
+        ("h.org", "disallow", "/p/3"),
+    ]
+    urls = spark.createDataFrame(
+        [
+            ("d0", "h.org", "/p/1"),       # blocked
+            ("d1", "h.org", "/p/12"),      # longer allow wins
+            ("d2", "h.org", "/p/120"),     # prefix of allow still wins
+            ("d3", "h.org", "/p/3"),       # tie → allow
+            ("d4", "h.org", "/p/2"),       # no match → allowed
+            ("d5", "otherbot.org", "/p/1"),  # no star group → allowed
+            ("d6", "norules.org", "/x"),   # host absent from rules
+        ],
+        "doc_id string, host string, path string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        "d0": (False, "/p/1"),
+        "d1": (True, "/p/12"),
+        "d2": (True, "/p/12"),
+        "d3": (True, "/p/3"),
+        "d4": (True, None),
+        "d5": (True, None),
+        "d6": (True, None),
+    }
+    assert len(got) == urls.count()  # the left join never loses a row

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["url_host", "filter_blocklist", "cap_per_host"]
+__all__ = [
+    "url_host",
+    "filter_blocklist",
+    "cap_per_host",
+    "parse_robots",
+    "robots_filter",
+]
 
 # scheme://authority — authority ends at /, ?, or #
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
@@ -72,4 +78,107 @@ def cap_per_host(
     return (
         df.withColumn("host_rank", F.row_number().over(w))
         .where(F.col("host_rank") <= cap)
+    )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse one robots.txt per host into ``(host, directive,
+    path_prefix)`` rules for the ``*`` user-agent.
+
+    Subset implemented (the 1994 REP core, Google-REP group
+    semantics): ``#`` comments stripped, blank lines ignored,
+    consecutive ``User-agent`` lines form ONE group (a group
+    containing ``*`` contributes its rules), ``Allow``/``Disallow``
+    with a non-empty value become rules (an empty ``Disallow:`` means
+    "allow everything" in REP — dropping it is equivalent here since
+    no-match ⇒ allowed in :func:`robots_filter`). Wildcard metachars
+    (``*``/``$``) in paths are treated as literal prefix characters —
+    documented subset, identical in the DuckDB oracle.
+
+    Entirely window/filter expressions — the group structure is a
+    per-host running sum over line index, so the only shuffle is one
+    hash partition by host; robots files are KB-scale, so per-host
+    line counts are tiny regardless of corpus size.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    kv = lines.select(
+        "host",
+        "line_idx",
+        F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key") != "")
+    w = Window.partitionBy("host").orderBy("line_idx")
+    is_ua = F.col("key") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    grouped = kv.withColumn(
+        "group_id",
+        F.sum((is_ua & ~prev_ua).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    star_groups = (
+        grouped.where(is_ua & (F.col("value") == "*"))
+        .select("host", "group_id")
+        .distinct()
+    )
+    rules = grouped.where(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    )
+    return rules.join(star_groups, ["host", "group_id"]).select(
+        "host",
+        F.col("key").alias("directive"),
+        F.col("value").alias("path_prefix"),
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Google-REP decision per row: among the host's rules whose
+    ``path_prefix`` prefixes the row's path, the LONGEST prefix wins;
+    a length tie goes to ``allow``; no matching rule (or no rules for
+    the host at all) means allowed. Adds ``allowed`` plus the winning
+    ``matched_directive``/``matched_prefix`` (NULL when nothing
+    matched) for auditability.
+
+    Shape: one equi-join on host (prefix test rides the join
+    condition, so unmatched rows survive as NULL — a row is never
+    lost), then a per-row window over its handful of matched rules.
+    Rules-per-host is robots-file-bounded (~KBs), so the fan-out is a
+    small constant; only (key, host, path) plus rule strings shuffle.
+    """
+    r = rules.select(
+        F.col("host").alias("__r_host"),
+        F.col("directive").alias("__r_dir"),
+        F.col("path_prefix").alias("__r_prefix"),
+    )
+    cond = (F.col(host_col) == F.col("__r_host")) & F.col(path_col).startswith(
+        F.col("__r_prefix")
+    )
+    j = df.join(r, cond, "left")
+    w = Window.partitionBy(key_col).orderBy(
+        F.length("__r_prefix").desc(),
+        (F.col("__r_dir") == "allow").desc(),
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *df.columns,
+            (
+                F.col("__r_prefix").isNull() | (F.col("__r_dir") == "allow")
+            ).alias("allowed"),
+            F.col("__r_dir").alias("matched_directive"),
+            F.col("__r_prefix").alias("matched_prefix"),
+        )
     )
