@@ -67,6 +67,37 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(extract_spans(df))
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """Discovery-side composition end-to-end: harvested outlinks →
+    URL dedupe with citation counts → robots deny → per-host cap.
+    Rows-only (the harvest needs the parser); the hygiene decision
+    logic itself is oracle-checked separately in robots_policy, and
+    the composition semantics by test_build_crawl_frontier."""
+    from xhtmlkit_spark.plans.frontier import build_crawl_frontier
+    from xkit.options import ExtractOptions
+
+    robots = spark.createDataFrame(
+        [("corpus.example", "User-agent: *\nDisallow: /l/1\nAllow: /l/12\n")],
+        "host string, robots_txt string",
+    )
+    out = build_crawl_frontier(
+        spark,
+        _corpus_path(sf_dir),
+        robots=robots,
+        per_host_cap=500,
+        options=ExtractOptions(base_url="http://corpus.example/d/"),
+    )
+    return out.select(
+        "url",
+        "host",
+        "path",
+        F.col("n_refs").cast("long").alias("n_refs"),
+        "first_doc",
+        "matched_prefix",
+        F.col("host_rank").cast("int").alias("host_rank"),
+    )
+
+
 def _q_select_spans(spark, sf_dir):
     """A27 analogue: CSS-selector-lite over the repaired DOM. No SQL
     twin exists (selection needs the from-scratch parser), so this is a
@@ -1282,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_part_features": _q_string_part_features,
         "table_rows": _q_table_rows,
         "doc_links": _q_doc_links,
+        "crawl_frontier": _q_crawl_frontier,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,
         "select_multi_spans": _q_select_multi_spans,

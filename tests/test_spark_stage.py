@@ -243,6 +243,73 @@ def test_project_docs_matches_single_stages(spark, corpus_path):
         assert xh == xhs[did], did
 
 
+def test_build_crawl_frontier(spark, tmp_path):
+    """Discovery side end-to-end: harvested outlinks → dedupe with
+    citation counts → blocklist → robots deny → per-host cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.frontier import build_crawl_frontier
+
+    def page(*hrefs):
+        return "".join(f"<p><a href='{h}'>x</a></p>" for h in hrefs)
+
+    docs = {
+        # a.org cited twice from two docs; /private blocked by robots
+        "d1": page("http://a.org/ok", "http://a.org/private/x"),
+        "d2": page("http://a.org/ok", "http://bad.org/spam"),
+        # big.org: three urls, capped to 2
+        "d3": page("http://big.org/1", "http://big.org/2", "http://big.org/3"),
+        "d4": page("relative/skipped", "http://a.org"),  # bare host → path "/"
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [{"kind": "html", "text": h, "media_ref": None, "offset": 0}]
+            for h in docs.values()
+        ],
+        "part": [0, 1, 2, 3],
+    }
+    corpus = str(tmp_path / "fr_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    out = build_crawl_frontier(
+        spark, corpus, robots=robots, blocklist=("bad.org",), per_host_cap=2
+    )
+    got = {
+        r["url"]: (r["host"], r["path"], r["n_refs"], r["first_doc"])
+        for r in out.collect()
+    }
+    assert set(got) == {
+        "http://a.org/ok",
+        "http://a.org",
+        "http://big.org/1",
+        "http://big.org/2",
+    }
+    # citation count + deterministic first referrer
+    assert got["http://a.org/ok"] == ("a.org", "/ok", 2, "d1")
+    # bare host resolves to the root path
+    assert got["http://a.org"][1] == "/"
+    # deterministic rerun
+    again = {r["url"] for r in out.collect()}
+    assert again == set(got)
+    # robots off (no cap, so a.org's third url isn't cap-dropped):
+    # /private/x reappears; blocklist still applies
+    no_robots = {
+        r["url"]
+        for r in build_crawl_frontier(
+            spark, corpus, blocklist=("bad.org",)
+        ).collect()
+    }
+    assert "http://a.org/private/x" in no_robots
+    assert not any("bad.org" in u for u in no_robots)
+
+
 def test_pipeline_resume_skips_done_parts(spark, corpus_path, tmp_path):
     from xhtmlkit_spark.plans.pipeline import run_pipeline
 
