@@ -780,6 +780,32 @@ def test_streaming_select_matches_batch(spark, tmp_path):
         streaming_select(spark, corpus, out, chk, xpath="//p[position()>1]")
 
 
+def test_streaming_project_matches_batch(spark, tmp_path):
+    """Fused multi-projection in-stream: micro-batch ≡ batch on the
+    same files across BOTH views, exactly-once on re-drain."""
+    from xhtmlkit_spark.datagen import generate_corpus
+    from xhtmlkit_spark.operators.project_stage import project_docs
+    from xhtmlkit_spark.streaming.jobs import streaming_project
+
+    corpus = generate_corpus(str(tmp_path / "corpus"), 40, seed=13, chunk_docs=20)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    streaming_project(spark, corpus, out, chk, max_files_per_trigger=1)
+    streamed = {
+        r["doc_id"]: (str(r["spans"]), r["markdown"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: (str(r["spans"]), r["markdown"])
+        for r in project_docs(spark.read.parquet(corpus)).collect()
+    }
+    assert streamed == batch
+    assert any(md for _, md in streamed.values())
+    # exactly-once: re-drain with the same checkpoint adds nothing
+    streaming_project(spark, corpus, out, chk, max_files_per_trigger=1)
+    assert spark.read.parquet(out).count() == len(batch)
+
+
 def test_streaming_clean_extract_matches_batch(spark, tmp_path):
     """Stateless cleaning tiers in-stream: micro-batch output must
     equal the identical batch composition on the same files, with the

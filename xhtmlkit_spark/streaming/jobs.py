@@ -450,6 +450,45 @@ def streaming_select(
     q.awaitTermination()
 
 
+def streaming_project(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    want_xhtml: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The fused multi-projection in-stream: every landing document
+    yields its extraction spans AND markdown (plus xhtml when asked)
+    from ONE parse per micro-batch row — the streaming twin of
+    operators.project_stage.project_docs, landing through the native
+    file sink's commit log (exactly-once, like streaming_extract).
+    Stateless, so micro-batch output ≡ the batch stage on the same
+    files (pinned by test_streaming_project_matches_batch)."""
+    from xhtmlkit_spark.operators.project_stage import project_docs
+    from xhtmlkit_spark.plans.pipeline import derive_part
+
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    cols = ["doc_id", "spans", "markdown"] + (["xhtml"] if want_xhtml else [])
+    out = project_docs(derive_part(stream), want_xhtml=want_xhtml).select(
+        *cols, "part"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_clean_extract(
     spark: SparkSession,
     input_dir: str,
