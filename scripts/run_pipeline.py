@@ -56,6 +56,14 @@ def main() -> None:
         "the match's serialized outer XHTML (OuterXml parity), or the "
         "children-only markup (InnerXml)",
     )
+    ap.add_argument(
+        "--project",
+        default=None,
+        choices=("markdown", "markdown+xhtml"),
+        help="materialize the FUSED multi-projection stage (extraction "
+        "spans + markdown, optionally + normalized xhtml, one parse per "
+        "doc) into a noop sink instead of extraction",
+    )
     args = ap.parse_args()
     if args.select is not None and args.xpath is not None:
         ap.error("pass at most one of --select / --xpath")
@@ -107,6 +115,16 @@ def main() -> None:
             with_size_salt(df, n), args.select, xpath=args.xpath, emit=args.emit
         ).write.mode("overwrite").format("noop").save()
         res = {"mode": "select_only"}
+    elif args.project is not None:
+        from xhtmlkit_spark.operators.project_stage import project_docs
+        from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
+
+        df = derive_part(spark.read.parquet(args.input))
+        n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
+        project_docs(
+            with_size_salt(df, n), want_xhtml=(args.project == "markdown+xhtml")
+        ).write.mode("overwrite").format("noop").save()
+        res = {"mode": f"project:{args.project}"}
     elif args.stage_only:
         from xhtmlkit_spark.operators.extract_stage import extract_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
