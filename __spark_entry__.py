@@ -67,6 +67,27 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(extract_spans(df))
 
 
+def _q_page_meta(spark, sf_dir):
+    """Page-metadata harvest — the one projection that reads head
+    content (title / html lang / canonical / meta map). Rows-only
+    (needs the parser); semantics pinned by test_harvest.py + the
+    Spark≡pure-Python equality test. The map column rides as sorted
+    JSON so the rows-only check sees a deterministic scalar."""
+    from xhtmlkit_spark.operators.harvest_stage import page_meta
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = page_meta(df)
+    return out.select(
+        "doc_id",
+        "title",
+        "lang",
+        "canonical",
+        F.to_json(F.col("meta")).alias("meta_json"),
+    )
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Discovery-side composition end-to-end: harvested outlinks →
     URL dedupe with citation counts → robots deny → per-host cap.
@@ -1314,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_rows": _q_table_rows,
         "doc_links": _q_doc_links,
         "crawl_frontier": _q_crawl_frontier,
+        "page_meta": _q_page_meta,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,
         "select_multi_spans": _q_select_multi_spans,

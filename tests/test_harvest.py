@@ -5,7 +5,7 @@ are for extraction (SURVEY.md R37)."""
 from __future__ import annotations
 
 from xkit.dom import repair
-from xkit.harvest import harvest_links, harvest_tables
+from xkit.harvest import harvest_links, harvest_meta, harvest_tables
 from xkit.tokenizer import tokenize
 
 
@@ -113,3 +113,40 @@ def test_harvest_never_raises_on_fuzz_garbage():
         ev = _ev(s)
         assert isinstance(harvest_tables(ev), list)
         assert isinstance(harvest_links(ev), list)
+
+
+# --------------------------------------------------------------- meta
+
+
+def test_meta_full_head():
+    got = harvest_meta(
+        _ev(
+            "<!DOCTYPE html><html lang='en-US'><head><title> My  Page </title>"
+            "<meta name='description' content='a page'>"
+            "<meta property='og:title' content='OG Title'>"
+            "<meta property='og:title' content='dup ignored'>"
+            "<meta name='keywords'>"  # no content → no entry
+            "<link rel='canonical' href='/canon'>"
+            "<title>second ignored</title></head><body><p>x</p></body></html>"
+        ),
+        base="http://e.com/a/",
+    )
+    assert got == (
+        "My Page",
+        "en-US",
+        "http://e.com/canon",
+        {"description": "a page", "og:title": "OG Title"},
+    )
+
+
+def test_meta_missing_pieces_and_empty_title():
+    assert harvest_meta(_ev("<p>no head</p>")) == (None, None, None, {})
+    # an empty first title does not shadow a later real one
+    assert harvest_meta(_ev("<title></title><title>real</title>"))[0] == "real"
+
+
+def test_meta_property_wins_over_name_on_one_tag():
+    got = harvest_meta(
+        _ev("<meta name='title' property='og:type' content='article'>")
+    )
+    assert got[3] == {"og:type": "article"}

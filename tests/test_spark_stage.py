@@ -243,6 +243,36 @@ def test_project_docs_matches_single_stages(spark, corpus_path):
         assert xh == xhs[did], did
 
 
+def test_page_meta_matches_pure_python(spark, corpus_path):
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.operators.harvest_stage import page_meta
+    from xkit.dom import repair
+    from xkit.harvest import harvest_meta
+    from xkit.tokenizer import tokenize
+
+    got = {
+        r["doc_id"]: (r["title"], r["lang"], r["canonical"], r["meta"] or {})
+        for r in page_meta(spark.read.parquet(corpus_path)).collect()
+    }
+    n_titled = 0
+    for rec in pq.read_table(corpus_path).to_pylist():
+        title = lang = canonical = None
+        meta: dict = {}
+        for s in sorted(rec["spans"], key=lambda s: s["offset"]):
+            if s["kind"] != "html" or s["text"] is None:
+                continue
+            t, lg, cn, m = harvest_meta(repair(tokenize(s["text"])))
+            title = title if title is not None else t
+            lang = lang if lang is not None else lg
+            canonical = canonical if canonical is not None else cn
+            for k, v in m.items():
+                meta.setdefault(k, v)
+        assert got[rec["doc_id"]] == (title, lang, canonical, meta), rec["doc_id"]
+        n_titled += title is not None
+    assert n_titled > 50  # the synthetic corpus has titled docs
+
+
 def test_build_crawl_frontier(spark, tmp_path):
     """Discovery side end-to-end: harvested outlinks → dedupe with
     citation counts → blocklist → robots deny → per-host cap."""

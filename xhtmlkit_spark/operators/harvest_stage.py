@@ -35,11 +35,17 @@ from xhtmlkit_spark.operators.extract_stage import (
 )
 from xkit.encoding import decode_html_bytes
 from xkit.dom import repair
-from xkit.harvest import harvest_links, harvest_tables
+from xkit.harvest import harvest_links, harvest_meta, harvest_tables
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
-__all__ = ["harvest_doc_tables", "harvest_doc_links", "table_rows", "doc_links"]
+__all__ = [
+    "harvest_doc_tables",
+    "harvest_doc_links",
+    "table_rows",
+    "doc_links",
+    "page_meta",
+]
 
 
 def _doc_events(kinds, texts, offsets, fragment):
@@ -163,3 +169,95 @@ def doc_links(
         F.col("s.media_ref").alias("url"),
         F.col("s.text").alias("anchor_text"),
     )
+
+
+def page_meta(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """(doc_id, *passthrough, title, lang, canonical, meta) — page
+    metadata per document (xkit.harvest.harvest_meta): first
+    non-empty <title>, <html lang>, canonical link (A21-resolved),
+    and the <meta name/property → content> map. The ONE projection
+    that reads head content (extraction/markdown drop it). A doc's
+    html spans are scanned in offset order; the first span providing
+    each piece wins, mirroring the in-page first-wins rule. Own
+    mapInArrow (the outputs are typed scalars + a map column, not
+    span-shaped) — same pruned-scan plan as every per-doc stage."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import unpack_spans
+
+    pt = [c for c in passthrough if c in df.columns]
+    pruned = df.select("doc_id", *pt, "spans")
+    base = options.base_url
+    fragment = options.fragment
+
+    def doc_meta(kinds, texts, offsets):
+        title = lang = canonical = None
+        meta: dict = {}
+        for events in _doc_events(kinds, texts, offsets, fragment):
+            t, lg, cn, m = harvest_meta(events, base=base)
+            title = title if title is not None else t
+            lang = lang if lang is not None else lg
+            canonical = canonical if canonical is not None else cn
+            for k, v in m.items():
+                if k not in meta:
+                    meta[k] = v
+        return title, lang, canonical, list(meta.items())
+
+    def batches(it):
+        for batch in it:
+            spans_idx = len(pt) + 1
+            offs, kind_l, text_l, _ref_l, off_l, nulls, n_rows = unpack_spans(
+                batch, spans_idx
+            )
+            titles: list = []
+            langs: list = []
+            canons: list = []
+            metas: list = []
+            for i in range(n_rows):
+                if nulls is None or nulls[i]:
+                    s, e = offs[i], offs[i + 1]
+                    t, lg, cn, m = doc_meta(kind_l[s:e], text_l[s:e], off_l[s:e])
+                    titles.append(t)
+                    langs.append(lg)
+                    canons.append(cn)
+                    metas.append(m)
+                else:
+                    titles.append(None)
+                    langs.append(None)
+                    canons.append(None)
+                    metas.append(None)
+            cols = [batch.column(j) for j in range(spans_idx)] + [
+                pa.array(titles, pa.string()),
+                pa.array(langs, pa.string()),
+                pa.array(canons, pa.string()),
+                pa.array(metas, pa.map_(pa.string(), pa.string())),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    [batch.schema.field(j) for j in range(spans_idx)]
+                    + [
+                        pa.field("title", pa.string()),
+                        pa.field("lang", pa.string()),
+                        pa.field("canonical", pa.string()),
+                        pa.field("meta", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [pruned.schema[c] for c in pt]
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    return pruned.mapInArrow(batches, out_schema)

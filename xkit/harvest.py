@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-__all__ = ["harvest_tables", "harvest_links"]
+__all__ = ["harvest_tables", "harvest_links", "harvest_meta"]
 
 # content that never reaches harvested text (head-section tags can't
 # contain tables/anchors, so the content-only drop set suffices)
@@ -153,3 +153,63 @@ def harvest_links(events: list, base: str | None = None) -> list:
                     done.append((order, url, _collapse("".join(buf))))
     done.sort()
     return [(u, t) for _, u, t in done]
+
+
+def harvest_meta(events: list, base: str | None = None) -> tuple:
+    """Page metadata: ``(title, lang, canonical, meta)`` where
+    ``title`` is the first non-empty ``<title>`` text (A25-collapsed),
+    ``lang`` the first ``<html lang>``, ``canonical`` the first
+    ``<link rel=canonical href>`` (resolved against ``base``, A21),
+    and ``meta`` an ordered ``{name_or_property: content}`` dict over
+    ``<meta>`` tags (key lowercased; ``property`` — the OpenGraph
+    style — wins over ``name`` on one tag; FIRST occurrence of a key
+    wins, matching A7's duplicate-attribute rule). Head content is
+    deliberately invisible to extraction/markdown — this is the one
+    projection that reads it. ``<base href>`` is NOT honored
+    (documented: base comes from the caller, as everywhere else).
+    Missing pieces are None / {}.
+    """
+    title = None
+    lang = None
+    canonical = None
+    meta: dict = {}
+    in_title = 0
+    title_buf: list = []
+    for ev in events:
+        kind = ev[0]
+        if kind == "text":
+            if in_title:
+                title_buf.append(ev[1])
+        elif kind == "open":
+            tag = ev[1]
+            if tag == "title":
+                if title is None:
+                    in_title += 1
+            elif tag == "meta":
+                attrs = ev[2]
+                key = attrs.get("property") or attrs.get("name")
+                content = attrs.get("content")
+                if key and content is not None:
+                    key = key.lower()
+                    if key not in meta:
+                        meta[key] = content
+            elif tag == "link":
+                attrs = ev[2]
+                if canonical is None and attrs.get("rel", "").lower() == "canonical":
+                    href = attrs.get("href")
+                    if href:
+                        canonical = urljoin(base, href) if base else href
+            elif tag == "html":
+                if lang is None:
+                    lv = ev[2].get("lang")
+                    if lv:
+                        lang = lv
+        elif kind == "close":
+            if ev[1] == "title" and in_title:
+                in_title -= 1
+                if not in_title:
+                    t = _collapse("".join(title_buf))
+                    title_buf = []
+                    if t and title is None:
+                        title = t
+    return title, lang, canonical, meta
