@@ -113,6 +113,7 @@ def test_harvest_never_raises_on_fuzz_garbage():
         ev = _ev(s)
         assert isinstance(harvest_tables(ev), list)
         assert isinstance(harvest_links(ev), list)
+        assert isinstance(harvest_meta(ev), tuple)
 
 
 # --------------------------------------------------------------- meta
