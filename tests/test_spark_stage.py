@@ -273,6 +273,49 @@ def test_page_meta_matches_pure_python(spark, corpus_path):
     assert n_titled > 50  # the synthetic corpus has titled docs
 
 
+def test_new_stages_survive_null_spans_rows(spark):
+    """NULL spans rows and NULL html text through every round-3 stage:
+    never a crash, NULL-in → NULL/empty-out (A17 at the column level)."""
+    from pyspark.sql import Row
+
+    from xhtmlkit_spark.operators.harvest_stage import (
+        doc_links,
+        page_meta,
+        table_rows,
+    )
+    from xhtmlkit_spark.operators.markdown_stage import markdown_docs
+    from xhtmlkit_spark.operators.project_stage import project_docs
+
+    span = Row("kind", "text", "media_ref", "offset")
+    rows = [
+        ("ok", [span("html", "<title>T</title><table><tr><td>c</td></tr>"
+                     "</table><a href='u'>l</a>", None, 0)], 0),
+        ("null_spans", None, 0),
+        ("null_text", [span("html", None, None, 0)], 0),
+        ("empty_spans", [], 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, part int",
+    )
+    md = {r["doc_id"]: r["markdown"] for r in markdown_docs(df).collect()}
+    assert md["ok"] and md["null_spans"] is None
+    assert md["null_text"] is None and md["empty_spans"] is None
+    pj = {r["doc_id"]: r for r in project_docs(df, want_xhtml=True).collect()}
+    assert pj["null_spans"]["spans"] is None and pj["null_spans"]["xhtml"] is None
+    assert pj["ok"]["markdown"]
+    assert pj["empty_spans"]["spans"] == []
+    tr = table_rows(df).collect()
+    assert {r["doc_id"] for r in tr} == {"ok"} and tr[0]["cells"] == ["c"]
+    dl = doc_links(df).collect()
+    assert {r["doc_id"] for r in dl} == {"ok"} and dl[0]["url"] == "u"
+    pm = {r["doc_id"]: r for r in page_meta(df).collect()}
+    assert pm["ok"]["title"] == "T"
+    assert pm["null_spans"]["title"] is None and pm["null_spans"]["meta"] is None
+    assert pm["null_text"]["title"] is None
+
+
 def test_build_crawl_frontier(spark, tmp_path):
     """Discovery side end-to-end: harvested outlinks → dedupe with
     citation counts → blocklist → robots deny → per-host cap."""
