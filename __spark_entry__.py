@@ -88,6 +88,27 @@ def _q_page_meta(spark, sf_dir):
     )
 
 
+def _q_harvest_all(spark, sf_dir):
+    """R42: combined one-parse harvest — tables + links + page
+    metadata from a single tokenize per doc (3.61× vs the three
+    single stages at sf0.01; PLANS.md). Rows-only (parser-bound);
+    per-column identity with the single stages is pinned by
+    test_harvest_all_matches_single_stages."""
+    from xhtmlkit_spark.operators.harvest_stage import harvest_all
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = harvest_all(df)
+    return out.select(
+        "doc_id",
+        F.size("tables").alias("n_table_rows"),
+        F.size("links").alias("n_links"),
+        "title",
+        "lang",
+    )
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Discovery-side composition end-to-end: harvested outlinks →
     URL dedupe with citation counts → robots deny → per-host cap.
@@ -1336,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_links": _q_doc_links,
         "crawl_frontier": _q_crawl_frontier,
         "page_meta": _q_page_meta,
+        "harvest_all": _q_harvest_all,
         "select_spans": _q_select_spans,
         "select_html_spans": _q_select_html_spans,
         "select_multi_spans": _q_select_multi_spans,

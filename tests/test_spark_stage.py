@@ -273,6 +273,49 @@ def test_page_meta_matches_pure_python(spark, corpus_path):
     assert n_titled > 50  # the synthetic corpus has titled docs
 
 
+def test_harvest_all_matches_single_stages(spark, corpus_path):
+    """Combined one-parse harvest ≡ the three single stages, column
+    for column, over the whole synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.harvest_stage import (
+        doc_links,
+        harvest_all,
+        page_meta,
+        table_rows,
+    )
+
+    df = spark.read.parquet(corpus_path)
+    combined = {r["doc_id"]: r for r in harvest_all(df).collect()}
+
+    singles_t: dict = {}
+    for r in table_rows(df).collect():
+        singles_t.setdefault(r["doc_id"], []).append(
+            (r["table_idx"], r["row_idx"], r["is_header"], r["cells"])
+        )
+    for did, r in combined.items():
+        got = [
+            (t["table_idx"], t["row_idx"], t["is_header"], t["cells"])
+            for t in (r["tables"] or [])
+        ]
+        assert sorted(got) == sorted(singles_t.get(did, [])), did
+
+    singles_l: dict = {}
+    for r in doc_links(df).collect():
+        singles_l.setdefault(r["doc_id"], []).append(
+            (r["link_idx"], r["url"], r["anchor_text"])
+        )
+    for did, r in combined.items():
+        got = [(x["link_idx"], x["url"], x["anchor_text"]) for x in (r["links"] or [])]
+        assert got == sorted(singles_l.get(did, [])), did
+
+    for r in page_meta(df).collect():
+        c = combined[r["doc_id"]]
+        assert (c["title"], c["lang"], c["canonical"], c["meta"]) == (
+            r["title"], r["lang"], r["canonical"], r["meta"]
+        ), r["doc_id"]
+
+
 def test_new_stages_survive_null_spans_rows(spark):
     """NULL spans rows and NULL html text through every round-3 stage:
     never a crash, NULL-in → NULL/empty-out (A17 at the column level)."""

@@ -45,6 +45,7 @@ __all__ = [
     "table_rows",
     "doc_links",
     "page_meta",
+    "harvest_all",
 ]
 
 
@@ -254,6 +255,157 @@ def page_meta(
         [T.StructField("doc_id", T.StringType())]
         + [pruned.schema[c] for c in pt]
         + [
+            T.StructField("title", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    return pruned.mapInArrow(batches, out_schema)
+
+
+def harvest_all(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """Every harvest projection from ONE parse per document:
+    (doc_id, *passthrough, tables, links, title, lang, canonical,
+    meta) — tables an array<struct<table_idx,row_idx,is_header,
+    cells>>, links an array<struct<link_idx,url,anchor_text>>. The
+    three walkers (xkit.harvest) each cost a fraction of the
+    tokenize+repair they share, so combined harvest ≈ one single
+    projection's price instead of three (same fused-pass rationale as
+    project_docs / select_multi). Explode the arrays downstream for
+    the row-shaped twins of table_rows / doc_links."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import unpack_spans
+
+    pt = [c for c in passthrough if c in df.columns]
+    pruned = df.select("doc_id", *pt, "spans")
+    base = options.base_url
+    fragment = options.fragment
+
+    pa_table = pa.struct(
+        [
+            pa.field("table_idx", pa.int32()),
+            pa.field("row_idx", pa.int32()),
+            pa.field("is_header", pa.bool_()),
+            pa.field("cells", pa.list_(pa.string())),
+        ]
+    )
+    pa_link = pa.struct(
+        [
+            pa.field("link_idx", pa.int32()),
+            pa.field("url", pa.string()),
+            pa.field("anchor_text", pa.string()),
+        ]
+    )
+
+    def doc_all(kinds, texts, offsets):
+        tables: list = []
+        links: list = []
+        title = lang = canonical = None
+        meta: dict = {}
+        t_base = 0
+        for events in _doc_events(kinds, texts, offsets, fragment):
+            rows = harvest_tables(events)
+            for t_idx, r_idx, is_header, cells in rows:
+                tables.append(
+                    {
+                        "table_idx": t_base + t_idx,
+                        "row_idx": r_idx,
+                        "is_header": is_header,
+                        "cells": cells,
+                    }
+                )
+            if rows:
+                t_base += rows[-1][0] + 1
+            for url, text in harvest_links(events, base=base):
+                links.append(
+                    {"link_idx": len(links), "url": url, "anchor_text": text}
+                )
+            t, lg, cn, m = harvest_meta(events, base=base)
+            title = title if title is not None else t
+            lang = lang if lang is not None else lg
+            canonical = canonical if canonical is not None else cn
+            for k, v in m.items():
+                if k not in meta:
+                    meta[k] = v
+        return tables, links, title, lang, canonical, list(meta.items())
+
+    def batches(it):
+        for batch in it:
+            spans_idx = len(pt) + 1
+            offs, kind_l, text_l, _ref_l, off_l, nulls, n_rows = unpack_spans(
+                batch, spans_idx
+            )
+            cols_out = {k: [] for k in ("tables", "links", "title", "lang", "canonical", "meta")}
+            for i in range(n_rows):
+                if nulls is None or nulls[i]:
+                    s, e = offs[i], offs[i + 1]
+                    tb, lk, t, lg, cn, m = doc_all(
+                        kind_l[s:e], text_l[s:e], off_l[s:e]
+                    )
+                    vals = (tb, lk, t, lg, cn, m)
+                else:
+                    vals = (None, None, None, None, None, None)
+                for k, v in zip(cols_out, vals):
+                    cols_out[k].append(v)
+            cols = [batch.column(j) for j in range(spans_idx)] + [
+                pa.array(cols_out["tables"], pa.list_(pa_table)),
+                pa.array(cols_out["links"], pa.list_(pa_link)),
+                pa.array(cols_out["title"], pa.string()),
+                pa.array(cols_out["lang"], pa.string()),
+                pa.array(cols_out["canonical"], pa.string()),
+                pa.array(cols_out["meta"], pa.map_(pa.string(), pa.string())),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    [batch.schema.field(j) for j in range(spans_idx)]
+                    + [
+                        pa.field("tables", pa.list_(pa_table)),
+                        pa.field("links", pa.list_(pa_link)),
+                        pa.field("title", pa.string()),
+                        pa.field("lang", pa.string()),
+                        pa.field("canonical", pa.string()),
+                        pa.field("meta", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType())]
+        + [pruned.schema[c] for c in pt]
+        + [
+            T.StructField(
+                "tables",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("table_idx", T.IntegerType()),
+                            T.StructField("row_idx", T.IntegerType()),
+                            T.StructField("is_header", T.BooleanType()),
+                            T.StructField("cells", T.ArrayType(T.StringType())),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "links",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("link_idx", T.IntegerType()),
+                            T.StructField("url", T.StringType()),
+                            T.StructField("anchor_text", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
             T.StructField("title", T.StringType()),
             T.StructField("lang", T.StringType()),
             T.StructField("canonical", T.StringType()),
