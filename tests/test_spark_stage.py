@@ -1040,6 +1040,57 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
 
 
+def test_build_training_corpus_all_tiers_on(spark, corpus_path, tmp_path):
+    """Every funnel tier enabled at once — markdown view, line dedup,
+    PII scrub, near-dup keepers, ensemble gate, packing — over the
+    real synthetic corpus: tiers must compose (checkpoint carries the
+    markdown column through the CC rounds), the funnel stays monotone,
+    and the landed output has both views plus a valid packing plan."""
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    out = str(tmp_path / "train_all")
+    funnel = build_training_corpus(
+        spark,
+        corpus_path,
+        out,
+        langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0,
+        min_tokens=1,
+        near_dup="both",
+        dedup_lines=True,
+        redact_pii=True,
+        ensemble_threshold=0.0,
+        pack_context_len=64,
+        emit_markdown=True,
+    )
+    assert (
+        funnel["extracted"]
+        >= funnel["deduped"]
+        >= funnel["lang_kept"]
+        >= funnel["quality_kept"]
+        >= funnel["written"]
+        > 0
+    )
+    landed = spark.read.parquet(out)
+    assert {"doc_id", "text", "markdown", "lang_guess"} <= set(landed.columns)
+    some = landed.where("markdown IS NOT NULL").count()
+    assert some > 0
+    plan = spark.read.parquet(funnel["pack_output_path"])
+    assert plan.count() == funnel["plan_rows"] > 0
+    # deterministic rerun of the whole stack
+    funnel2 = build_training_corpus(
+        spark, corpus_path, str(tmp_path / "train_all2"),
+        langs=("en", "de", "fr", "es", "zh"), min_quality=0.0, min_tokens=1,
+        near_dup="both", dedup_lines=True, redact_pii=True,
+        ensemble_threshold=0.0, pack_context_len=64, emit_markdown=True,
+    )
+    assert funnel == {
+        **funnel2,
+        "output_path": out,
+        "pack_output_path": out + "_pack",
+    }
+
+
 def test_build_training_corpus_pack_plan(spark, corpus_path, tmp_path):
     """pack_context_len finishes the funnel with a packing plan over
     the LANDED corpus: every landed token covered exactly once, every
