@@ -151,3 +151,29 @@ def test_meta_property_wins_over_name_on_one_tag():
         _ev("<meta name='title' property='og:type' content='article'>")
     )
     assert got[3] == {"og:type": "article"}
+
+
+def test_base_tag_composes_with_caller_base():
+    # in-page <base href> resolves against the caller's base, and
+    # applies to links BEFORE it in document order too (deferred rule)
+    html = (
+        "<a href='early'>e</a>"
+        "<head><base href='/sub/dir/'>"
+        "<link rel='canonical' href='page.html'></head>"
+        "<a href='late'>l</a>"
+    )
+    got = harvest_links(_ev(html), base="http://e.com/a/b/")
+    assert got == [
+        ("http://e.com/sub/dir/early", "e"),
+        ("http://e.com/sub/dir/late", "l"),
+    ]
+    assert harvest_meta(_ev(html), base="http://e.com/a/b/")[2] == (
+        "http://e.com/sub/dir/page.html"
+    )
+    # absolute in-page base stands alone; only the FIRST base counts
+    html2 = "<base href='http://cdn.org/x/'><base href='/zzz/'><a href='p'>p</a>"
+    assert harvest_links(_ev(html2)) == [("http://cdn.org/x/p", "p")]
+    # no base tag: caller base unchanged (frozen earlier behavior)
+    assert harvest_links(_ev("<a href='p'>p</a>"), base="http://e.com/d/") == [
+        ("http://e.com/d/p", "p")
+    ]

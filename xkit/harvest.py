@@ -112,15 +112,22 @@ def harvest_tables(events: list) -> list:
 
 def harvest_links(events: list, base: str | None = None) -> list:
     """``[(url, anchor_text), ...]`` for every ``<a href>`` in
-    document order (module doc has the semantics)."""
-    out: list = []
+    document order (module doc has the semantics).
+
+    A document's FIRST ``<base href>`` participates per the HTML
+    base-URL rule: the effective base is ``urljoin(base, base_href)``
+    (the in-page base resolved against the caller's, exactly how a
+    browser composes them) and applies to every link regardless of
+    position — resolution is deferred to end-of-walk so anchors
+    before the ``<base>`` tag resolve identically to those after."""
     # stack of [href_or_None, buf, order] — nested anchors each collect
     # their own subtree text; order fixes emission to OPEN order even
     # though the text completes at close
     stack: list = []
     drop = 0
     n_opened = 0
-    done: list = []  # (order, url, text) finished anchors
+    done: list = []  # (order, raw_href, text) finished anchors
+    base_href = None
     for ev in events:
         kind = ev[0]
         if kind == "text":
@@ -142,6 +149,10 @@ def harvest_links(events: list, base: str | None = None) -> list:
                 if alt:
                     for entry in stack:
                         entry[1].append(" %s " % alt)
+            elif tag == "base" and base_href is None:
+                bh = ev[2].get("href")
+                if bh:
+                    base_href = bh
         elif kind == "close":
             if drop:
                 drop -= 1
@@ -149,10 +160,10 @@ def harvest_links(events: list, base: str | None = None) -> list:
             if ev[1] == "a" and stack:
                 href, buf, order = stack.pop()
                 if href:
-                    url = urljoin(base, href) if base else href
-                    done.append((order, url, _collapse("".join(buf))))
+                    done.append((order, href, _collapse("".join(buf))))
     done.sort()
-    return [(u, t) for _, u, t in done]
+    eff = urljoin(base, base_href) if (base and base_href) else (base_href or base)
+    return [(urljoin(eff, h) if eff else h, t) for _, h, t in done]
 
 
 def harvest_meta(events: list, base: str | None = None) -> tuple:
@@ -165,13 +176,14 @@ def harvest_meta(events: list, base: str | None = None) -> tuple:
     style — wins over ``name`` on one tag; FIRST occurrence of a key
     wins, matching A7's duplicate-attribute rule). Head content is
     deliberately invisible to extraction/markdown — this is the one
-    projection that reads it. ``<base href>`` is NOT honored
-    (documented: base comes from the caller, as everywhere else).
-    Missing pieces are None / {}.
+    projection that reads it. The first ``<base href>`` composes with
+    the caller's ``base`` for canonical resolution (same deferred rule
+    as harvest_links). Missing pieces are None / {}.
     """
     title = None
     lang = None
     canonical = None
+    base_href = None
     meta: dict = {}
     in_title = 0
     title_buf: list = []
@@ -198,7 +210,12 @@ def harvest_meta(events: list, base: str | None = None) -> tuple:
                 if canonical is None and attrs.get("rel", "").lower() == "canonical":
                     href = attrs.get("href")
                     if href:
-                        canonical = urljoin(base, href) if base else href
+                        canonical = href  # resolved after the walk
+            elif tag == "base":
+                if base_href is None:
+                    bh = ev[2].get("href")
+                    if bh:
+                        base_href = bh
             elif tag == "html":
                 if lang is None:
                     lv = ev[2].get("lang")
@@ -212,4 +229,10 @@ def harvest_meta(events: list, base: str | None = None) -> tuple:
                     title_buf = []
                     if t and title is None:
                         title = t
+    if canonical is not None:
+        eff = (
+            urljoin(base, base_href) if (base and base_href) else (base_href or base)
+        )
+        if eff:
+            canonical = urljoin(eff, canonical)
     return title, lang, canonical, meta
