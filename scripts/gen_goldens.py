@@ -540,6 +540,10 @@ MARKDOWN_CASES = [
     ('transparent_inline_spans',
      '<p><span>span</span> <u>u</u> <small>small</small></p>',
      None),
+    ('base_tag_composes_with_caller_base',
+     "<head><base href='/sub/'></head><p><a href='p.html'>x</a> "
+     "<img src='i.png' alt='a'></p>",
+     'http://ex.com/a/b.html'),
 ]
 
 # Selector-lite goldens (tests/golden/selector/selectors.json): every

@@ -93,6 +93,7 @@ def to_markdown(
     head, A18/§3.3).
     """
     drop_tags = _MD_FRAGMENT_DROP if fragment else _MD_DROP
+    base_seen = False
     blocks: list[str] = []  # finished blocks, joined with \n\n
     buf: list[str] = []  # current inline run
     drop_depth = 0
@@ -166,6 +167,16 @@ def to_markdown(
             continue
         if kind == "open":
             tag = ev[1]
+            # the first <base href> composes with the caller's base
+            # (browser rule) — captured even inside the dropped <head>
+            # subtree, BEFORE the drop check; open-time semantics:
+            # applies to links/images after it, which in practice is
+            # all of them (base precedes body content)
+            if tag == "base" and not base_seen:
+                bh = ev[2].get("href")
+                if bh:
+                    base = urljoin(base, bh) if base else bh
+                base_seen = True
             if drop_depth or tag in drop_tags:
                 # VOID tags never reach here unbalanced: repair emits
                 # open+close pairs, so depth counting stays exact
