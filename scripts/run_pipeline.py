@@ -64,6 +64,13 @@ def main() -> None:
         "spans + markdown, optionally + normalized xhtml, one parse per "
         "doc) into a noop sink instead of extraction",
     )
+    ap.add_argument(
+        "--harvest",
+        action="store_true",
+        help="materialize the combined one-parse harvest (tables + links "
+        "+ page metadata, harvest_all) into a noop sink instead of "
+        "extraction",
+    )
     args = ap.parse_args()
     if args.select is not None and args.xpath is not None:
         ap.error("pass at most one of --select / --xpath")
@@ -115,6 +122,16 @@ def main() -> None:
             with_size_salt(df, n), args.select, xpath=args.xpath, emit=args.emit
         ).write.mode("overwrite").format("noop").save()
         res = {"mode": "select_only"}
+    elif args.harvest:
+        from xhtmlkit_spark.operators.harvest_stage import harvest_all
+        from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
+
+        df = derive_part(spark.read.parquet(args.input))
+        n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
+        harvest_all(with_size_salt(df, n)).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        res = {"mode": "harvest_all"}
     elif args.project is not None:
         from xhtmlkit_spark.operators.project_stage import project_docs
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
