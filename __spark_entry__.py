@@ -532,6 +532,29 @@ def _q_distinct_counts(spark, sf_dir):
     )
 
 
+def _q_size_bucket_histogram(spark, sf_dir):
+    """The skew profile the salted repartition keys on (B24), as a
+    query: per-source document counts by log2-size bucket. The bucket
+    is the EXACT integer bit length (length of the binary string) —
+    never float log2, whose ln(x)/ln(2) formulation can land an ulp
+    above an integer at exact powers of two and flip ceil() between
+    engines."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.length(
+        F.conv(F.greatest(F.col("n_chars"), F.lit(1)).cast("string"), 10, 2)
+    ).cast("long")
+    g = d.groupBy("source", bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "size_bucket",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("share"),
+    )
+
+
 def _q_embedding_explode(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select(
@@ -1309,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "semi_customers_with_big_orders": _q_semi_customers_with_big_orders,
         "distinct_counts": _q_distinct_counts,
+        "size_bucket_histogram": _q_size_bucket_histogram,
         "value_percentiles": _q_value_percentiles,
         "rollup_order_stats": _q_rollup_order_stats,
         "approx_distinct": _q_approx_distinct,
@@ -1894,6 +1918,20 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND host NOT IN ({", ".join(f"'{h}'" for h in _URL_BLOCKLIST)}))
             SELECT doc_id, host, CAST(host_rank AS INTEGER) AS host_rank
             FROM kept WHERE host_rank <= 5
+        """,
+        "size_bucket_histogram": """
+            WITH b AS (
+              SELECT source,
+                CAST(length(bin(CAST(greatest(n_chars, 1) AS BIGINT))) AS BIGINT)
+                  AS size_bucket
+              FROM documents),
+            g AS (
+              SELECT source, size_bucket, COUNT(*) AS n_docs
+              FROM b GROUP BY source, size_bucket)
+            SELECT source, size_bucket, n_docs,
+                   round(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source), 6)
+                     AS share
+            FROM g
         """,
         "robots_policy": """
             WITH hosts AS (
