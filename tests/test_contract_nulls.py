@@ -34,6 +34,7 @@ QUERIES = [
     "fingerprints",
     "pii_redaction",
     "line_dedup_stats",
+    "size_bucket_histogram",
     "c4_line_stats",
     "quality_ensemble",
 ]
@@ -80,6 +81,9 @@ def null_sf_dir(spark, tmp_path_factory):
         (5, "", "en", "web", 0),
         (6, "   ", "en", "web", 3),
         (7, "entirely different words in this one", "en", "web", 36),
+        # NULL n_chars: greatest(NULL, 1) must agree across engines
+        # (size_bucket_histogram is the only consumer of n_chars)
+        (8, "histogram null chars probe", "en", "web", None),
     ]
     d = tmp_path_factory.mktemp("nulldocs")
     df = spark.createDataFrame(
