@@ -544,6 +544,17 @@ MARKDOWN_CASES = [
      "<head><base href='/sub/'></head><p><a href='p.html'>x</a> "
      "<img src='i.png' alt='a'></p>",
      'http://ex.com/a/b.html'),
+    # round-4 additions (ADVICE): markup inside pre renders as text
+    # only — <br> is a literal newline (never the \x00 sentinel),
+    # <img> contributes nothing
+    ('pre_with_br_and_img',
+     "<pre>a<br>b<img src='i.png' alt='pic'>c</pre>",
+     None),
+    # pre/hr inside an open table cell flatten into the cell; no
+    # fence or rule block may be emitted ahead of the table
+    ('pre_and_hr_inside_table_cell',
+     '<table><tr><td>a<pre>x  y</pre>b</td><td>c<hr>d</td></tr></table>',
+     None),
 ]
 
 # Selector-lite goldens (tests/golden/selector/selectors.json): every

@@ -10,8 +10,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 out="${1:-xkit.zip}"
 rm -f "$out"
-# -x drops bytecode caches; zip contents are deterministic enough for
-# --py-files (executors only import, never compare)
+# __pycache__ dirs are pruned in the walk below; zip contents are
+# deterministic enough for --py-files (executors only import)
 python - "$out" <<'EOF'
 import os, sys, zipfile
 

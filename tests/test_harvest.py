@@ -40,6 +40,18 @@ def test_tables_nested_flatten_into_cell():
     assert got == [(0, 0, False, ["outerinnertail"])]
 
 
+def test_tables_img_alt_inside_nested_table_contributes():
+    # nested-table content flattens into the enclosing cell, and that
+    # includes img alt — at any depth (matches harvest_links' rule)
+    got = harvest_tables(
+        _ev(
+            "<table><tr><td><table><tr><td><img alt='deep' src='s.png'>"
+            "</td></tr></table> outer</td></tr></table>"
+        )
+    )
+    assert got == [(0, 0, False, ["deep outer"])]
+
+
 def test_tables_empty_rows_dropped_empty_cells_kept():
     got = harvest_tables(_ev("<table><tr></tr><tr><td></td><td>x</td></tr></table>"))
     assert got == [(0, 0, False, ["", "x"])]

@@ -74,6 +74,14 @@ def harvest_tables(events: list) -> list:
                     row_idx = 0
                     row = None
                     cell = None
+            elif tag == "img":
+                # fires at ANY table depth: nested-table content
+                # flattens into the enclosing cell, and that includes
+                # img alt (matching harvest_links' any-depth rule)
+                if cell is not None:
+                    alt = ev[2].get("alt")
+                    if alt:
+                        cell.append(" %s " % alt)
             elif depth == 1:
                 if tag == "tr":
                     row = []
@@ -82,10 +90,6 @@ def harvest_tables(events: list) -> list:
                     cell = []
                     if tag == "th":
                         row_has_th = True
-                elif tag == "img" and cell is not None:
-                    alt = ev[2].get("alt")
-                    if alt:
-                        cell.append(" %s " % alt)
         elif kind == "close":
             tag = ev[1]
             if drop:

@@ -22,7 +22,10 @@ Scope (documented, frozen by tests/golden/markdown/):
 * ``table``/``tr``/``th``/``td`` → pipe tables (first row with any
   ``th`` becomes the header; ``|`` escaped in cells; nested tables
   flatten into the enclosing cell)
-* ``br`` → hard break (backslash-newline); ``hr`` → ``---``
+* ``br`` → hard break (backslash-newline); ``hr`` → ``---``; inside
+  ``pre`` a ``br`` is a literal newline and ``img`` contributes
+  nothing; inside a table cell, ``pre``/``hr`` flatten into the cell
+  (no fence/rule block may jump ahead of the table)
 * dropped entirely: script/style/noscript/template/head (incl. title)
   subtrees and comments/doctype — this is a CONTENT projection
 
@@ -183,7 +186,14 @@ def to_markdown(
                 drop_depth += 1
                 continue
             attrs = ev[2]
-            if tag == "br":
+            if pre_depth:
+                # markup inside pre renders as its text only: <br> is a
+                # real newline in the fence (never the \x00 hard-break
+                # sentinel, which would leak into the code block); <img>
+                # has no text content, so it contributes nothing
+                if tag == "br":
+                    buf.append("\n")
+            elif tag == "br":
                 (cell if cell is not None else buf).append(_BREAK)
             elif tag == "img":
                 src = attrs.get("src") or ""
@@ -191,11 +201,13 @@ def to_markdown(
                     src = urljoin(base, src)
                 alt = " ".join((attrs.get("alt") or "").split())
                 (cell if cell is not None else buf).append("![%s](%s)" % (alt, src))
-            elif pre_depth:
-                pass  # markup inside pre renders as its text only
             elif tag == "pre":
-                flush()
-                pre_depth += 1
+                # inside an open table cell, pre content flattens into
+                # the cell like any other nested content (no fence, no
+                # block reordering ahead of the table)
+                if cell is None:
+                    flush()
+                    pre_depth += 1
             elif tag in _HEADINGS:
                 flush()
                 heading = _HEADINGS[tag]
@@ -230,8 +242,11 @@ def to_markdown(
             elif tag == "code":
                 (cell if cell is not None else buf).append("`")
             elif tag == "hr":
-                flush()
-                emit_block("---")
+                # like pre: an <hr> inside an open cell must not emit a
+                # block ahead of the table — it flattens to nothing
+                if cell is None:
+                    flush()
+                    emit_block("---")
             elif tag == "table":
                 table_depth += 1
                 if table_depth == 1:
