@@ -26,10 +26,12 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 from xhtmlkit_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# FROZEN round-1 set — core12_total is computed over exactly these 12
+# every round, so BENCH_rNN totals compare directly across rounds even
+# as the headline grows (the headline total changed size r1→r2→r3 and
+# was never round-comparable).
+CORE12 = [
     "extract_spans",
-    "select_spans",
-    "dedup_groups",
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_region_revenue",
@@ -41,12 +43,22 @@ HEADLINE = [
     "minhash_signatures",
     "cosine_topk",
     "token_counts",
+]
+
+HEADLINE = CORE12 + [
+    "select_spans",
+    "dedup_groups",
     "line_dedup_stats",
-    # round-3 second-half additions (new rows, shared set above unchanged)
+    # round-3 second-half additions
     "select_html_spans",
     "url_host_policy",
     "markdown_docs",
     "doc_links",
+    # round-4 additions: the fused one-parse harvests (3.61× / 2.43× /
+    # 1.95× vs per-op parses in PLANS.md) tracked round-over-round
+    "harvest_all",
+    "page_meta",
+    "project_docs",
 ]
 
 
@@ -125,6 +137,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "core12_total": round(sum(times[q] for q in CORE12), 3),
         "queries": times,
         "sf": sf,
         "extract_docs": n_docs,
