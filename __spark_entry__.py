@@ -878,6 +878,9 @@ _ROBOTS_COMMON = (
     "\nUser-agent: fancybot\nDisallow: /\n\nUser-agent: *\n"
     "User-agent: megabot\nDisallow: /p/1\nAllow: /p/12\n"
     "Disallow: /p/3\nAllow: /p/3\n"
+    # Google-REP wildcards (round 4): any query string is blocked,
+    # except under /p/12; /p/7 is blocked only as the EXACT path
+    "Disallow: /*?\nAllow: /p/12?*\nDisallow: /p/7$\n"
 )
 
 
@@ -885,9 +888,12 @@ def _q_robots_policy(spark, sf_dir):
     """Crawl-frontier robots tier: per-host robots.txt parsed into
     star-agent rules (comment/blank handling, multi-UA groups via one
     running-sum window) and applied per URL with the Google-REP
-    longest-prefix / allow-wins-ties decision. Robots text and paths
-    planted deterministically from (source, doc_id); per-host variants
-    exercise extra-disallow and allow-root rules."""
+    longest-pattern / allow-wins-ties decision, wildcards included
+    (``*`` spans any run, trailing ``$`` anchors end-of-path). Robots
+    text and paths planted deterministically from (source, doc_id);
+    per-host variants exercise extra-disallow and allow-root rules,
+    and every fourth doc gets a ``?s=1`` query suffix so the wildcard
+    rules fire."""
     from xhtmlkit_spark.operators.urls import parse_robots, robots_filter
 
     d = _read(spark, sf_dir, "documents")
@@ -911,7 +917,11 @@ def _q_robots_policy(spark, sf_dir):
     urls = d.select(
         "doc_id",
         host.alias("host"),
-        F.concat(F.lit("/p/"), (F.col("doc_id") % 23).cast("string")).alias("path"),
+        F.concat(
+            F.lit("/p/"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?s=1")).otherwise(F.lit("")),
+        ).alias("path"),
     )
     return robots_filter(urls, rules).select(
         "doc_id", "host", "path", "allowed", "matched_directive", "matched_prefix"
@@ -1590,6 +1600,24 @@ _PII_PLANT_SQL = """concat_ws(' ', text,
            THEN 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END)"""
 
 
+def _robots_regex_sql(col: str) -> str:
+    """DuckDB twin of urls.robots_path_regex, generated from the SAME
+    escape list so the two compilers cannot drift: strip a trailing
+    ``$`` (end anchor), escape every regex metachar, turn ``*`` into
+    ``.*``, and re-anchor."""
+    from xhtmlkit_spark.operators.urls import _ROBOTS_ESCAPE
+
+    anchored = f"ends_with({col}, '$')"
+    body = (
+        f"CASE WHEN {anchored} THEN substr({col}, 1, length({col}) - 1) "
+        f"ELSE {col} END"
+    )
+    for ch in _ROBOTS_ESCAPE:
+        body = f"replace({body}, '{ch}', '\\{ch}')"
+    body = f"replace({body}, '*', '.*')"
+    return f"'^' || {body} || CASE WHEN {anchored} THEN '$' ELSE '' END"
+
+
 def _pii_oracle() -> str:
     from xhtmlkit_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -1941,7 +1969,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      AS share
             FROM g
         """,
-        "robots_policy": """
+        "robots_policy": f"""
             WITH hosts AS (
               SELECT DISTINCT
                 source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
@@ -1955,6 +1983,8 @@ def _oracle_sql_base() -> dict[str, str]:
                 || 'User-agent: *' || chr(10) || 'User-agent: megabot' || chr(10)
                 || 'Disallow: /p/1' || chr(10) || 'Allow: /p/12' || chr(10)
                 || 'Disallow: /p/3' || chr(10) || 'Allow: /p/3' || chr(10)
+                || 'Disallow: /*?' || chr(10) || 'Allow: /p/12?*' || chr(10)
+                || 'Disallow: /p/7$' || chr(10)
                 || CASE WHEN hidx = '1' THEN 'Disallow: /p/2' || chr(10) ELSE '' END
                 || CASE WHEN hidx = '2' THEN 'Allow: /' || chr(10) ELSE '' END
                 AS txt
@@ -1982,24 +2012,27 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT DISTINCT host, group_id FROM grouped
               WHERE is_ua AND value = '*'),
             rules AS (
-              SELECT g.host, g.key AS directive, g.value AS path_prefix
+              SELECT g.host, g.key AS directive, g.value AS path_prefix,
+                     {_robots_regex_sql("g.value")} AS path_regex
               FROM grouped g JOIN star_groups s
                 ON g.host = s.host AND g.group_id = s.group_id
               WHERE g.key IN ('allow', 'disallow') AND g.value <> ''),
             urls AS (
               SELECT doc_id,
                 source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
-                '/p/' || CAST(doc_id % 23 AS VARCHAR) AS path
+                '/p/' || CAST(doc_id % 23 AS VARCHAR)
+                || CASE WHEN doc_id % 4 = 0 THEN '?s=1' ELSE '' END AS path
               FROM documents),
             matched AS (
               SELECT u.doc_id, u.host, u.path, r.directive, r.path_prefix
               FROM urls u LEFT JOIN rules r
-                ON u.host = r.host AND starts_with(u.path, r.path_prefix)),
+                ON u.host = r.host AND regexp_matches(u.path, r.path_regex)),
             win AS (
               SELECT *, row_number() OVER (
                 PARTITION BY doc_id
                 ORDER BY length(path_prefix) DESC NULLS LAST,
-                         (directive = 'allow') DESC NULLS LAST) AS rn
+                         (directive = 'allow') DESC NULLS LAST,
+                         path_prefix ASC NULLS FIRST) AS rn
               FROM matched)
             SELECT doc_id, host, path,
                    (path_prefix IS NULL OR directive = 'allow') AS allowed,

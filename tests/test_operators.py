@@ -1408,7 +1408,9 @@ def test_robots_parse_and_filter(spark):
         "host string, robots_txt string",
     )
     rules = parse_robots(rdf)
-    got_rules = sorted(tuple(r) for r in rules.collect())
+    got_rules = sorted(
+        tuple(r) for r in rules.select("host", "directive", "path_prefix").collect()
+    )
     assert got_rules == [
         ("h.org", "allow", "/p/12"),
         ("h.org", "allow", "/p/3"),
@@ -1441,3 +1443,62 @@ def test_robots_parse_and_filter(spark):
         "d6": (True, None),
     }
     assert len(got) == urls.count()  # the left join never loses a row
+
+
+def test_robots_wildcards_matrix(spark):
+    """Google-REP wildcard matrix: ``*`` spans any run (incl. ``/``),
+    trailing ``$`` anchors end-of-path, interior ``$`` is literal,
+    regex metachars in patterns/paths stay literal, longest PATTERN
+    (octets) wins, ties go allow-first then lexically-smallest."""
+    from xhtmlkit_spark.operators.urls import parse_robots, robots_filter
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*?\n"          # any path containing a query string
+        "Allow: /p/ok?*\n"         # ...except under /p/ok
+        "Disallow: /exact$\n"      # exactly /exact, nothing longer
+        "Disallow: /a/*/deep\n"    # * crosses a path segment
+        "Disallow: /lit$eral\n"    # interior $ is a literal octet
+        "Disallow: /dot.x\n"       # '.' must not match any char
+        "Allow: /tie/aa\n"         # same length as the disallow below
+        "Disallow: /tie/ab\n"      # allow wins the length tie on /tie/a*...
+        "Allow: /tie/a*\n"         # wildcard same length as /tie/aa? no: 7 vs 7
+    )
+    rdf = spark.createDataFrame([("w.org", robots)], "host string, robots_txt string")
+    rules = parse_robots(rdf)
+    urls = spark.createDataFrame(
+        [
+            ("q0", "w.org", "/page?s=1"),        # /*? blocks
+            ("q1", "w.org", "/p/ok?s=1"),        # longer allow wins
+            ("q2", "w.org", "/page"),            # no ? → no /*? match
+            ("e0", "w.org", "/exact"),           # $ anchored: blocked
+            ("e1", "w.org", "/exact/sub"),       # past the anchor: allowed
+            ("s0", "w.org", "/a/x/y/deep"),      # * crosses segments
+            ("s1", "w.org", "/a/deep"),          # nothing between → no match
+            ("l0", "w.org", "/lit$eral"),        # interior $ literal
+            ("d0", "w.org", "/dotax"),           # '.' stays literal → no match
+            ("d1", "w.org", "/dot.x"),           # literal '.' matches itself
+            ("t0", "w.org", "/tie/aa"),          # allow/disallow-adjacent tie
+        ],
+        "doc_id string, host string, path string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        "q0": (False, "/*?"),
+        "q1": (True, "/p/ok?*"),
+        "q2": (True, None),
+        "e0": (False, "/exact$"),
+        "e1": (True, None),
+        "s0": (False, "/a/*/deep"),
+        "s1": (True, None),
+        "l0": (False, "/lit$eral"),
+        "d0": (True, None),
+        "d1": (False, "/dot.x"),
+        # /tie/aa matches allow /tie/aa (7), allow /tie/a* (7), and
+        # NOT disallow /tie/ab; among the two same-length allows the
+        # lexically-smallest pattern is reported (/tie/a* < /tie/aa)
+        "t0": (True, "/tie/a*"),
+    }

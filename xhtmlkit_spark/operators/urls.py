@@ -31,6 +31,7 @@ __all__ = [
     "cap_per_host",
     "parse_robots",
     "robots_filter",
+    "robots_path_regex",
 ]
 
 # scheme://authority — authority ends at /, ?, or #
@@ -81,11 +82,38 @@ def cap_per_host(
     )
 
 
+# regex metacharacters escaped when compiling a robots path pattern;
+# backslash must go FIRST (later escapes insert backslashes), '*' is
+# excluded (it becomes '.*') and '$' is handled separately (special
+# only as the final character per Google REP)
+_ROBOTS_ESCAPE = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$"]
+
+
+def robots_path_regex(pattern: Column) -> Column:
+    """Compile a robots.txt path pattern into an anchored regex column
+    (Google REP: ``*`` matches any character run including ``/``;
+    ``$`` anchors end-of-path when it is the LAST character, and is a
+    literal octet anywhere else). The output stays inside the
+    RE2 ∩ java.util.regex subset — only literal escapes, ``.*``, and
+    the ``^``/``$`` anchors — so the DuckDB oracle compiles the same
+    pattern with the same string-replace chain."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    for ch in _ROBOTS_ESCAPE:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def parse_robots(
     df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
     """Parse one robots.txt per host into ``(host, directive,
-    path_prefix)`` rules for the ``*`` user-agent.
+    path_prefix, path_regex)`` rules for the ``*`` user-agent.
 
     Subset implemented (the 1994 REP core, Google-REP group
     semantics): ``#`` comments stripped, blank lines ignored,
@@ -93,9 +121,10 @@ def parse_robots(
     containing ``*`` contributes its rules), ``Allow``/``Disallow``
     with a non-empty value become rules (an empty ``Disallow:`` means
     "allow everything" in REP — dropping it is equivalent here since
-    no-match ⇒ allowed in :func:`robots_filter`). Wildcard metachars
-    (``*``/``$``) in paths are treated as literal prefix characters —
-    documented subset, identical in the DuckDB oracle.
+    no-match ⇒ allowed in :func:`robots_filter`). Google-REP wildcards
+    are honored: ``*`` in a pattern matches any character run and a
+    trailing ``$`` anchors end-of-path (``path_regex`` carries the
+    compiled form; :func:`robots_path_regex` has the rules).
 
     Entirely window/filter expressions — the group structure is a
     per-host running sum over line index, so the only shuffle is one
@@ -134,6 +163,7 @@ def parse_robots(
         "host",
         F.col("key").alias("directive"),
         F.col("value").alias("path_prefix"),
+        robots_path_regex(F.col("value")).alias("path_regex"),
     )
 
 
@@ -145,13 +175,18 @@ def robots_filter(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Google-REP decision per row: among the host's rules whose
-    ``path_prefix`` prefixes the row's path, the LONGEST prefix wins;
-    a length tie goes to ``allow``; no matching rule (or no rules for
-    the host at all) means allowed. Adds ``allowed`` plus the winning
+    pattern matches the row's path (wildcards compiled by
+    :func:`robots_path_regex`), the LONGEST pattern — most specific by
+    octet length, Google's rule — wins; a length tie goes to
+    ``allow``, then to the lexically-smallest pattern (with wildcards,
+    two DISTINCT same-length patterns can both match, so the final
+    tie-break must be deterministic for cross-engine equality); no
+    matching rule (or no rules for the host at all) means allowed.
+    Adds ``allowed`` plus the winning
     ``matched_directive``/``matched_prefix`` (NULL when nothing
     matched) for auditability.
 
-    Shape: one equi-join on host (prefix test rides the join
+    Shape: one equi-join on host (the regex test rides the join
     condition, so unmatched rows survive as NULL — a row is never
     lost), then a per-row window over its handful of matched rules.
     Rules-per-host is robots-file-bounded (~KBs), so the fan-out is a
@@ -161,14 +196,16 @@ def robots_filter(
         F.col("host").alias("__r_host"),
         F.col("directive").alias("__r_dir"),
         F.col("path_prefix").alias("__r_prefix"),
+        F.col("path_regex").alias("__r_regex"),
     )
-    cond = (F.col(host_col) == F.col("__r_host")) & F.col(path_col).startswith(
-        F.col("__r_prefix")
+    cond = (F.col(host_col) == F.col("__r_host")) & F.regexp_like(
+        F.col(path_col), F.col("__r_regex")
     )
     j = df.join(r, cond, "left")
     w = Window.partitionBy(key_col).orderBy(
         F.length("__r_prefix").desc(),
         (F.col("__r_dir") == "allow").desc(),
+        F.asc("__r_prefix"),
     )
     return (
         j.withColumn("__rn", F.row_number().over(w))
