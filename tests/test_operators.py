@@ -1335,6 +1335,52 @@ def test_pack_chunks_shuffled_order_and_no_bounds_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pack_chunks_quantile_buckets_balance_powerlaw_ids(spark):
+    """quantile_buckets on a planted power-law id space: the emitted
+    plan is identical to the uniform-range path (bucketing only
+    decomposes the prefix sum), and the bucket row counts stay
+    balanced where uniform ranges pile ~everything into bucket 0."""
+    from xhtmlkit_spark.operators.packing import _assign_buckets, pack_chunks
+
+    # power-law ids: the top id is ~2^40, but 90% of docs sit below 2^8
+    rows = [
+        (2 ** (1 + (i * i) % 40) + i, "tok " * (3 + i % 7))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(map(tuple, pack_chunks(df, context_len=16, **kw).collect()))
+
+    assert run(quantile_buckets=True, n_buckets=8) == run(n_buckets=8)
+    assert run(quantile_buckets=True, n_buckets=8) == run(
+        quantile_buckets=True, n_buckets=3
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = df.select("doc_id", F.lit(1).cast("long").alias("n_tok"))
+    def spread(quantile):
+        counts = [
+            r["c"]
+            for r in _assign_buckets(docs, 8, None, quantile)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        return max(counts), len(counts)
+
+    q_max, q_nonempty = spread(True)
+    u_max, _ = spread(False)
+    n = len(rows)
+    # uniform ranges on this id space collapse: nearly every doc lands
+    # in one bucket; quantile bounds keep the biggest bucket within 3x
+    # of the ideal n/8 share and actually use the buckets
+    assert u_max > 0.8 * n
+    assert q_max <= 3 * (n / 8)
+    assert q_nonempty >= 6
+
+
 # ------------------------------------------------------------------ urls
 
 

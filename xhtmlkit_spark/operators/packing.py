@@ -27,9 +27,14 @@ classic two-phase distributed prefix sum:
 5. one ``explode(sequence(first_chunk, last_chunk))`` emits the
    per-chunk slices — fan-out bounded by n_tok/context_len per doc.
 
-At sandbox scale the bucketing is uniform over the id range; on a
-skewed production id space the bucket bounds would come from
-``approxQuantile`` instead (same plan shape). Ids must be numeric and
+The ordered path offers two bucket-bounds strategies: uniform ranges
+over [min, max] (default — right when ids are dense), and
+``quantile_buckets=True``, which spends one bounded ``approxQuantile``
+pass to place the cut points at id-distribution quantiles so a
+power-law id space still yields balanced buckets (same plan shape;
+the cut points ship as a literal array, so assignment stays
+row-local). Bucketing only decomposes the prefix sum — the emitted
+plan is identical under either strategy. Ids must be numeric and
 orderable — the packing order is ascending ``doc_id``.
 """
 
@@ -43,6 +48,76 @@ from xhtmlkit_spark.operators.text_stats import tokens_col
 __all__ = ["pack_chunks"]
 
 
+def _assign_buckets(
+    docs: DataFrame,
+    n_buckets: int,
+    shuffle_seed: str | None,
+    quantile_buckets: bool,
+) -> DataFrame:
+    """Add ``bucket`` (ordered range id) and ``__ord`` (packing order
+    key) to a ``(doc_id, n_tok)`` frame — the decomposition step of
+    the distributed prefix sum. Bucket bounds never change the emitted
+    plan, only how evenly the within-bucket windows parallelize."""
+    if shuffle_seed is not None:
+        # deterministic shuffle: order by md5(seed ‖ id); buckets are
+        # ordered ranges of the (uniform) hash space — no bounds pass
+        return docs.withColumn(
+            "__ord",
+            F.md5(F.concat(F.lit(shuffle_seed), F.col("doc_id").cast("string"))),
+        ).withColumn(
+            "bucket",
+            F.expr(
+                f"cast(conv(substring(__ord, 1, 4), 16, 10) as bigint)"
+                f" * {n_buckets} div 65536"
+            ),
+        )
+    if quantile_buckets:
+        # skewed-id path: one bounded approxQuantile action places the
+        # n_buckets-1 cut points at id-distribution quantiles, so a
+        # power-law id space still fills buckets evenly. The cut list
+        # (≤ n_buckets-1 doubles, deduped — heavy id repetition can
+        # collapse adjacent quantiles) broadcasts as a LITERAL array;
+        # assignment is a row-local count of cuts ≤ id, zero shuffle.
+        # Ids are compared as doubles: exact up to 2^53, and beyond
+        # that a boundary-id misassignment only shifts bucket balance,
+        # never the plan.
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = docs.select(
+            F.col("doc_id").cast("double").alias("__id")
+        ).approxQuantile("__id", probs, 1.0 / (4 * n_buckets))
+        cuts = sorted(set(cuts))
+        bucket = (
+            F.size(
+                F.filter(
+                    F.lit(cuts).cast("array<double>"),
+                    lambda b: b <= F.col("doc_id").cast("double"),
+                )
+            ).cast("bigint")
+            if cuts
+            else F.lit(0).cast("bigint")
+        )
+        return docs.withColumn("bucket", bucket).withColumn(
+            "__ord", F.col("doc_id")
+        )
+    # ordered range buckets over the id space (bounds = a broadcast
+    # 1-row aggregate; the same bounded scalar-append shape as
+    # tfidf_top_terms' corpus total)
+    bounds = docs.agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"least(cast({n_buckets - 1} as bigint),"
+                f" (cast(doc_id as bigint) - cast(__lo as bigint)) * {n_buckets}"
+                f" div (cast(__hi as bigint) - cast(__lo as bigint) + 1))"
+            ),
+        )
+        .drop("__lo", "__hi")
+        .withColumn("__ord", F.col("doc_id"))
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     context_len: int = 512,
@@ -51,6 +126,7 @@ def pack_chunks(
     text_col: str = "text",
     count_col: str | None = None,
     shuffle_seed: str | None = None,
+    quantile_buckets: bool = False,
 ) -> DataFrame:
     """Packing plan: one row per (doc, chunk) incidence.
 
@@ -68,6 +144,13 @@ def pack_chunks(
     seed, rerun = identical plan), and the prefix-sum buckets switch
     to ordered ranges of the hash space — uniform by construction, so
     this path needs no id-bounds broadcast at all.
+
+    ``quantile_buckets=True`` (ordered path only) derives the bucket
+    bounds from one bounded ``approxQuantile`` pass instead of the
+    uniform [min, max] split — use it when the id space is skewed
+    (power-law ids pile into one uniform bucket and serialize its
+    window). The output plan is identical either way; only the
+    prefix-sum parallelism changes.
 
     The (doc_id, n_tok) subtree feeds BOTH the bucket-totals aggregate
     and the per-row offsets, so a lazy plan scans and tokenizes the
@@ -95,39 +178,7 @@ def pack_chunks(
             F.size(tokens_col(text_col)).cast("long").alias("n_tok"),
         )
 
-    if shuffle_seed is not None:
-        # deterministic shuffle: order by md5(seed ‖ id); buckets are
-        # ordered ranges of the (uniform) hash space — no bounds pass
-        docs = docs.withColumn(
-            "__ord",
-            F.md5(F.concat(F.lit(shuffle_seed), F.col("doc_id").cast("string"))),
-        ).withColumn(
-            "bucket",
-            F.expr(
-                f"cast(conv(substring(__ord, 1, 4), 16, 10) as bigint)"
-                f" * {n_buckets} div 65536"
-            ),
-        )
-    else:
-        # ordered range buckets over the id space (bounds = a broadcast
-        # 1-row aggregate; the same bounded scalar-append shape as
-        # tfidf_top_terms' corpus total)
-        bounds = docs.agg(
-            F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
-        )
-        docs = (
-            docs.crossJoin(F.broadcast(bounds))
-            .withColumn(
-                "bucket",
-                F.expr(
-                    f"least(cast({n_buckets - 1} as bigint),"
-                    f" (cast(doc_id as bigint) - cast(__lo as bigint)) * {n_buckets}"
-                    f" div (cast(__hi as bigint) - cast(__lo as bigint) + 1))"
-                ),
-            )
-            .drop("__lo", "__hi")
-            .withColumn("__ord", F.col("doc_id"))
-        )
+    docs = _assign_buckets(docs, n_buckets, shuffle_seed, quantile_buckets)
 
     # bucket totals -> bucket prefix sum. The un-partitioned window is
     # bounded at n_buckets rows by construction (never corpus-sized).
