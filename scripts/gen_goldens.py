@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from xkit.doc import extract_doc  # noqa: E402
 from xkit.options import ExtractOptions  # noqa: E402
-from xkit.pdfmini import make_fixture_pdf  # noqa: E402
+from xkit.pdfmini import make_fixture_pdf, make_fixture_pdf_two_fonts  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
@@ -132,6 +132,17 @@ PDF_ENC_LOCKED = make_fixture_pdf_encrypted(
 # 2.B password hash; the locked AES doc degrades like the RC4 one
 PDF_TOUNICODE_ARRAY = make_fixture_pdf(
     [["Ωμέγα array form", "δend"]], tounicode=True, tounicode_ranges="array"
+)
+# round 4: per-Tf font tracking — /F1 and /F2 map the SAME codes to
+# DIFFERENT characters; only an active-font-aware reader decodes both
+# blocks (and the mid-BT switch) correctly. The pre_tf variant also
+# shows text before any Tf taking the page-union default.
+PDF_TWO_FONTS = make_fixture_pdf_two_fonts(f1_text="Alpha", f2_text="Omega")
+PDF_TWO_FONTS_PRE_TF = make_fixture_pdf_two_fonts(
+    f1_text="AB", f2_text="xy", mixed=False, pre_tf=True
+)
+PDF_TWO_FONTS_UNICODE = make_fixture_pdf_two_fonts(
+    f1_text="héllo", f2_text="混合页"
 )
 PDF_ENC_AESV2 = make_fixture_pdf_encrypted(
     [["Aes v4 crypt filter secret", "second line"]], r=4
@@ -392,6 +403,9 @@ CASES = {
         ("pdf_tounicode_bfrange", [("pdf", PDF_TOUNICODE_BFRANGE, None)]),
         ("pdf_tounicode_chained_filters", [("pdf", PDF_TOUNICODE_CHAINED, None)]),
         ("pdf_tounicode_bfrange_array_dst", [("pdf", PDF_TOUNICODE_ARRAY, None)]),
+        ("pdf_two_fonts_conflicting_codes", [("pdf", PDF_TWO_FONTS, None)]),
+        ("pdf_two_fonts_pre_tf_union_default", [("pdf", PDF_TWO_FONTS_PRE_TF, None)]),
+        ("pdf_two_fonts_unicode_texts", [("pdf", PDF_TWO_FONTS_UNICODE, None)]),
         ("pdf15_xrefstream_objstm_predictor", [("pdf", PDF15_OBJSTM, None)]),
         ("pdf15_xrefstream_plain_rows", [("pdf", PDF15_PLAIN, None)]),
         ("pdf15_xrefstream_multipage", [("pdf", PDF15_MULTIPAGE, None)]),

@@ -525,3 +525,48 @@ class TestEncryption:
         j = pdf6.find("/UE <")
         mangled6 = pdf6[: j + 5] + "00" + pdf6[pdf6.find(">", j + 5) :]
         assert extract_pdf_text(mangled6) == []
+
+
+def test_two_fonts_per_tf_tracking():
+    """Per-Tf font tracking (round 4): /F1 and /F2 map the SAME codes
+    to different characters — each block decodes through the ACTIVE
+    font's map, including a mid-BT switch."""
+    from xkit.pdfmini import make_fixture_pdf_two_fonts
+
+    pdf = make_fixture_pdf_two_fonts(f1_text="Alpha", f2_text="Omega")
+    assert extract_pdf_text(pdf) == ["Alpha", "Omega", "Alpha Omega"]
+
+
+def test_two_fonts_pre_tf_uses_union_default():
+    """Text shown before any Tf decodes through the page-union default
+    (later fonts win conflicting codes — frozen dialect)."""
+    from xkit.pdfmini import make_fixture_pdf_two_fonts
+
+    pdf = make_fixture_pdf_two_fonts(f1_text="AB", f2_text="xy",
+                                     mixed=False, pre_tf=True)
+    # the leading no-Tf block shows F1's codes but decodes via the
+    # union, where F2 clobbered the shared codes
+    assert extract_pdf_text(pdf) == ["xy", "AB", "xy"]
+
+
+def test_two_fonts_unknown_tf_name_falls_back_to_union():
+    from xkit.pdfmini import make_fixture_pdf_two_fonts
+
+    pdf = make_fixture_pdf_two_fonts(f1_text="AB", f2_text="xy", mixed=False)
+    patched = pdf.replace("/F1 12 Tf", "/F9 12 Tf")
+    # /F9 is not in the font table: its block takes the union default
+    assert extract_pdf_text(patched) == ["xy", "xy"]
+
+
+def test_two_fonts_hex_escaped_name_matches():
+    """#xx hex escapes in the Tf operand normalize against the /Font
+    dict key (PDF name rule)."""
+    from xkit.pdfmini import make_fixture_pdf_two_fonts
+
+    pdf = make_fixture_pdf_two_fonts(f1_text="AB", f2_text="xy", mixed=False)
+    # escape the '1' (0x31): /F#31 == /F1. The two edits are
+    # length-neutral IN TOTAL so the xref offsets of the font objects
+    # behind the content stream stay valid
+    patched = pdf.replace("/F1 12 Tf\n0 600 Td", "/F#31 12 Tf\n0 6 Td")
+    assert len(patched) == len(pdf)
+    assert extract_pdf_text(patched) == ["AB", "xy"]

@@ -31,13 +31,18 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
 * **minimal /ToUnicode CMaps** for hex-string text: each page's
   ``/Resources /Font`` entries are followed to their ``/ToUnicode``
   streams; ``bfchar`` pairs and scalar + array-destination ``bfrange`` runs (UTF-16BE
-  destinations) are parsed into one code→text map per page (union over
-  the page's fonts — per-``Tf`` font switching is NOT tracked), with
-  the code width taken from ``begincodespacerange``. Hex strings on a
-  CMapped page decode through the map (unmapped codes fall back to
-  chr(code) below 256, U+FFFD above); pages without a CMap keep the
-  latin-1 byte rule. CID-keyed font program tables remain out
-  of scope.
+  destinations) are parsed into one code→text map PER FONT NAME, with
+  the code width taken from ``begincodespacerange``. The active font
+  is tracked through ``Tf`` (round 4): each show-string decodes
+  through the CURRENT font's map, so two fonts mapping the same code
+  to different characters decode correctly; text before any ``Tf``
+  (or under a name missing from the table) uses the page-union
+  default, and ``q``/``Q`` save/restore of the text state is out of
+  scope (documented — a ``Q`` never restores a previous ``Tf`` here).
+  Hex strings on a CMapped page decode through the map (unmapped
+  codes fall back to chr(code) below 256, U+FFFD above); pages
+  without a CMap keep the latin-1 byte rule. CID-keyed font program
+  tables remain out of scope.
 
 * **xref STREAMS and object STREAMS** (PDF 1.5+): every object whose
   dict says ``/Type /XRef`` is decoded (its /Filter chain, then the
@@ -103,6 +108,7 @@ __all__ = [
     "make_fixture_pdf",
     "make_fixture_pdf_15",
     "make_fixture_pdf_encrypted",
+    "make_fixture_pdf_two_fonts",
 ]
 
 # no EOL requirement before `endstream`: a compressed body whose final
@@ -123,6 +129,7 @@ _CONTENT_RE = re.compile(
       | \b(?P<TJ>TJ)\b
       | (?P<quote>['"])
       | (?P<td>-?[0-9.]+\s+-?[0-9.]+\s+Td)\b
+      | (?P<tf>/(?P<tfname>[^\s/<>\[\]()]+)\s+-?[0-9.]+\s+Tf)\b
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -167,13 +174,23 @@ def _hex_string_text(hexbody: bytes, cmap: dict | None, width: int) -> str:
 
 
 def _scan_content(
-    body: bytes, blocks: list, cmap: dict | None = None, code_width: int = 2
+    body: bytes,
+    blocks: list,
+    cmap: dict | None = None,
+    code_width: int = 2,
+    fonts: dict | None = None,
 ) -> None:
     """Token-scan ONE (possibly concatenated) content stream, appending
-    each non-empty BT…ET text object to ``blocks``."""
+    each non-empty BT…ET text object to ``blocks``. ``fonts`` maps
+    normalized font names to per-font ``(cmap, width)``; a ``Tf``
+    switches the active map (text-state is stream-global per the PDF
+    graphics state — q/Q save/restore of the font is out of scope,
+    documented). ``(cmap, code_width)`` is the page default, applied
+    before any ``Tf`` and for names missing from the table."""
     in_bt = False
     parts: list[str] = []
     pending: list[str] = []  # strings seen since the last show op
+    cur_cmap, cur_width = cmap, code_width
     for m in _CONTENT_RE.finditer(body):
         if m.group("str") is not None:
             if in_bt:
@@ -182,7 +199,15 @@ def _scan_content(
             # <48656C6C6F> hex string form; whitespace allowed inside,
             # odd trailing digit pads with 0 (PDF spec rule)
             if in_bt:
-                pending.append(_hex_string_text(m.group("hexbody"), cmap, code_width))
+                pending.append(
+                    _hex_string_text(m.group("hexbody"), cur_cmap, cur_width)
+                )
+        elif m.group("tf"):
+            # font switch applies inside AND outside BT (text state
+            # persists across text objects)
+            cur_cmap, cur_width = (fonts or {}).get(
+                _pdf_name_key(m.group("tfname")), (cmap, code_width)
+            )
         elif m.group("bt"):
             in_bt, parts, pending = True, [], []
         elif m.group("et"):
@@ -871,26 +896,42 @@ def _parse_tounicode(body: bytes) -> tuple[dict, int]:
     return cmap, width
 
 
-def _page_cmap(data: bytes, node: bytes, offsets: dict, dec=None) -> tuple[dict | None, int]:
-    """Union of the page's fonts' ToUnicode maps (via /Resources —
-    inline dict or indirect ref). Per-Tf font switching is NOT tracked
-    (module doc); pages without any ToUnicode get (None, 2) and keep
-    the latin-1 hex rule."""
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _pdf_name_key(raw: bytes) -> bytes:
+    """Normalize a PDF name's ``#xx`` hex escapes so the /Font dict key
+    and the ``Tf`` operand compare equal however the writer escaped
+    them."""
+    return _NAME_HEX_RE.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
+
+
+def _page_fonts(
+    data: bytes, node: bytes, offsets: dict, dec=None
+) -> tuple[dict, tuple[dict | None, int]]:
+    """The page's font table (via /Resources — inline dict or indirect
+    ref): ``{name: (cmap, width)}`` per ToUnicode-carrying font, plus
+    the DEFAULT ``(cmap|None, width)`` — the union of the page's maps —
+    used for text shown before any ``Tf`` and for ``Tf`` names missing
+    from the table. Pages without any ToUnicode get ``({}, (None, 2))``
+    and keep the latin-1 hex rule."""
     scopes = [node]
     res_ref = _RESOURCES_REF_RE.search(node)
     if res_ref is not None:
         res = _object_at(data, int(res_ref.group(1)), offsets, dec=dec)
         if res is not None:
             scopes.append(res)
-    cmap: dict = {}
+    fonts: dict = {}
+    union: dict = {}
     width = 2
     found = False
     for scope in scopes:
         fd = _FONTDICT_RE.search(scope)
         if fd is None:
             continue
-        for ref in _REF_RE.finditer(fd.group(1)):
-            font = _object_at(data, int(ref.group(1)), offsets, dec=dec)
+        for entry in _FONT_ENTRY_RE.finditer(fd.group(1)):
+            font = _object_at(data, int(entry.group(2)), offsets, dec=dec)
             if font is None:
                 continue
             tu = _TOUNICODE_RE.search(font)
@@ -904,10 +945,11 @@ def _page_cmap(data: bytes, node: bytes, offsets: dict, dec=None) -> tuple[dict 
                 continue
             m, w = _parse_tounicode(body)
             if m:
-                cmap.update(m)
+                fonts[_pdf_name_key(entry.group(1))] = (m, w)
+                union.update(m)
                 width = w
                 found = True
-    return (cmap, width) if found else (None, 2)
+    return fonts, ((union, width) if found else (None, 2))
 
 
 def _page_content_objs(data: bytes, offsets: dict, dec=None) -> list | None:
@@ -998,11 +1040,11 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
             if unresolved:
                 break
             if bodies:
-                cmap, width = _page_cmap(data, page_node, offsets, dec)
+                fonts, (cmap, width) = _page_fonts(data, page_node, offsets, dec)
                 # PDF semantics: a page's content streams form ONE
                 # stream when concatenated (operators may span the
                 # boundary); the joining byte keeps tokens separated
-                _scan_content(b"\n".join(bodies), blocks, cmap, width)
+                _scan_content(b"\n".join(bodies), blocks, cmap, width, fonts)
         if not unresolved:
             return blocks
         blocks = []
@@ -1385,6 +1427,97 @@ def make_fixture_pdf(
     out.append("\n".join(xref))
     out.append(
         "trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (size, pos)
+    )
+    return "\n".join(out)
+
+
+def make_fixture_pdf_two_fonts(
+    f1_text: str = "AB",
+    f2_text: str = "xy",
+    mixed: bool = True,
+    pre_tf: bool = False,
+) -> str:
+    """Build a two-font fixture whose /F1 and /F2 ToUnicode maps assign
+    the SAME code points to DIFFERENT characters (code 0x0100+i means
+    ``f1_text[i]`` under F1 but ``f2_text[i]`` under F2) — decodable
+    correctly only by a reader that tracks the active font through
+    ``Tf``. Emits one block per font, plus (``mixed``) a block that
+    switches fonts mid-BT, plus (``pre_tf``) a leading block with NO
+    ``Tf`` at all (exercises the page-union default). Deterministic,
+    latin-1-safe string like :func:`make_fixture_pdf`."""
+
+    def codes(text: str) -> str:
+        return "<%s> Tj" % "".join("%04X" % (0x0100 + i) for i in range(len(text)))
+
+    def cmap_body(text: str) -> str:
+        entries = "\n".join(
+            "<%04X> <%s>" % (0x0100 + i, c.encode("utf-16-be").hex().upper())
+            for i, c in enumerate(text)
+        )
+        return (
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            "%d beginbfchar\n%s\nendbfchar" % (len(text), entries)
+        )
+
+    parts = []
+    if pre_tf:
+        parts.append("BT\n0 700 Td\n%s\nET" % codes(f1_text))
+    parts.append("BT\n/F1 12 Tf\n0 600 Td\n%s\nET" % codes(f1_text))
+    parts.append("BT\n/F2 12 Tf\n0 500 Td\n%s\nET" % codes(f2_text))
+    if mixed:
+        parts.append(
+            "BT\n/F1 12 Tf\n0 400 Td\n%s\n0 -14 Td\n/F2 12 Tf\n%s\nET"
+            % (codes(f1_text), codes(f2_text))
+        )
+    content = "\n".join(parts)
+
+    objs = [
+        (1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj"),
+        (2, "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj"),
+        (
+            3,
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            "/MediaBox [0 0 612 792] /Resources << /Font "
+            "<< /F1 5 0 R /F2 7 0 R >> >> >>\nendobj",
+        ),
+        (
+            4,
+            "4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+            % (len(content), content),
+        ),
+        (
+            5,
+            "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            "/ToUnicode 6 0 R >>\nendobj",
+        ),
+        (
+            6,
+            "6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+            % (len(cmap_body(f1_text)), cmap_body(f1_text)),
+        ),
+        (
+            7,
+            "7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+            "/ToUnicode 8 0 R >>\nendobj",
+        ),
+        (
+            8,
+            "8 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+            % (len(cmap_body(f2_text)), cmap_body(f2_text)),
+        ),
+    ]
+    out = ["%PDF-1.4"]
+    offsets: dict = {}
+    pos = len("%PDF-1.4\n")
+    for num, o in objs:
+        offsets[num] = pos
+        out.append(o)
+        pos += len(o) + 1
+    xref = ["xref", "0 9", "0000000000 65535 f "]
+    xref += ["%010d 00000 n " % offsets[n] for n in range(1, 9)]
+    out.append("\n".join(xref))
+    out.append(
+        "trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % pos
     )
     return "\n".join(out)
 
