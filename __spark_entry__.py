@@ -851,6 +851,45 @@ def _planted_url_col():
     )
 
 
+def _q_url_normalize(spark, sf_dir):
+    """R44: URL canonicalization for crawl-level dedup — scheme/host
+    case, default ports, userinfo, www., fragments, tracking params
+    (utm_*/fbclid/gclid/ref), query-param sort, empty path. Planted
+    URLs hit every rule; the DuckDB twin evaluates the identical
+    regexp/list chain."""
+    from xhtmlkit_spark.operators.urls import normalize_url
+
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = (did % 3).cast("string")
+    url = (
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.EX"), m, F.lit(".COM:80/a/"), ds,
+                F.lit("?z=2&utm_source=s"), ds, F.lit("&a=1#frag"),
+            ),
+        )
+        .when(
+            did % 6 == 1,
+            F.concat(F.lit("https://u:p@Ex"), m, F.lit(".org:443/P/"), ds),
+        )
+        .when(did % 6 == 2, F.concat(F.lit("https://ex"), m, F.lit(".net#x")))
+        .when(
+            did % 6 == 3,
+            F.concat(F.lit("http://ex"), m, F.lit(".com/p/"), ds,
+                     F.lit("?fbclid="), ds),
+        )
+        .when(did % 6 == 4, F.concat(F.lit("not a url "), ds))
+        .otherwise(
+            F.concat(F.lit("http://ex"), m, F.lit(".io:8080/x?b=2&a="), ds,
+                     F.lit("&ref=r")),
+        )
+    )
+    d = _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return d.select("doc_id", "url", normalize_url("url").alias("norm_url"))
+
+
 def _q_url_host_policy(spark, sf_dir):
     """Host-level corpus hygiene (C4/RefinedWeb-style): canonical-host
     extraction → blocklist anti-join → per-host contribution cap.
@@ -1369,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_multi_spans": _q_select_multi_spans,
         "extract_spans": _q_extract_spans,
         # -- new round-4 entries (driver window still has 16 slots) --
+        "url_normalize": _q_url_normalize,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
         "stratified_sample": _q_stratified_sample,
         "token_counts": _q_token_counts,
@@ -1923,6 +1963,54 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "url_normalize": r"""
+            WITH b AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 3 AS VARCHAR) AS m
+              FROM documents),
+            u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.EX' || m || '.COM:80/a/'
+                       || ds || '?z=2&utm_source=s' || ds || '&a=1#frag'
+                  WHEN doc_id % 6 = 1 THEN 'https://u:p@Ex' || m || '.org:443/P/' || ds
+                  WHEN doc_id % 6 = 2 THEN 'https://ex' || m || '.net#x'
+                  WHEN doc_id % 6 = 3 THEN 'http://ex' || m || '.com/p/' || ds
+                       || '?fbclid=' || ds
+                  WHEN doc_id % 6 = 4 THEN 'not a url ' || ds
+                  ELSE 'http://ex' || m || '.io:8080/x?b=2&a=' || ds || '&ref=r'
+                END AS url
+              FROM b),
+            parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth_raw,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+                regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+              FROM u),
+            hostn AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' AND ends_with(h0, ':80')
+                       THEN regexp_replace(h0, ':80$', '')
+                     WHEN scheme = 'https' AND ends_with(h0, ':443')
+                       THEN regexp_replace(h0, ':443$', '')
+                     ELSE h0 END AS host
+              FROM (SELECT *, regexp_replace(regexp_replace(lower(auth_raw),
+                     '^[^@]*@', ''), '^www\.', '') AS h0 FROM parts)),
+            q AS (
+              SELECT *, list_sort(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)='))) AS kept
+              FROM hostn)
+            SELECT doc_id, url,
+              CASE WHEN auth_raw <> '' AND scheme <> '' THEN
+                scheme || '://' || host
+                || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                || (CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&') ELSE '' END)
+              END AS norm_url
+            FROM q
+        """,
         "url_host_policy": f"""
             WITH planted AS (
               SELECT doc_id,

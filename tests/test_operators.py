@@ -1491,6 +1491,37 @@ def test_robots_parse_and_filter(spark):
     assert len(got) == urls.count()  # the left join never loses a row
 
 
+def test_normalize_url_matrix(spark):
+    """URL canonicalization matrix: case, default ports, userinfo,
+    www., fragment, tracking params, param sort, empty path, non-URL."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.urls import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b?z=2&utm_source=x&a=1#f",
+         "http://ex.com/A/b?a=1&z=2"),
+        ("https://u:p@Host.ORG:443/p", "https://host.org/p"),
+        ("https://ex.net", "https://ex.net/"),
+        ("https://ex.net#frag", "https://ex.net/"),
+        ("http://ex.com/p?fbclid=1&gclid=2&ref=r&msclkid=3&mc_eid=4",
+         "http://ex.com/p"),
+        ("http://ex.io:8080/x?b=2&a=1", "http://ex.io:8080/x?a=1&b=2"),
+        # :443 is only default for https (and :80 only for http)
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("ftp://Files.Ex.com/pub", "ftp://files.ex.com/pub"),
+        ("no scheme here", None),
+        ("/relative/only", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select("url", normalize_url("url").alias("n")).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+
 def test_robots_wildcards_matrix(spark):
     """Google-REP wildcard matrix: ``*`` spans any run (incl. ``/``),
     trailing ``$`` anchors end-of-path, interior ``$`` is literal,

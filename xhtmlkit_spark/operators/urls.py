@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "url_host",
+    "normalize_url",
     "filter_blocklist",
     "cap_per_host",
     "parse_robots",
@@ -50,6 +51,58 @@ def url_host(url: Column | str = "url") -> Column:
     host = F.regexp_replace(host, ":[0-9]+$", "")  # port
     host = F.regexp_replace(host, "^www\\.", "")
     return F.when(raw != "", host)
+
+
+# tracking query parameters dropped by normalize_url (the C4/CCNet
+# canonicalization list: ad-click + analytics campaign keys)
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def normalize_url(url: Column | str = "url") -> Column:
+    """Canonical form of ``url`` for URL-level dedup — two crawls of
+    the same resource must collide:
+
+    * scheme and host lowercased; userinfo@ stripped; default ports
+      (``:80`` http, ``:443`` https) stripped; one leading ``www.``
+      stripped (matching :func:`url_host`);
+    * fragment dropped;
+    * empty path becomes ``/``;
+    * tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``mc_eid``, ``ref``), remaining params SORTED, the
+      ``?`` dropped when nothing survives.
+
+    Non-URLs (no scheme://authority) yield NULL, like
+    :func:`url_host`. Row-local expressions only — zero shuffle; the
+    identical chain evaluates in DuckDB (RE2 ∩ java.regex subset).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth_raw = F.regexp_extract(c, _HOST_RE, 1)
+    host = F.regexp_replace(F.lower(auth_raw), "^[^@]*@", "")
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"^[^#?]*\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        (auth_raw != "") & (scheme != ""),
+        F.concat(scheme, F.lit("://"), host, path, qpart),
+    )
 
 
 def filter_blocklist(
