@@ -851,6 +851,25 @@ def _planted_url_col():
     )
 
 
+def _q_length_outliers(spark, sf_dir):
+    """R45: median/MAD robust z over doc lengths — the ingestion-time
+    outlier gate a mean/stddev rule can't provide (one pathological
+    doc drags a mean, never a median). Exact percentiles match DuckDB
+    quantile_cont value-for-value; the decision uses the ROUNDED z."""
+    from xhtmlkit_spark.operators.text_stats import robust_length_outliers
+
+    return robust_length_outliers(_read(spark, sf_dir, "documents"))
+
+
+def _q_char_entropy(spark, sf_dir):
+    """R46: per-doc character Shannon entropy (nats) — the cheap
+    gibberish / base64-blob / padding detector. H = ln N − Σc·ln c / N
+    in the stable form; rounded 6 like unigram_nll."""
+    from xhtmlkit_spark.operators.text_stats import char_entropy_scores
+
+    return char_entropy_scores(_read(spark, sf_dir, "documents"))
+
+
 def _q_url_normalize(spark, sf_dir):
     """R44: URL canonicalization for crawl-level dedup — scheme/host
     case, default ports, userinfo, www., fragments, tracking params
@@ -1409,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         # -- new round-4 entries (driver window still has 16 slots) --
         "url_normalize": _q_url_normalize,
+        "length_outliers": _q_length_outliers,
+        "char_entropy": _q_char_entropy,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
         "stratified_sample": _q_stratified_sample,
         "token_counts": _q_token_counts,
@@ -1963,6 +1984,36 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "length_outliers": """
+            WITH d AS (
+              SELECT doc_id, CAST(length(text) AS DOUBLE) AS n
+              FROM documents WHERE text IS NOT NULL),
+            med AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+            m2 AS (SELECT quantile_cont(abs(n - med), 0.5) AS mad
+                   FROM d CROSS JOIN med)
+            SELECT doc_id, n_chars, robust_z,
+                   CASE WHEN robust_z IS NOT NULL
+                        THEN abs(robust_z) > 3.5 END AS is_outlier
+            FROM (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                     CASE WHEN mad > 0
+                          THEN round(0.6745 * (n - med) / mad, 6)
+                     END AS robust_z
+              FROM d CROSS JOIN med CROSS JOIN m2)
+        """,
+        "char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+              FROM documents WHERE text IS NOT NULL),
+            counts AS (
+              SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+              FROM chars GROUP BY doc_id, ch)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
+            FROM counts GROUP BY doc_id
+        """,
         "url_normalize": r"""
             WITH b AS (
               SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,

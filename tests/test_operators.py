@@ -1579,3 +1579,42 @@ def test_robots_wildcards_matrix(spark):
         # lexically-smallest pattern is reported (/tie/a* < /tie/aa)
         "t0": (True, "/tie/a*"),
     }
+
+
+def test_robust_length_outliers_mad_and_degenerate(spark):
+    """Planted lengths: median 10, MAD 2 → the 1000-char doc is an
+    outlier; a constant-length corpus (MAD=0) yields NULL scores,
+    never ±inf."""
+    from xhtmlkit_spark.operators.text_stats import robust_length_outliers
+
+    rows = [(str(i), "x" * n) for i, n in
+            enumerate([8, 9, 10, 11, 12, 10, 10, 1000])]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in robust_length_outliers(df).collect()}
+    assert got["7"]["is_outlier"] is True
+    assert all(got[str(i)]["is_outlier"] is False for i in range(7))
+    # median of [8,9,10,10,10,10,11,12,1000] lengths: 8 docs → 10;
+    # MAD over |n-10| = [2,1,0,1,2,0,0,990] → median 1.0
+    assert got["2"]["robust_z"] == 0.0
+
+    const = spark.createDataFrame(
+        [(str(i), "y" * 5) for i in range(6)], "doc_id string, text string"
+    )
+    out = robust_length_outliers(const).collect()
+    assert all(r["robust_z"] is None and r["is_outlier"] is None for r in out)
+
+
+def test_char_entropy_known_values(spark):
+    """aaaa → 0; uniform 4-char alphabet → ln 4; empty/NULL drop."""
+    import math
+
+    from xhtmlkit_spark.operators.text_stats import char_entropy_scores
+
+    df = spark.createDataFrame(
+        [("a", "aaaa"), ("b", "abcdabcd"), ("c", ""), ("d", None)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy_scores(df).collect()}
+    assert got["a"]["char_entropy"] == 0.0
+    assert got["b"]["char_entropy"] == round(math.log(4), 6)
+    assert "c" not in got and "d" not in got

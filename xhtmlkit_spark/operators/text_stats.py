@@ -30,6 +30,8 @@ __all__ = [
     "unigram_nll_scores",
     "token_windows",
     "quality_ensemble",
+    "robust_length_outliers",
+    "char_entropy_scores",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -417,4 +419,86 @@ def quality_ensemble(
         "mean_nll",
         score_u.alias("ensemble_u"),
         (score_u >= F.lit(int(round(keep_threshold * 60_000_000)))).alias("keep"),
+    )
+
+
+def robust_length_outliers(
+    df: DataFrame, text: str = "text", z_threshold: float = 3.5
+) -> DataFrame:
+    """Median/MAD robust z-score over document lengths — the standard
+    outlier gate for corpus ingestion (unlike mean/stddev, one 2 GB
+    pathological document cannot drag the threshold).
+
+    robust_z = 0.6745·(len − median)/MAD, MAD = median(|len − median|);
+    ``is_outlier`` = |robust_z| > ``z_threshold`` evaluated on the
+    ROUNDED score so the decision is reproducible cross-engine. A
+    degenerate corpus (MAD = 0: over half the docs share one length)
+    yields NULL scores rather than ±inf.
+
+    Scale shape: two exact-percentile aggregates (Spark's exact
+    ``percentile`` matches DuckDB ``quantile_cont`` value-for-value —
+    CLAUDE.md), each a bounded 1-row broadcast append; the corpus rows
+    never shuffle. At 100 TB swap the exact percentiles for
+    ``approx_percentile`` with the accuracy knob — same plan shape.
+    """
+    docs = df.where(F.col(text).isNotNull()).select(
+        "doc_id", F.length(text).cast("double").alias("__n")
+    )
+    med = docs.agg(F.percentile("__n", F.lit(0.5)).alias("__med"))
+    with_med = docs.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("__n") - F.col("__med")), F.lit(0.5)).alias(
+            "__mad"
+        )
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("__n") - F.col("__med")) / F.col("__mad"), 6
+        ),
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_chars"),
+            z.alias("robust_z"),
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("robust_z").isNotNull(),
+                F.abs(F.col("robust_z")) > F.lit(z_threshold),
+            ),
+        )
+    )
+
+
+def char_entropy_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — a cheap
+    gibberish/encoding-garbage signal: natural prose sits ~2.8–3.2,
+    base64 blobs and repeated-char padding sit far off.
+
+    H = ln(N) − (Σ c·ln c)/N over per-doc character counts (the
+    algebraically stable form — one log per DISTINCT char, not per
+    occurrence). Rounded to 6 like unigram_nll (the proven
+    cross-engine float-sum pattern).
+
+    Scale shape: explode to (doc, char) → two hash aggregates; the
+    alphabet bounds the post-explode agg at |doc|·|alphabet| rows,
+    and chars never leave their doc's partition key.
+    """
+    docs = df.where(F.col(text).isNotNull())
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col(text), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("char_entropy"),
     )
