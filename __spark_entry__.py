@@ -653,6 +653,20 @@ def _q_jaccard_candidates(spark, sf_dir):
     return jaccard_verify(pairs, d, text="text", k=2)
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """R48: asymmetric containment on the LSH candidates — the
+    quote/sub-document signal (|∩|/|A| and |∩|/|B|) that Jaccard
+    misses when sizes differ; same Σ bucket² candidate bound."""
+    from xhtmlkit_spark.operators.dedup import (
+        containment_verify,
+        lsh_candidate_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, text="text", n_hashes=4, band_size=2, k=2)
+    return containment_verify(pairs, d, text="text", k=2)
+
+
 def _q_asof_event_orders(spark, sf_dir):
     """Point-in-time enrichment: each event joined to the customer's
     latest order at-or-before the event (union-scan window as-of join,
@@ -868,6 +882,16 @@ def _q_char_entropy(spark, sf_dir):
     from xhtmlkit_spark.operators.text_stats import char_entropy_scores
 
     return char_entropy_scores(_read(spark, sf_dir, "documents"))
+
+
+def _q_postings_stats(spark, sf_dir):
+    """R47: inverted-index build stats — per-term df/tf plus the first
+    5 postings as a doc:pos digest; ONE term-keyed shuffle shared by
+    the ranking window and the aggregate, per-term digest state
+    bounded by the cap."""
+    from xhtmlkit_spark.operators.text_stats import inverted_index_stats
+
+    return inverted_index_stats(_read(spark, sf_dir, "documents"))
 
 
 def _q_url_normalize(spark, sf_dir):
@@ -1430,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "length_outliers": _q_length_outliers,
         "char_entropy": _q_char_entropy,
+        "postings_stats": _q_postings_stats,
+        "containment_pairs": _q_containment_pairs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
         "stratified_sample": _q_stratified_sample,
         "token_counts": _q_token_counts,
@@ -1984,6 +2010,32 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "postings_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE text IS NOT NULL),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1)) AS i
+              FROM t),
+            toksl AS (
+              SELECT doc_id, toks[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+              FROM idx WHERE toks[i] <> ''),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY term ORDER BY doc_id, pos) AS rn
+              FROM toksl)
+            SELECT term,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   array_to_string(
+                     list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                          ORDER BY doc_id, pos)
+                       FILTER (WHERE rn <= 5), ',') AS top_postings
+            FROM ranked GROUP BY term
+            HAVING count(DISTINCT doc_id) >= 3
+        """,
         "length_outliers": """
             WITH d AS (
               SELECT doc_id, CAST(length(text) AS DOUBLE) AS n
@@ -2485,6 +2537,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
                          / (len(sa.sh) + len(sb.sh)
                             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+            FROM pairs p
+            JOIN s sa ON sa.doc_id = p.id_a
+            JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        "containment_pairs": f"""
+            WITH {_shingle_sig_cte(2)},
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id)
+            SELECT p.id_a, p.id_b,
+                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                         / len(sa.sh), 6) AS containment_ab,
+                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                         / len(sb.sh), 6) AS containment_ba
             FROM pairs p
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b

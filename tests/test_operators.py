@@ -1618,3 +1618,41 @@ def test_char_entropy_known_values(spark):
     assert got["a"]["char_entropy"] == 0.0
     assert got["b"]["char_entropy"] == round(math.log(4), 6)
     assert "c" not in got and "d" not in got
+
+
+def test_containment_detects_subdocument(spark):
+    """A doc fully embedded in a 10x larger doc: containment_ab ~ 1
+    while Jaccard is small — the signal this operator adds over
+    jaccard_verify."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.dedup import containment_verify, jaccard_verify
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = containment_verify(pairs, df, text="text", k=2).collect()[0]
+    jac = jaccard_verify(pairs, df, text="text", k=2).collect()[0]["jaccard"]
+    assert got["containment_ab"] == 1.0
+    assert got["containment_ba"] < 0.2
+    assert jac < 0.2
+
+
+def test_inverted_index_stats_digest_capped(spark):
+    """df/tf count every occurrence; the postings digest stops at the
+    cap in (doc_id, pos) order; min_df drops rare terms."""
+    from xhtmlkit_spark.operators.text_stats import inverted_index_stats
+
+    rows = [(1, "hot hot cold"), (2, "hot warm"), (3, "hot warm"), (4, "hot")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["term"]: r
+        for r in inverted_index_stats(df, max_postings=3, min_df=2).collect()
+    }
+    assert set(got) == {"hot", "warm"}  # cold df=1 dropped
+    assert (got["hot"]["df"], got["hot"]["tf"]) == (4, 5)
+    assert got["hot"]["top_postings"] == "1:0,1:1,2:0"  # capped at 3
+    assert got["warm"]["top_postings"] == "2:1,3:1"

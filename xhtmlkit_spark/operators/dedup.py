@@ -406,6 +406,47 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment for candidate pairs:
+    ``containment_ab = |sh(A) ∩ sh(B)| / |sh(A)|`` (and the reverse) —
+    the quote/sub-document detector Jaccard misses: a page fully
+    embedded in a 100× larger page has tiny Jaccard but
+    containment_ab ≈ 1.
+
+    Same plan shape as :func:`jaccard_verify` (semi-join-pruned docs
+    shingled once, pairs joined twice on id); only candidate pairs —
+    Σ bucket², never n² — ever reach the exact set arithmetic.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("cid"))
+        .union(pairs.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    pruned = docs.join(cand_ids, docs[id_col] == cand_ids["cid"], "left_semi")
+    sh = pruned.select(
+        F.col(id_col).alias("id"), shingles_col(text, k).alias("sh")
+    )
+    out = (
+        pairs.select("id_a", "id_b")
+        .distinct()
+        .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.size("sh_a"), 6).alias("containment_ab"),
+        F.round(inter / F.size("sh_b"), 6).alias("containment_ba"),
+    )
+
+
 def contamination_scores(
     df: DataFrame,
     benchmark: DataFrame,

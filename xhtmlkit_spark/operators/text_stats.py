@@ -32,6 +32,7 @@ __all__ = [
     "quality_ensemble",
     "robust_length_outliers",
     "char_entropy_scores",
+    "inverted_index_stats",
 ]
 
 # tiny per-language stopword tables (heuristic lang-ID; the point is the
@@ -501,4 +502,62 @@ def char_entropy_scores(df: DataFrame, text: str = "text") -> DataFrame:
             / F.sum("c").cast("double"),
             6,
         ).alias("char_entropy"),
+    )
+
+
+def inverted_index_stats(
+    df: DataFrame,
+    text: str = "text",
+    max_postings: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-term inverted-index statistics: document frequency, total
+    term frequency, and the first ``max_postings`` postings as a
+    ``doc:pos`` digest — the build side of retrieval-style corpus
+    tooling (and the data a contamination/attribution audit asks for:
+    "which documents contain this term, where?").
+
+    Scale shape: one posexplode, then ONE term-keyed shuffle shared by
+    the ranking window and the aggregate. The sort-based window ranks
+    (doc_id, pos) streaming per term, and the digest collects ONLY
+    rows with rank ≤ ``max_postings`` (collect_list skips the NULLs
+    the when() leaves), so per-term state is bounded by the cap while
+    df/tf still count every occurrence map-side-combinable. A hot
+    (stopword-grade) term costs an external sort of its partition,
+    never unbounded memory; ``min_df`` bounds the output row count.
+    """
+    from pyspark.sql import Window
+
+    docs = df.where(F.col(text).isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.lower(F.col(text)))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= max_postings,
+                                F.struct("doc_id", "pos"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["pos"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("top_postings"),
+        )
+        .where(F.col("df") >= min_df)
     )
