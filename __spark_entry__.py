@@ -195,6 +195,28 @@ def _q_doc_links(spark, sf_dir):
     )
 
 
+def _q_media_refs(spark, sf_dir):
+    """R49: media-reference harvest — img src + every srcset
+    candidate, picture/video/audio sources, video poster as typed
+    (media_idx, url, media_kind, tag, attr) rows, urls resolved
+    against a fixed base (A21), composed with normalize_url so the
+    media-aware frontier shape is exercised end-to-end. Rows-only
+    (needs the parser); semantics pinned by test_harvest.py + the
+    Spark≡pure-Python equality test."""
+    from xhtmlkit_spark.operators.harvest_stage import media_refs
+    from xhtmlkit_spark.operators.urls import normalize_url
+    from xhtmlkit_spark.plans.pipeline import with_size_salt
+    from xkit.options import ExtractOptions
+
+    df = spark.read.parquet(_corpus_path(sf_dir))
+    df = with_size_salt(df, spark.sparkContext.defaultParallelism * 2)
+    out = media_refs(df, ExtractOptions(base_url="http://corpus.example/d/"))
+    return out.select(
+        "doc_id", "media_idx", "url", "media_kind", "tag", "attr",
+        normalize_url("url").alias("norm_url"),
+    )
+
+
 def _q_select_html_spans(spark, sf_dir):
     """R33: outer-XHTML projection distributed — harvest every <table>
     of the corpus as serialized markup (the reference's OuterXml; the
@@ -1456,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "postings_stats": _q_postings_stats,
         "containment_pairs": _q_containment_pairs,
+        # parser-bound round-4 entry (rows-only by necessity)
+        "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
         "stratified_sample": _q_stratified_sample,
         "token_counts": _q_token_counts,

@@ -189,3 +189,40 @@ def test_base_tag_composes_with_caller_base():
     assert harvest_links(_ev("<a href='p'>p</a>"), base="http://e.com/d/") == [
         ("http://e.com/d/p", "p")
     ]
+
+
+def test_media_matrix():
+    """srcset candidates, picture/video/audio source inheritance,
+    video poster, orphan <source> skipped, script content dropped,
+    base resolution (in-page base composed with caller base)."""
+    from xkit.harvest import harvest_media
+
+    html = (
+        "<base href='/sub/'>"
+        "<img src='a.png' srcset='b.png 2x, c/d.png 640w,'>"
+        "<picture><source srcset='p1.webp 1x,p2.webp'><img src='f.jpg'></picture>"
+        "<video src='v.mp4' poster='v.jpg'><source src='v.webm'></video>"
+        "<audio><source src='a.mp3'></audio>"
+        "<source src='orphan.bin'>"
+        "<script>var x=\"<img src='no.png'>\";</script>"
+    )
+    got = harvest_media(_ev(html), base="http://ex.com/a/b.html")
+    assert got == [
+        ("http://ex.com/sub/a.png", "img", "image", "src"),
+        ("http://ex.com/sub/b.png", "img", "image", "srcset"),
+        ("http://ex.com/sub/c/d.png", "img", "image", "srcset"),
+        ("http://ex.com/sub/p1.webp", "source", "image", "srcset"),
+        ("http://ex.com/sub/p2.webp", "source", "image", "srcset"),
+        ("http://ex.com/sub/f.jpg", "img", "image", "src"),
+        ("http://ex.com/sub/v.mp4", "video", "video", "src"),
+        ("http://ex.com/sub/v.jpg", "video", "image", "poster"),
+        ("http://ex.com/sub/v.webm", "source", "video", "src"),
+        ("http://ex.com/sub/a.mp3", "source", "audio", "src"),
+    ]
+
+
+def test_media_no_base_keeps_raw_and_empty_attrs_skip():
+    from xkit.harvest import harvest_media
+
+    got = harvest_media(_ev("<img src='' srcset='  '><img src='x.png'>"))
+    assert got == [("x.png", "img", "image", "src")]

@@ -215,6 +215,38 @@ def test_harvest_stages_match_pure_python(spark, corpus_path):
     assert n_table_rows > 50 and n_links > 100
 
 
+def test_media_refs_stage_matches_pure_python(spark, corpus_path):
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.operators.harvest_stage import (
+        harvest_doc_media,
+        media_refs,
+    )
+
+    df = spark.read.parquet(corpus_path)
+    got: dict = {}
+    for r in media_refs(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["media_idx"], r["url"], r["media_kind"], r["tag"], r["attr"])
+        )
+    n = 0
+    for rec in pq.read_table(corpus_path).to_pylist():
+        sp = rec["spans"]
+        ok, ot, om, _ = harvest_doc_media(
+            [s["kind"] for s in sp],
+            [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+            [s["offset"] for s in sp],
+        )
+        expect = [
+            (i, om[i], ok[i], ot[i].split("\t")[0], ot[i].split("\t")[1])
+            for i in range(len(ok))
+        ]
+        assert sorted(got.get(rec["doc_id"], [])) == sorted(expect)
+        n += len(expect)
+    assert n > 50  # the corpus genuinely carries media markup
+
+
 def test_project_docs_matches_single_stages(spark, corpus_path):
     from xhtmlkit_spark.operators.extract_stage import extract_spans
     from xhtmlkit_spark.operators.markdown_stage import markdown_docs

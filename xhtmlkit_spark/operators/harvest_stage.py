@@ -35,7 +35,7 @@ from xhtmlkit_spark.operators.extract_stage import (
 )
 from xkit.encoding import decode_html_bytes
 from xkit.dom import repair
-from xkit.harvest import harvest_links, harvest_meta, harvest_tables
+from xkit.harvest import harvest_links, harvest_media, harvest_meta, harvest_tables
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
@@ -44,6 +44,8 @@ __all__ = [
     "harvest_doc_links",
     "table_rows",
     "doc_links",
+    "harvest_doc_media",
+    "media_refs",
     "page_meta",
     "harvest_all",
 ]
@@ -108,6 +110,66 @@ def harvest_doc_links(
             ot.append(text)
             om.append(url)
     return ok, ot, om, list(range(len(ok)))
+
+
+def harvest_doc_media(
+    kinds: list,
+    texts: list,
+    refs: list,
+    offsets: list,
+    base: str | None = None,
+    fragment: bool = False,
+) -> tuple[list, list, list, list]:
+    """Doc-level media harvest in the span carrier: one span per media
+    reference — kind = image|video|audio, text = "tag\\tattr",
+    media_ref = resolved url (tag/attr names contain no tabs, so the
+    join is lossless)."""
+    ok: list = []
+    ot: list = []
+    om: list = []
+    for events in _doc_events(kinds, texts, offsets, fragment):
+        for url, tag, mkind, attr in harvest_media(events, base=base):
+            ok.append(mkind)
+            ot.append("%s\t%s" % (tag, attr))
+            om.append(url)
+    return ok, ot, om, list(range(len(ok)))
+
+
+def media_refs(
+    df: DataFrame,
+    options: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: tuple = ("part",),
+) -> DataFrame:
+    """(doc_id, *passthrough, media_idx, url, media_kind, tag, attr) —
+    one row per harvested media reference (img src + srcset
+    candidates, picture/video/audio sources, video poster), document
+    order, urls resolved vs options.base_url (A21). Feed the url
+    column into urls.py normalize/blocklist/cap for a media-aware
+    crawl frontier."""
+    pt = [c for c in passthrough if c in df.columns]
+    base = options.base_url
+    fragment = options.fragment
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            return harvest_doc_media(kinds, texts, refs, offsets, base, fragment)
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    out = run_doc_stage(df, batch_fn, passthrough)
+    s = out.select(
+        "doc_id", *pt, F.posexplode("spans").alias("media_idx", "s")
+    )
+    ta = F.split(F.col("s.text"), "\t")
+    return s.select(
+        "doc_id",
+        *pt,
+        F.col("media_idx").cast("int").alias("media_idx"),
+        F.col("s.media_ref").alias("url"),
+        F.col("s.kind").alias("media_kind"),
+        ta.getItem(0).alias("tag"),
+        ta.getItem(1).alias("attr"),
+    )
 
 
 def table_rows(

@@ -1,4 +1,4 @@
-"""Structured harvest from the repaired event stream: tables + links.
+"""Structured harvest from the repaired event stream: tables, links, media.
 
 Two high-frequency "give me the data, not the page" projections a
 markup-harvest engine owes its users (the reference's SelectNodes
@@ -12,6 +12,10 @@ idiom is how its users pull tables and link lists out of pages —
   the markdown projection); a row is a header row iff it contains any
   ``<th>``. Rows with zero cells are dropped; ``colspan`` is not
   expanded (cells are positional).
+
+* :func:`harvest_media` — every media reference as ``(url, tag,
+  kind, attr)``: img src + srcset candidates, picture/video/audio
+  ``<source>`` (kind inherited from the container), video poster.
 
 * :func:`harvest_links` — every ``<a>`` with a non-empty ``href`` as
   ``(url, anchor_text)`` in document order. ``href`` is resolved
@@ -34,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-__all__ = ["harvest_tables", "harvest_links", "harvest_meta"]
+__all__ = ["harvest_tables", "harvest_links", "harvest_media", "harvest_meta"]
 
 # content that never reaches harvested text (head-section tags can't
 # contain tables/anchors, so the content-only drop set suffices)
@@ -168,6 +172,90 @@ def harvest_links(events: list, base: str | None = None) -> list:
     done.sort()
     eff = urljoin(base, base_href) if (base and base_href) else (base_href or base)
     return [(urljoin(eff, h) if eff else h, t) for _, h, t in done]
+
+
+# media containers whose <source> children inherit their kind; <img>
+# and srcset candidates are image regardless of nesting
+_MEDIA_KIND = {"picture": "image", "video": "video", "audio": "audio"}
+
+
+def _srcset_urls(srcset: str) -> list:
+    """Candidate URLs of a ``srcset`` value in attribute order: comma
+    split, each candidate's URL is its first whitespace token (the
+    descriptor — ``2x``, ``640w`` — is dropped)."""
+    out = []
+    for cand in srcset.split(","):
+        toks = cand.split()
+        if toks:
+            out.append(toks[0])
+    return out
+
+
+def harvest_media(events: list, base: str | None = None) -> list:
+    """``[(url, tag, kind, attr), ...]`` for every media reference in
+    document order — the media-aware crawl/dataset surface beyond the
+    extractor's single ``img src`` span emission:
+
+    * ``<img>``: ``src`` plus EVERY ``srcset`` candidate URL (kind
+      ``image``);
+    * ``<source>``: ``src`` and ``srcset`` candidates, kind inherited
+      from the nearest enclosing ``picture``/``video``/``audio``
+      (a ``<source>`` outside any media container is meaningless per
+      the HTML spec and is skipped — documented);
+    * ``<video>``: ``src`` (kind ``video``) and ``poster`` (kind
+      ``image``); ``<audio>``: ``src`` (kind ``audio``).
+
+    URLs resolve against ``base`` composed with the document's FIRST
+    ``<base href>`` exactly like :func:`harvest_links` (deferred to
+    end-of-walk). Empty attribute values contribute nothing.
+    """
+    ctx: list = []  # open media-container stack (kinds)
+    drop = 0
+    found: list = []  # (raw_url, tag, kind, attr)
+    base_href = None
+
+    def add(url, tag, kind, attr):
+        if url:
+            found.append((url, tag, kind, attr))
+
+    for ev in events:
+        kind = ev[0]
+        if kind == "open":
+            tag = ev[1]
+            if drop or tag in _DROP:
+                drop += 1
+                continue
+            attrs = ev[2]
+            if tag == "img":
+                add(attrs.get("src"), tag, "image", "src")
+                for u in _srcset_urls(attrs.get("srcset") or ""):
+                    add(u, tag, "image", "srcset")
+            elif tag == "source":
+                if ctx:
+                    add(attrs.get("src"), tag, ctx[-1], "src")
+                    for u in _srcset_urls(attrs.get("srcset") or ""):
+                        add(u, tag, ctx[-1], "srcset")
+            elif tag in _MEDIA_KIND:
+                if tag == "video":
+                    add(attrs.get("src"), tag, "video", "src")
+                    add(attrs.get("poster"), tag, "image", "poster")
+                elif tag == "audio":
+                    add(attrs.get("src"), tag, "audio", "src")
+                ctx.append(_MEDIA_KIND[tag])
+            elif tag == "base" and base_href is None:
+                bh = ev[2].get("href")
+                if bh:
+                    base_href = bh
+        elif kind == "close":
+            if drop:
+                drop -= 1
+                continue
+            if ev[1] in _MEDIA_KIND and ctx:
+                ctx.pop()
+    eff = urljoin(base, base_href) if (base and base_href) else (base_href or base)
+    return [
+        ((urljoin(eff, u) if eff else u), t, k, a) for u, t, k, a in found
+    ]
 
 
 def harvest_meta(events: list, base: str | None = None) -> tuple:
