@@ -916,6 +916,75 @@ def _q_postings_stats(spark, sf_dir):
     return inverted_index_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_sitemap_urls(spark, sf_dir):
+    """R50: sitemap.xml parsing — per-host sitemap text PLANTED
+    deterministically from doc_id (urlset docs with 1-3 <url> entries,
+    entity-bearing locs, optional <lastmod>; every 7th doc a
+    <sitemapindex>), parsed DISTRIBUTED through the real tokenizer
+    (harvest_sitemap). The oracle constructs the expected rows
+    DIRECTLY from the planting rule — a genuinely different algorithm,
+    so the parser must invert the XML serialization exactly (incl.
+    &amp; entity decode)."""
+    from xhtmlkit_spark.operators.harvest_stage import sitemap_entries
+
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = (did % 3).cast("string")
+
+    def url_entry(j):
+        loc = F.concat(
+            F.lit("http://sm"), m, F.lit(".example.org/p/"), ds, F.lit("/"),
+            j.cast("string"),
+            F.when(j == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        )
+        lastmod = F.when(
+            (did + j) % 2 == 0,
+            F.concat(F.lit("<lastmod>2026-0"),
+                     ((did + j) % 9 + 1).cast("string"),
+                     F.lit("-01</lastmod>")),
+        ).otherwise(F.lit(""))
+        return F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod,
+                        F.lit("</url>"))
+
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset>'),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), (did % 3).cast("int")), url_entry),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1)),
+                lambda j: F.concat(
+                    F.lit("<sitemap><loc>http://sm"), m,
+                    F.lit(".example.org/sitemap"), j.cast("string"),
+                    F.lit(".xml</loc></sitemap>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    # the span carrier's doc_id is string-typed (corpus convention);
+    # cast through it and back so the oracle's BIGINT doc_id compares
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(did % 7 == 0, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    out = sitemap_entries(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "entry_idx",
+        "loc",
+        "lastmod",
+        "is_index",
+    )
+
+
 def _q_url_normalize(spark, sf_dir):
     """R44: URL canonicalization for crawl-level dedup — scheme/host
     case, default ports, userinfo, www., fragments, tracking params
@@ -1478,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "postings_stats": _q_postings_stats,
         "containment_pairs": _q_containment_pairs,
+        "sitemap_urls": _q_sitemap_urls,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2034,6 +2104,36 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "sitemap_urls": """
+            -- expected rows constructed DIRECTLY from the planting
+            -- rule (the Spark side serializes XML and parses it back
+            -- through the real tokenizer — a different algorithm)
+            WITH b AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 3 AS VARCHAR) AS m
+              FROM documents),
+            urlset AS (
+              SELECT doc_id,
+                     CAST(j AS INT) AS entry_idx,
+                     'http://sm' || m || '.example.org/p/' || ds || '/'
+                       || CAST(j AS VARCHAR)
+                       || CASE WHEN j = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+                     CASE WHEN (doc_id + j) % 2 = 0
+                          THEN '2026-0' || CAST((doc_id + j) % 9 + 1 AS VARCHAR)
+                               || '-01' END AS lastmod,
+                     false AS is_index
+              FROM b, (SELECT unnest(range(0, 3)) AS j)
+              WHERE doc_id % 7 <> 0 AND j <= doc_id % 3),
+            idx AS (
+              SELECT doc_id, CAST(j AS INT) AS entry_idx,
+                     'http://sm' || m || '.example.org/sitemap'
+                       || CAST(j AS VARCHAR) || '.xml' AS loc,
+                     CAST(NULL AS VARCHAR) AS lastmod,
+                     true AS is_index
+              FROM b, (SELECT unnest(range(0, 2)) AS j)
+              WHERE doc_id % 7 = 0)
+            SELECT * FROM urlset UNION ALL SELECT * FROM idx
+        """,
         "postings_stats": r"""
             WITH t AS (
               SELECT doc_id,

@@ -226,3 +226,32 @@ def test_media_no_base_keeps_raw_and_empty_attrs_skip():
 
     got = harvest_media(_ev("<img src='' srcset='  '><img src='x.png'>"))
     assert got == [("x.png", "img", "image", "src")]
+
+
+def test_sitemap_urlset_and_index():
+    from xkit.harvest import harvest_sitemap
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a.org/p?x=1&amp;y=2</loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "<url><loc> http://a.org/q </loc></url>"
+        "<url><lastmod>2026-02-02</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    assert harvest_sitemap(_ev(xml)) == [
+        ("http://a.org/p?x=1&y=2", "2026-01-01", False),  # entity decoded
+        ("http://a.org/q", None, False),  # whitespace collapsed
+    ]
+    idx = (
+        "<sitemapindex><sitemap><loc>http://a.org/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.org/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert harvest_sitemap(_ev(idx)) == [
+        ("http://a.org/s1.xml", None, True),
+        ("http://a.org/s2.xml", None, True),
+    ]
+    # malformed feeds degrade, never raise
+    assert harvest_sitemap(_ev("<urlset><url><loc>u1")) in ([], [("u1", None, False)])
+    assert harvest_sitemap(_ev("<<<garbage>>>")) == []

@@ -35,7 +35,13 @@ from xhtmlkit_spark.operators.extract_stage import (
 )
 from xkit.encoding import decode_html_bytes
 from xkit.dom import repair
-from xkit.harvest import harvest_links, harvest_media, harvest_meta, harvest_tables
+from xkit.harvest import (
+    harvest_links,
+    harvest_media,
+    harvest_meta,
+    harvest_sitemap,
+    harvest_tables,
+)
 from xkit.options import DEFAULT_OPTIONS, ExtractOptions
 from xkit.tokenizer import tokenize
 
@@ -46,6 +52,7 @@ __all__ = [
     "doc_links",
     "harvest_doc_media",
     "media_refs",
+    "sitemap_entries",
     "page_meta",
     "harvest_all",
 ]
@@ -169,6 +176,57 @@ def media_refs(
         F.col("s.kind").alias("media_kind"),
         ta.getItem(0).alias("tag"),
         ta.getItem(1).alias("attr"),
+    )
+
+
+def sitemap_entries(
+    df: DataFrame, text_col: str = "sitemap_xml", passthrough: tuple = ()
+) -> DataFrame:
+    """(doc_id, *passthrough, entry_idx, loc, lastmod, is_index) rows
+    parsed from a raw sitemap-XML text column with the REAL tokenizer
+    (xkit.harvest.harvest_sitemap — entity decode and tag-soup
+    degradation for free): ``<urlset>/<url>`` entries and
+    ``<sitemapindex>/<sitemap>`` entries (``is_index``), each with its
+    required ``<loc>`` and optional ``<lastmod>``. The raw text is
+    wrapped into the standard span carrier so the plan is the same
+    one-exchange/one-MapInArrow shape as every parser stage."""
+    pt = [c for c in passthrough if c in df.columns]
+    carrier = df.select(
+        "doc_id",
+        *pt,
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col(text_col).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            ok: list = []
+            ot: list = []
+            om: list = []
+            for events in _doc_events(kinds, texts, offsets, False):
+                for loc, lastmod, is_index in harvest_sitemap(events):
+                    ok.append("sitemapindex" if is_index else "url")
+                    ot.append(lastmod)
+                    om.append(loc)
+            return ok, ot, om, list(range(len(ok)))
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    out = run_doc_stage(carrier, batch_fn, passthrough)
+    s = out.select("doc_id", *pt, F.posexplode("spans").alias("entry_idx", "s"))
+    return s.select(
+        "doc_id",
+        *pt,
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.col("s.media_ref").alias("loc"),
+        F.col("s.text").alias("lastmod"),
+        (F.col("s.kind") == F.lit("sitemapindex")).alias("is_index"),
     )
 
 

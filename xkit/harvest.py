@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-__all__ = ["harvest_tables", "harvest_links", "harvest_media", "harvest_meta"]
+__all__ = ["harvest_tables", "harvest_links", "harvest_media", "harvest_meta", "harvest_sitemap"]
 
 # content that never reaches harvested text (head-section tags can't
 # contain tables/anchors, so the content-only drop set suffices)
@@ -256,6 +256,49 @@ def harvest_media(events: list, base: str | None = None) -> list:
     return [
         ((urljoin(eff, u) if eff else u), t, k, a) for u, t, k, a in found
     ]
+
+
+def harvest_sitemap(events: list) -> list:
+    """``[(loc, lastmod, is_index), ...]`` from a sitemap.xml event
+    stream (the crawl-frontier's OTHER input besides robots.txt):
+    ``<url>`` entries of a ``<urlset>`` and ``<sitemap>`` entries of a
+    ``<sitemapindex>`` (``is_index`` = True), each with its ``<loc>``
+    (required — entries without one are dropped per the protocol) and
+    optional ``<lastmod>``. Sitemap XML rides the SAME tokenizer as
+    HTML (XML is inside its dialect; entity refs like ``&amp;`` in
+    locs decode for free), so malformed feeds degrade instead of
+    raising. Text is A25-collapsed; document order preserved."""
+    out: list = []
+    cur: dict | None = None
+    field: str | None = None
+    buf: list = []
+    for ev in events:
+        kind = ev[0]
+        if kind == "open":
+            tag = ev[1]
+            if tag in ("url", "sitemap"):
+                cur = {"is_index": tag == "sitemap"}
+                field = None
+            elif tag in ("loc", "lastmod") and cur is not None:
+                field = tag
+                buf = []
+        elif kind == "text":
+            if field is not None:
+                buf.append(ev[1])
+        elif kind == "close":
+            tag = ev[1]
+            if cur is None:
+                continue
+            if tag in ("loc", "lastmod") and field == tag:
+                cur[tag] = _collapse("".join(buf))
+                field = None
+            elif tag in ("url", "sitemap"):
+                loc = cur.get("loc")
+                if loc:
+                    out.append((loc, cur.get("lastmod"), cur["is_index"]))
+                cur = None
+                field = None
+    return out
 
 
 def harvest_meta(events: list, base: str | None = None) -> tuple:
