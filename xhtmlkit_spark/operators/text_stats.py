@@ -439,8 +439,13 @@ def robust_length_outliers(
     Scale shape: two exact-percentile aggregates (Spark's exact
     ``percentile`` matches DuckDB ``quantile_cont`` value-for-value —
     CLAUDE.md), each a bounded 1-row broadcast append; the corpus rows
-    never shuffle. At 100 TB swap the exact percentiles for
-    ``approx_percentile`` with the accuracy knob — same plan shape.
+    never shuffle. The median→MAD→score chain is inherently three
+    passes, and lazily each re-reads ``text`` to recompute lengths
+    (plan audit: 4 pruned scans) — at 100 TB, materialize the
+    ``(doc_id, n_chars)`` projection once (``localCheckpoint``, the
+    two-consumer rule from PLANS.md) so the passes reread two longs,
+    and swap the exact percentiles for ``approx_percentile`` with the
+    accuracy knob — same plan shape.
     """
     docs = df.where(F.col(text).isNotNull()).select(
         "doc_id", F.length(text).cast("double").alias("__n")
