@@ -1101,6 +1101,36 @@ def _q_robots_policy(spark, sf_dir):
     )
 
 
+def _q_robots_sitemap_urls(spark, sf_dir):
+    """R51: Sitemap: directive extraction from robots.txt — global
+    per the protocol (group-independent), comment/blank handling,
+    value keeps its own colons (URLs contain ://), duplicates dedupe.
+    Pure line-split projection, zero shuffle."""
+    from xhtmlkit_spark.operators.urls import robots_sitemaps
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit("-"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.org"),
+    )
+    hosts = d.select(
+        host.alias("host"), (F.col("doc_id") % 3).cast("string").alias("hidx")
+    ).distinct()
+    txt = F.concat(
+        F.lit("# robots\nSitemap: https://"), F.col("host"),
+        F.lit("/sitemap.xml\nUser-agent: *\nDisallow: /x\n"),
+        F.when(
+            F.col("hidx") == "1",
+            F.concat(F.lit("sitemap: https://cdn.example.org/"),
+                     F.col("host"), F.lit("/s2.xml\n")),
+        ).otherwise(F.lit("")),
+        # duplicate directive (must dedupe) + a commented-out one
+        F.lit("Sitemap: https://"), F.col("host"),
+        F.lit("/sitemap.xml\n# Sitemap: https://ignored.example.org/no.xml\n"),
+    )
+    return robots_sitemaps(hosts.withColumn("robots_txt", txt))
+
+
 def _q_select_multi_spans(spark, sf_dir):
     """R35: N queries in ONE corpus scan+parse — per-doc match counts
     for three simultaneous queries (markup, media, xpath text).
@@ -1188,6 +1218,20 @@ def _q_contamination_scores(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     bench = hash_sample(d, 0.05, key="doc_id", salt="bench")
     return contamination_scores(d, bench, k=3)
+
+
+def _q_contamination_spans(spark, sf_dir):
+    """R52: span-level decontamination — WHERE the benchmark overlap
+    sits, as contiguous token runs (gaps-and-islands on hit
+    positions), so curation can excise the quoted passage instead of
+    dropping the document. Same deterministic 5% hash-sample
+    benchmark as contamination_scores."""
+    from xhtmlkit_spark.operators.dedup import contamination_spans
+    from xhtmlkit_spark.operators.sampling import hash_sample
+
+    d = _read(spark, sf_dir, "documents")
+    bench = hash_sample(d, 0.05, key="doc_id", salt="bench")
+    return contamination_spans(d, bench, k=3)
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -1548,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_stats": _q_postings_stats,
         "containment_pairs": _q_containment_pairs,
         "sitemap_urls": _q_sitemap_urls,
+        "robots_sitemap_urls": _q_robots_sitemap_urls,
+        "contamination_spans": _q_contamination_spans,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2104,6 +2150,38 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        "robots_sitemap_urls": """
+            WITH hosts AS (
+              SELECT DISTINCT
+                source || '-' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.example.org' AS host,
+                CAST(doc_id % 3 AS VARCHAR) AS hidx
+              FROM documents),
+            robots AS (
+              SELECT host,
+                '# robots' || chr(10)
+                || 'Sitemap: https://' || host || '/sitemap.xml' || chr(10)
+                || 'User-agent: *' || chr(10) || 'Disallow: /x' || chr(10)
+                || CASE WHEN hidx = '1'
+                        THEN 'sitemap: https://cdn.example.org/' || host
+                             || '/s2.xml' || chr(10) ELSE '' END
+                || 'Sitemap: https://' || host || '/sitemap.xml' || chr(10)
+                || '# Sitemap: https://ignored.example.org/no.xml' || chr(10)
+                AS txt
+              FROM hosts),
+            lines AS (
+              SELECT host, unnest(string_split(txt, chr(10))) AS line
+              FROM robots),
+            kv AS (
+              SELECT host,
+                lower(trim(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+                     '^([^:]+):', 1))) AS k,
+                trim(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+                     '^[^:]+:(.*)$', 1)) AS sitemap_url
+              FROM lines)
+            SELECT DISTINCT host, sitemap_url
+            FROM kv WHERE k = 'sitemap' AND sitemap_url <> ''
+        """,
         "sitemap_urls": """
             -- expected rows constructed DIRECTLY from the planting
             -- rule (the Spark side serializes XML and parses it back
@@ -2514,6 +2592,36 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "contamination_spans": f"""
+            WITH {_shingle_sig_cte(3)},
+            bench AS (
+              SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE (('0x' || substr(md5('bench' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0) < 0.05),
+            psh AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+                    FROM t WHERE text IS NOT NULL)),
+            hits AS (
+              SELECT p.doc_id, p.pos FROM psh p JOIN bench b ON p.g = b.g),
+            runs AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM hits),
+            sp AS (
+              SELECT doc_id, min(pos) AS tok_start,
+                     CAST(count(*) AS BIGINT) AS n_shingles
+              FROM runs GROUP BY doc_id, grp)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tok_start)
+                        AS INT) AS span_idx,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   n_shingles + 2 AS tok_len,
+                   n_shingles
+            FROM sp
         """,
         "contamination_scores": f"""
             WITH {_shingle_sig_cte(3)},

@@ -1656,3 +1656,45 @@ def test_inverted_index_stats_digest_capped(spark):
     assert (got["hot"]["df"], got["hot"]["tf"]) == (4, 5)
     assert got["hot"]["top_postings"] == "1:0,1:1,2:0"  # capped at 3
     assert got["warm"]["top_postings"] == "2:1,3:1"
+
+
+def test_robots_sitemaps_global_and_dedup(spark):
+    from xhtmlkit_spark.operators.urls import robots_sitemaps
+
+    txt = (
+        "# c\nSitemap: https://h.org/a.xml\nUser-agent: bot\nDisallow: /\n"
+        "sitemap: https://h.org/b.xml\n"      # case-insensitive key
+        "Sitemap: https://h.org/a.xml\n"      # duplicate dedupes
+        "# Sitemap: https://h.org/no.xml\n"   # commented out
+        "Sitemap:\n"                           # empty value dropped
+    )
+    df = spark.createDataFrame([("h.org", txt)], "host string, robots_txt string")
+    got = sorted(r["sitemap_url"] for r in robots_sitemaps(df).collect())
+    assert got == ["https://h.org/a.xml", "https://h.org/b.xml"]
+
+
+def test_contamination_spans_excises_planted_quote(spark):
+    """A benchmark passage quoted mid-document comes back as ONE
+    contiguous token span covering exactly the quote; two disjoint
+    quotes give two spans."""
+    from xhtmlkit_spark.operators.dedup import contamination_spans
+
+    quote = "alpha beta gamma delta epsilon"
+    doc1 = "x1 x2 x3 " + quote + " y1 y2 y3 y4"
+    doc2 = quote + " z1 z2 z3 z4 z5 " + quote
+    corpus = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, "clean w1 w2 w3 w4 w5")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, quote)], "doc_id long, text string")
+    got = {}
+    for r in contamination_spans(corpus, bench, k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_idx"], r["tok_start"], r["tok_len"])
+        )
+    # doc1: quote tokens at positions 3..7 → shingle hits 3,4,5 → one
+    # span tok_start=3, tok_len=3+3-1=5 — exactly the quote
+    assert got[1] == [(1, 3, 5)]
+    # doc2: quote at 0..4, five fillers at 5..9, quote again at 10..14
+    assert got[2] == [(1, 0, 5), (2, 10, 5)]
+    assert 3 not in got

@@ -23,7 +23,7 @@ Spark's xxhash64/hash, which DuckDB cannot reproduce.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xhtmlkit_spark.functions.binding import bind
@@ -37,7 +37,9 @@ __all__ = [
     "simhash_col",
     "simhash_band_pairs",
     "jaccard_verify",
+    "containment_verify",
     "contamination_scores",
+    "contamination_spans",
     "connected_components",
     "near_dup_groups",
 ]
@@ -403,6 +405,64 @@ def jaccard_verify(
         "id_a",
         "id_b",
         F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """WHERE a document is contaminated, not just how much: contiguous
+    runs of benchmark-overlapping k-shingles as token spans ``(doc_id,
+    span_idx, tok_start, tok_len, n_shingles)`` — the excision surface
+    (curation pipelines cut the quoted benchmark passage and keep the
+    document; :func:`contamination_scores` can only drop it whole).
+
+    POSITIONAL shingles (no distinct — the position IS the payload):
+    a run of hits at shingle positions p..p+n-1 covers tokens
+    p..p+n+k-2, so ``tok_len = n_shingles + k - 1``. Runs found with
+    the gaps-and-islands trick: group key = pos − row_number(pos),
+    constant exactly while positions are consecutive.
+
+    Scale shape: benchmark collapses to its distinct shingle set and
+    broadcasts (corpus shingles never shuffle for the probe); only the
+    HIT positions — benchmark-overlap-sized, tiny next to the corpus —
+    enter the per-doc window shuffle.
+    """
+    c = F.col(text)
+    toks = F.split(F.trim(c), "\\s+")
+
+    def body(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+
+    positional = F.when(c.isNotNull(), bind(toks, body))
+    bench = (
+        benchmark.where(F.col(text).isNotNull())
+        .select(F.explode(shingles_col(text, k)).alias("g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    ex = df.select("doc_id", F.posexplode(positional).alias("pos", "g"))
+    hits = ex.join(bench, "g", "inner").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "__grp").agg(
+        F.min("pos").alias("tok_start"), F.count(F.lit(1)).alias("n_shingles")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("tok_start")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w2).alias("span_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        (F.col("n_shingles") + F.lit(k - 1)).cast("long").alias("tok_len"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
     )
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "cap_per_host",
     "parse_robots",
     "robots_filter",
+    "robots_sitemaps",
     "robots_path_regex",
 ]
 
@@ -217,6 +218,32 @@ def parse_robots(
         F.col("key").alias("directive"),
         F.col("value").alias("path_prefix"),
         robots_path_regex(F.col("value")).alias("path_regex"),
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``(host, sitemap_url)`` for every ``Sitemap:`` directive in a
+    robots.txt — per the protocol these are GLOBAL (outside any
+    user-agent group, applying regardless of agent), so unlike
+    :func:`parse_robots` no group machinery is needed: a pure
+    line-split projection, zero shuffle. Duplicate directives dedupe.
+    Feeds :func:`xhtmlkit_spark.operators.harvest_stage.sitemap_entries`
+    — robots.txt is how a crawler DISCOVERS the sitemap."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    key = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    # the value keeps its own colons (sitemap URLs contain ://)
+    value = F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1))
+    return (
+        lines.select("host", key.alias("k"), value.alias("sitemap_url"))
+        .where((F.col("k") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
     )
 
 
