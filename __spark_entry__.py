@@ -985,6 +985,73 @@ def _q_sitemap_urls(spark, sf_dir):
     )
 
 
+def _q_feed_entries(spark, sf_dir):
+    """R53: RSS/Atom feed parsing — per-doc feed XML planted
+    deterministically (even doc_ids RSS with text-content links, odd
+    Atom with href links; entities in both forms), parsed distributed
+    through the real tokenizer. Like sitemap_urls, the oracle
+    constructs expected rows directly from the planting rule."""
+    from xhtmlkit_spark.operators.harvest_stage import feed_entries
+
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = (did % 3).cast("string")
+
+    def rss_item(j):
+        return F.concat(
+            F.lit("<item><title>Item "), ds, F.lit(" "), j.cast("string"),
+            F.lit("</title><link>http://f"), m, F.lit(".example.org/i/"), ds,
+            F.lit("/"), j.cast("string"),
+            F.when(j == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+            F.lit("</link>"),
+            F.when(
+                (did + j) % 2 == 0,
+                F.concat(F.lit("<pubDate>Mon, 0"),
+                         ((did + j) % 9 + 1).cast("string"),
+                         F.lit(" Jan 2026</pubDate>")),
+            ).otherwise(F.lit("")),
+            F.lit("</item>"),
+        )
+
+    def atom_entry(j):
+        return F.concat(
+            F.lit("<entry><title>Entry "), ds, F.lit(" "), j.cast("string"),
+            F.lit('</title><link href="http://f'), m, F.lit(".example.org/e/"),
+            ds, F.lit("/"), j.cast("string"),
+            F.when(j == 0, F.lit("?x=1&amp;y=2")).otherwise(F.lit("")),
+            F.lit('" rel="alternate"/>'),
+            F.when(
+                (did + j) % 2 == 0,
+                F.concat(F.lit("<updated>2026-01-0"),
+                         ((did + j) % 9 + 1).cast("string"),
+                         F.lit("</updated>")),
+            ).otherwise(F.lit("")),
+            F.lit("</entry>"),
+        )
+
+    seq = F.sequence(F.lit(0), (did % 3).cast("int"))
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>Chan</title><link>http://chan.example.org</link>"),
+        F.array_join(F.transform(seq, rss_item), ""),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>'),
+        F.array_join(F.transform(seq, atom_entry), ""),
+        F.lit("</feed>"),
+    )
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(did % 2 == 0, rss).otherwise(atom).alias("feed_xml"),
+    )
+    out = feed_entries(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "entry_idx", "feed_type", "title", "url", "published",
+    )
+
+
 def _q_url_normalize(spark, sf_dir):
     """R44: URL canonicalization for crawl-level dedup — scheme/host
     case, default ports, userinfo, www., fragments, tracking params
@@ -1594,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
         "contamination_spans": _q_contamination_spans,
+        "feed_entries": _q_feed_entries,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2181,6 +2249,39 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM lines)
             SELECT DISTINCT host, sitemap_url
             FROM kv WHERE k = 'sitemap' AND sitemap_url <> ''
+        """,
+        "feed_entries": """
+            -- direct construction from the planting rule (the Spark
+            -- side serializes RSS/Atom and parses it back through the
+            -- real tokenizer, incl. the void-<link> text-capture rule
+            -- and attribute-entity decode)
+            WITH b AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 3 AS VARCHAR) AS m
+              FROM documents),
+            j AS (SELECT unnest(range(0, 3)) AS j)
+            SELECT doc_id, CAST(j AS INT) AS entry_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Item ' || ds || ' ' || CAST(j AS VARCHAR)
+                        ELSE 'Entry ' || ds || ' ' || CAST(j AS VARCHAR)
+                   END AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'http://f' || m || '.example.org/i/' || ds || '/'
+                             || CAST(j AS VARCHAR)
+                             || CASE WHEN j = 0 THEN '?a=1&b=2' ELSE '' END
+                        ELSE 'http://f' || m || '.example.org/e/' || ds || '/'
+                             || CAST(j AS VARCHAR)
+                             || CASE WHEN j = 0 THEN '?x=1&y=2' ELSE '' END
+                   END AS url,
+                   CASE WHEN (doc_id + j) % 2 = 0 THEN
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'Mon, 0' || CAST((doc_id + j) % 9 + 1 AS VARCHAR)
+                               || ' Jan 2026'
+                          ELSE '2026-01-0' || CAST((doc_id + j) % 9 + 1 AS VARCHAR)
+                     END
+                   END AS published
+            FROM b, j WHERE j <= doc_id % 3
         """,
         "sitemap_urls": """
             -- expected rows constructed DIRECTLY from the planting

@@ -255,3 +255,34 @@ def test_sitemap_urlset_and_index():
     # malformed feeds degrade, never raise
     assert harvest_sitemap(_ev("<urlset><url><loc>u1")) in ([], [("u1", None, False)])
     assert harvest_sitemap(_ev("<<<garbage>>>")) == []
+
+
+def test_feed_rss_and_atom():
+    from xkit.harvest import harvest_feed
+
+    rss = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>Chan</title><link>http://chan.org</link>"  # outside items: ignored
+        "<item><title>First  post</title><link>http://a.org/1?x=1&amp;y=2</link>"
+        "<pubDate>Mon, 01 Jan 2026</pubDate></item>"
+        "<item><link>http://a.org/2</link></item>"   # no title, no date
+        "<item><title>no link drops</title></item>"  # no link: dropped
+        "</channel></rss>"
+    )
+    assert harvest_feed(_ev(rss)) == [
+        ("rss", "First post", "http://a.org/1?x=1&y=2", "Mon, 01 Jan 2026"),
+        ("rss", None, "http://a.org/2", None),
+    ]
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>'
+        '<entry><title>E1</title><link href="http://b.org/e1?a=1&amp;b=2"'
+        ' rel="alternate"/><updated>2026-01-02</updated></entry>'
+        '<entry><title>E2</title><link href="http://b.org/e2"/>'
+        "<published>2026-01-03</published><updated>second date ignored"
+        "</updated></entry></feed>"
+    )
+    assert harvest_feed(_ev(atom)) == [
+        ("atom", "E1", "http://b.org/e1?a=1&b=2", "2026-01-02"),
+        ("atom", "E2", "http://b.org/e2", "2026-01-03"),
+    ]
+    assert harvest_feed(_ev("<<<garbage")) == []

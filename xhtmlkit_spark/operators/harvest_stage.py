@@ -39,6 +39,7 @@ from xkit.harvest import (
     harvest_links,
     harvest_media,
     harvest_meta,
+    harvest_feed,
     harvest_sitemap,
     harvest_tables,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "harvest_doc_media",
     "media_refs",
     "sitemap_entries",
+    "feed_entries",
     "page_meta",
     "harvest_all",
 ]
@@ -227,6 +229,57 @@ def sitemap_entries(
         F.col("s.media_ref").alias("loc"),
         F.col("s.text").alias("lastmod"),
         (F.col("s.kind") == F.lit("sitemapindex")).alias("is_index"),
+    )
+
+
+def feed_entries(
+    df: DataFrame, text_col: str = "feed_xml", passthrough: tuple = ()
+) -> DataFrame:
+    """(doc_id, *passthrough, entry_idx, feed_type, title, url,
+    published) rows parsed from a raw RSS/Atom text column with the
+    real tokenizer (xkit.harvest.harvest_feed — the syndication twin
+    of sitemap_entries). Carrier encoding: kind = rss|atom, text =
+    "title\\tpublished" (titles are A25-collapsed so the tab is safe;
+    empty means absent), media_ref = url."""
+    pt = [c for c in passthrough if c in df.columns]
+    carrier = df.select(
+        "doc_id",
+        *pt,
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col(text_col).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def batch_fn(n_pt: int):
+        def doc_fn(kinds, texts, refs, offsets):
+            ok: list = []
+            ot: list = []
+            om: list = []
+            for events in _doc_events(kinds, texts, offsets, False):
+                for ftype, title, url, published in harvest_feed(events):
+                    ok.append(ftype)
+                    ot.append("%s\t%s" % (title or "", published or ""))
+                    om.append(url)
+            return ok, ot, om, list(range(len(ok)))
+
+        return make_doc_stage_fn(doc_fn, n_pt)
+
+    out = run_doc_stage(carrier, batch_fn, passthrough)
+    s = out.select("doc_id", *pt, F.posexplode("spans").alias("entry_idx", "s"))
+    tp = F.split(F.col("s.text"), "\t")
+    return s.select(
+        "doc_id",
+        *pt,
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.col("s.kind").alias("feed_type"),
+        F.nullif(tp.getItem(0), F.lit("")).alias("title"),
+        F.col("s.media_ref").alias("url"),
+        F.nullif(tp.getItem(1), F.lit("")).alias("published"),
     )
 
 

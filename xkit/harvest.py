@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin
 
-__all__ = ["harvest_tables", "harvest_links", "harvest_media", "harvest_meta", "harvest_sitemap"]
+__all__ = ["harvest_tables", "harvest_links", "harvest_media", "harvest_meta", "harvest_sitemap", "harvest_feed"]
 
 # content that never reaches harvested text (head-section tags can't
 # contain tables/anchors, so the content-only drop set suffices)
@@ -296,6 +296,88 @@ def harvest_sitemap(events: list) -> list:
                 loc = cur.get("loc")
                 if loc:
                     out.append((loc, cur.get("lastmod"), cur["is_index"]))
+                cur = None
+                field = None
+    return out
+
+
+def harvest_feed(events: list) -> list:
+    """``[(feed_type, title, url, published), ...]`` from an RSS 2.0 or
+    Atom feed event stream — the syndication side of frontier
+    discovery: ``<item>`` (rss) / ``<entry>`` (atom) entries with
+    their title, link, and first date field
+    (``pubDate``/``published``/``updated``).
+
+    Tokenizer-dialect notes (frozen): ``<link>`` is a VOID element in
+    the HTML dialect, so RSS's text-content form ``<link>url</link>``
+    is captured as the text immediately following the link tag (the
+    stray ``</link>`` drops in repair); Atom's ``<link href=…/>``
+    comes from the attribute, first link wins. Entries without a link
+    drop. CDATA-wrapped titles land empty (CDATA is a bogus comment
+    in the HTML dialect) — documented subset. Channel/feed-level
+    title/link elements OUTSIDE any entry are ignored.
+    """
+    out: list = []
+    cur: dict | None = None
+    field: str | None = None
+    buf: list = []
+    pending_link = False
+    for ev in events:
+        kind = ev[0]
+        if kind == "open":
+            tag = ev[1]
+            if tag in ("item", "entry"):
+                cur = {"type": "rss" if tag == "item" else "atom"}
+                field = None
+                pending_link = False
+                continue
+            if cur is None:
+                continue
+            pending_link = False
+            if tag == "title":
+                field = "title"
+                buf = []
+            elif tag in ("pubdate", "published", "updated"):
+                if "published" not in cur:
+                    field = "published"
+                    buf = []
+            elif tag == "link":
+                href = ev[2].get("href")
+                if href:
+                    cur.setdefault("url", href)
+                elif "url" not in cur:
+                    pending_link = True
+        elif kind == "text":
+            if cur is None:
+                continue
+            if field is not None:
+                buf.append(ev[1])
+            elif pending_link:
+                cur["url"] = cur.get("url", "") + ev[1]
+        elif kind == "close":
+            tag = ev[1]
+            if cur is None:
+                continue
+            if tag == "link":
+                continue  # the void's own close: keep capturing text
+            pending_link = False
+            if tag == "title" and field == "title":
+                cur["title"] = _collapse("".join(buf))
+                field = None
+            elif tag in ("pubdate", "published", "updated") and field == "published":
+                cur["published"] = _collapse("".join(buf))
+                field = None
+            elif tag in ("item", "entry"):
+                url = _collapse(cur.get("url", ""))
+                if url:
+                    out.append(
+                        (
+                            cur["type"],
+                            cur.get("title") or None,
+                            url,
+                            cur.get("published") or None,
+                        )
+                    )
                 cur = None
                 field = None
     return out
