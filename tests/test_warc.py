@@ -1,0 +1,145 @@
+"""WARC container format: parser unit tests + the Spark ingest path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from xkit.warc import (
+    build_record,
+    build_warc,
+    http_payload,
+    http_response_block,
+    iter_warc,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from xhtmlkit_spark.session import get_spark
+
+    yield get_spark("local[2]", shuffle_partitions=4, app_name="xkit-tests")
+
+
+def _html_response(uri: str, body: bytes, ctype: str = "text/html", status: int = 200, **kw):
+    return build_record(
+        "response",
+        http_response_block(body, status=status, content_type=ctype, **kw),
+        target_uri=uri,
+        content_type="application/http; msgtype=response",
+    )
+
+
+def _fixture_records():
+    return [
+        build_record("warcinfo", b"software: xkit-test\r\n", content_type="application/warc-fields"),
+        build_record(
+            "request",
+            b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            target_uri="http://a.example/",
+            content_type="application/http; msgtype=request",
+        ),
+        _html_response("http://a.example/", b"<p>alpha page body</p>"),
+        _html_response(
+            "http://b.example/latin",
+            "<p>café page</p>".encode("cp1252"),
+            ctype="text/html; charset=windows-1252",
+        ),
+        _html_response("http://c.example/miss", b"<p>gone</p>", status=404),
+        _html_response("http://d.example/logo", b"\x89PNG....", ctype="image/png"),
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    records = _fixture_records()
+    for compress in (False, True):
+        data = build_warc(records, compress=compress)
+        parsed = list(iter_warc(data))
+        assert [r.warc_type for r in parsed] == [
+            "warcinfo", "request", "response", "response", "response", "response",
+        ]
+        status, hdrs, body = http_payload(parsed[2])
+        assert (status, body) == (200, b"<p>alpha page body</p>")
+        assert hdrs["content-type"] == "text/html"
+    # fixture writer is byte-deterministic (gzip mtime=0)
+    assert build_warc(records, compress=True) == build_warc(records, compress=True)
+
+
+def test_warc11_bracketed_uri_and_obs_fold():
+    rec = build_record(
+        "response",
+        http_response_block(b"x"),
+        target_uri="<http://e.example/page>",
+        content_type="application/http; msgtype=response",
+    )
+    # fold the date header across two lines (obs-fold continuation)
+    rec = rec.replace(b"WARC-Date: 2026-01-01T00:00:00Z", b"WARC-Date: 2026-01-01\r\n T00:00:00Z")
+    (parsed,) = iter_warc(rec)
+    assert parsed.target_uri == "http://e.example/page"
+    assert parsed.date == "2026-01-01 T00:00:00Z"
+
+
+def test_http_payload_chunked_and_gzip_coding():
+    chunked = b"7\r\n<p>chun\r\n8\r\nked body\r\n4\r\n</p>\r\n0\r\n\r\n"
+    rec_c = _html_response("http://f.example/c", chunked, extra_headers=[("Transfer-Encoding", "chunked")])
+    (p,) = iter_warc(rec_c)
+    assert http_payload(p)[2] == b"<p>chunked body</p>"
+
+    gzbody = gzip.compress(b"<p>compressed body</p>", mtime=0)
+    rec_g = _html_response("http://f.example/g", gzbody, extra_headers=[("Content-Encoding", "gzip")])
+    (p,) = iter_warc(rec_g)
+    assert http_payload(p)[2] == b"<p>compressed body</p>"
+
+
+def test_truncated_archive_keeps_parsed_prefix():
+    records = _fixture_records()
+    data = build_warc(records)
+    cut = data[: data.find(b"<p>gone</p>") + 4]  # mid-block of record 5
+    parsed = list(iter_warc(cut))
+    assert len(parsed) == 5  # four full + the truncated one (short block)
+    assert parsed[4].block.startswith(b"HTTP/1.1 404")
+    # garbage after a valid record: stop, don't raise
+    assert len(list(iter_warc(build_warc(records[:1]) + b"JUNK"))) == 1
+
+
+def test_ingest_warc_spark(spark, tmp_path):
+    """Two .warc.gz archives → corpus rows → extract_spans, with
+    status/mime filtering, charset honor, and dup-URI doc_ids."""
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.sources.io import ingest_warc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc.gz").write_bytes(build_warc(_fixture_records(), compress=True))
+    refetch = [
+        _html_response("http://a.example/", b"<p>alpha refetch one</p>"),
+        _html_response("http://a.example/", b"<p>alpha refetch two</p>"),
+    ]
+    (d / "seg1.warc").write_bytes(build_warc(refetch))
+
+    corpus = ingest_warc(spark, str(d))
+    rows = corpus.collect()
+    # 404 and image/png filtered; warcinfo/request skipped. Within an
+    # archive re-fetches get #dupN; ACROSS archives the same URI is a
+    # deliberate duplicate doc_id (re-fetch → downstream dedup's job).
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [
+        "http://a.example/",
+        "http://a.example/",
+        "http://a.example/#dup1",
+        "http://b.example/latin",
+    ]
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["http://b.example/latin"]["mime"] == "text/html"
+    assert by_id["http://a.example/#dup1"]["url"] == "http://a.example/"
+    assert all(r["http_status"] == 200 for r in rows)
+    assert all(r["fetched_at"] == "2026-01-01T00:00:00Z" for r in rows)
+
+    texts = {
+        s["text"]
+        for r in extract_spans(corpus, passthrough=("url",)).collect()
+        for s in r["spans"]
+        if s["kind"] == "text"
+    }
+    assert texts == {"café page", "alpha page body", "alpha refetch one", "alpha refetch two"}

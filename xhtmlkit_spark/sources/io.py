@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "read_corpus",
     "ingest_html_files",
+    "ingest_warc",
     "write_spans",
     "write_bucketed",
     "read_manifest",
@@ -105,6 +106,118 @@ def ingest_html_files(
         [T.StructField("doc_id", T.StringType()), T.StructField("spans", SPANS_TYPE)]
     )
     return raw.mapInPandas(decode, schema)
+
+
+def ingest_warc(
+    spark: SparkSession, location: str, glob: str = "*.warc*", recursive: bool = False
+) -> DataFrame:
+    """WARC archives (the Common Crawl container format) → corpus rows.
+
+    ``binaryFile`` scans ``*.warc`` / ``*.warc.gz``; each archive is
+    parsed in a mapInPandas stage (xkit.warc, stdlib-only: gzip-member
+    iteration, record framing, HTTP de-chunk + content-decoding), and
+    every 2xx ``response`` record whose payload is HTML/XHTML or PDF
+    becomes one corpus row:
+
+        doc_id        the WARC-Target-URI (plus ``#dupN`` when a URI
+                      repeats inside one archive, so a single-archive
+                      ingest is unique by construction). The same URI
+                      captured in SEVERAL archives yields several rows
+                      with the same doc_id on purpose: those are
+                      re-fetches of one document, and which capture
+                      wins is a policy decision for the downstream
+                      dedup operators (url_normalize + exact dedup on
+                      content hash), not the ingest — a global
+                      uniqueness pass here would be a full shuffle
+                      before any filtering.
+        url           the raw target URI
+        fetched_at    WARC-Date (string, ISO-8601 as captured)
+        http_status   int
+        mime          media type from the HTTP Content-Type (lowercased,
+                      parameters stripped)
+        spans         single html/pdf span, same shape as
+                      ingest_html_files — pipe straight into
+                      extract_spans(..., passthrough=("url", ...)).
+
+    HTML charset: HTTP header hint → xkit.encoding sniff (BOM → meta →
+    fallback), the same chain a browser applies. PDF bytes ride
+    latin-1-lossless, the corpus convention. Non-document mimes
+    (images, scripts) and non-response records (request, metadata,
+    warcinfo, revisit) are dropped here — at 100 TB the drop happens
+    before the bytes cross the Arrow boundary twice.
+
+    Scale shape: one task per archive file (Common Crawl ships ~1 GB
+    .warc.gz segments, thousands per crawl — natural parallelism);
+    a re-partition after ingest rebalances giant-archive skew.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import SPANS_TYPE
+    from xkit.encoding import decode_html_bytes
+    from xkit.warc import http_payload, iter_warc
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(location).select("content")
+
+    _HTML = ("text/html", "application/xhtml+xml")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "url", "fetched_at", "http_status", "mime", "spans"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                seen: dict[str, int] = {}
+                for rec in iter_warc(bytes(content)):
+                    if rec.warc_type != "response":
+                        continue
+                    status, hdrs, body = http_payload(rec)
+                    if status is None or not (200 <= status < 300):
+                        continue
+                    ctype = hdrs.get("content-type", "")
+                    mime = ctype.split(";", 1)[0].strip().lower()
+                    if mime in _HTML:
+                        kind = "html"
+                        charset = None
+                        if "charset=" in ctype.lower():
+                            charset = ctype.lower().split("charset=", 1)[1].split(";")[0].strip(" \"'")
+                        text = decode_html_bytes(body, http_charset=charset)
+                    elif mime == "application/pdf":
+                        kind, text = "pdf", body.decode("latin-1")
+                    else:
+                        continue
+                    uri = rec.target_uri or rec.record_id or "urn:unknown"
+                    n = seen.get(uri, 0)
+                    seen[uri] = n + 1
+                    rows.append(
+                        {
+                            "doc_id": uri if n == 0 else f"{uri}#dup{n}",
+                            "url": uri,
+                            "fetched_at": rec.date,
+                            "http_status": status,
+                            "mime": mime,
+                            "spans": [
+                                {"kind": kind, "text": text, "media_ref": None, "offset": 0}
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("fetched_at", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("spans", SPANS_TYPE),
+        ]
+    )
+    return raw.mapInPandas(parse, schema)
 
 
 def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:

@@ -1,0 +1,263 @@
+"""Minimal WARC reader/writer (ISO 28500 / WARC 1.0-1.1), stdlib-only.
+
+The Common Crawl container format: a WARC file is a concatenation of
+records, each
+
+    WARC/1.0 CRLF
+    <header fields  Name: value CRLF ...>
+    CRLF
+    <Content-Length bytes of block>
+    CRLF CRLF
+
+and the usual on-disk form is per-record gzip members concatenated
+(``.warc.gz``) so readers can seek to a record and decompress just it.
+``zlib`` handles member-at-a-time decompression via ``unused_data``.
+
+``response`` records carry the captured HTTP exchange verbatim in the
+block (``Content-Type: application/http; msgtype=response``):
+status line + headers, CRLF CRLF, then the body exactly as fetched —
+which may be Transfer-Encoding: chunked and/or Content-Encoding:
+gzip/deflate, so :func:`http_payload` undoes both before handing the
+body to charset sniffing.
+
+Writer (:func:`build_record`, :func:`build_warc`) exists for
+deterministic fixtures: gzip members are written with ``mtime=0`` so
+the same records always produce byte-identical archives.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+
+__all__ = [
+    "WarcRecord",
+    "iter_warc",
+    "http_payload",
+    "build_record",
+    "build_warc",
+    "http_response_block",
+]
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+class WarcRecord:
+    """One parsed record: case-insensitive WARC headers + raw block."""
+
+    __slots__ = ("headers", "block")
+
+    def __init__(self, headers: dict[str, str], block: bytes):
+        self.headers = headers
+        self.block = block
+
+    def get(self, name: str) -> str | None:
+        return self.headers.get(name.lower())
+
+    @property
+    def warc_type(self) -> str:
+        return (self.get("WARC-Type") or "").lower()
+
+    @property
+    def target_uri(self) -> str | None:
+        uri = self.get("WARC-Target-URI")
+        # WARC 1.1 wraps the URI in <>; 1.0 does not — accept both
+        if uri and uri.startswith("<") and uri.endswith(">"):
+            return uri[1:-1]
+        return uri
+
+    @property
+    def date(self) -> str | None:
+        return self.get("WARC-Date")
+
+    @property
+    def record_id(self) -> str | None:
+        return self.get("WARC-Record-ID")
+
+    @property
+    def content_type(self) -> str:
+        return (self.get("Content-Type") or "").lower()
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (the .warc.gz layout)."""
+    out = []
+    buf = data
+    while buf[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(buf))
+        except zlib.error:
+            break  # truncated trailing member: keep what decoded
+        buf = d.unused_data
+        if not buf:
+            break
+    return b"".join(out)
+
+
+def _parse_headers(raw: bytes) -> dict[str, str]:
+    """Header block → lowercase-keyed dict; supports obs-fold
+    continuations (a line starting with SP/HT extends the prior value)."""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for line in raw.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue  # malformed line: skip, keep parsing
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers
+
+
+def iter_warc(data: bytes) -> Iterator[WarcRecord]:
+    """Yield records from WARC bytes (plain or gzip-member-compressed).
+
+    Defensive: a malformed record terminates iteration rather than
+    raising — crawl archives get truncated, and at 100 TB one bad file
+    must not kill the stage.
+    """
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            return  # lost sync: stop
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            return
+        line_end = data.find(_CRLF, pos)
+        headers = _parse_headers(data[line_end + 2 : hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        block_start = hdr_end + 4
+        if block_start + length > n:
+            length = n - block_start  # truncated final record
+        yield WarcRecord(headers, data[block_start : block_start + length])
+        pos = block_start + length
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked; returns input on malformed."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return body
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            return b"".join(out)
+        chunk = body[eol + 2 : eol + 2 + size]
+        out.append(chunk)
+        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
+        if pos > len(body):
+            return b"".join(out)  # truncated capture
+
+
+def http_payload(record: WarcRecord) -> tuple[int | None, dict[str, str], bytes]:
+    """Split a response record's block into (status, headers, body).
+
+    Undoes chunked transfer coding and gzip/deflate content coding so
+    the returned body is the document bytes ready for charset sniff.
+    A block that is not an HTTP message (resource records, or a
+    content-type that lies) comes back as (None, {}, block).
+    """
+    block = record.block
+    if "application/http" not in record.content_type:
+        return None, {}, block
+    split = block.find(_CRLF + _CRLF)
+    if split < 0:
+        return None, {}, block
+    head, body = block[:split], block[split + 4 :]
+    status_line, _, rest = head.partition(_CRLF)
+    parts = status_line.split(None, 2)
+    status: int | None = None
+    if len(parts) >= 2 and parts[0][:5] == b"HTTP/":
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    headers = _parse_headers(rest)
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    coding = headers.get("content-encoding", "").lower().strip()
+    if coding in ("gzip", "x-gzip") and body[:2] == _GZIP_MAGIC:
+        try:
+            body = _gunzip_members(body)
+        except Exception:
+            pass
+    elif coding == "deflate":
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # zlib- or raw-deflate
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+    return status, headers, body
+
+
+def build_record(
+    warc_type: str,
+    block: bytes,
+    target_uri: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    content_type: str | None = None,
+) -> bytes:
+    """Serialize one record (fixture writer; deterministic field order)."""
+    fields = [("WARC-Type", warc_type), ("WARC-Record-ID", record_id), ("WARC-Date", date)]
+    if target_uri is not None:
+        fields.append(("WARC-Target-URI", target_uri))
+    if content_type is not None:
+        fields.append(("Content-Type", content_type))
+    fields.append(("Content-Length", str(len(block))))
+    head = b"WARC/1.0" + _CRLF
+    head += b"".join(f"{k}: {v}".encode("latin-1") + _CRLF for k, v in fields)
+    return head + _CRLF + block + _CRLF + _CRLF
+
+
+def build_warc(records: list[bytes], compress: bool = False) -> bytes:
+    """Concatenate serialized records; ``compress=True`` gzips each as
+    its own member (mtime=0: byte-deterministic), the .warc.gz layout."""
+    if not compress:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        out.write(gzip.compress(rec, mtime=0))
+    return out.getvalue()
+
+
+def http_response_block(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    extra_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Build the block of a response record: a captured HTTP message."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(status, "OK")
+    head = f"HTTP/1.1 {status} {reason}".encode("latin-1") + _CRLF
+    head += f"Content-Type: {content_type}".encode("latin-1") + _CRLF
+    for k, v in extra_headers or []:
+        head += f"{k}: {v}".encode("latin-1") + _CRLF
+    head += f"Content-Length: {len(body)}".encode("latin-1") + _CRLF
+    return head + _CRLF + body
