@@ -143,3 +143,39 @@ def test_ingest_warc_spark(spark, tmp_path):
         if s["kind"] == "text"
     }
     assert texts == {"café page", "alpha page body", "alpha refetch one", "alpha refetch two"}
+
+
+def test_write_wet_roundtrip_deterministic(spark, tmp_path):
+    """Ingest → extract → WET export: conversion records carry the
+    extracted text per URI, re-running the export is byte-identical,
+    and the files re-parse with the same reader."""
+    import glob as globmod
+
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.sources.io import ingest_warc, write_wet
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc.gz").write_bytes(build_warc(_fixture_records(), compress=True))
+    extracted = extract_spans(
+        ingest_warc(spark, str(d)), passthrough=("url", "fetched_at")
+    ).repartition(2, "doc_id")
+
+    out = tmp_path / "wet"
+    manifest = write_wet(extracted, str(out))
+    assert sum(m["n_records"] for m in manifest) == 2
+    files = sorted(globmod.glob(str(out / "*.warc.wet.gz")))
+    assert [m["path"] for m in sorted(manifest, key=lambda m: m["path"])] == files
+
+    recs = [r for f in files for r in iter_warc(open(f, "rb").read())]
+    assert [r.warc_type for r in recs].count("warcinfo") == len(files)
+    conv = {r.target_uri: r.block.decode("utf-8") for r in recs if r.warc_type == "conversion"}
+    assert conv == {
+        "http://a.example/": "alpha page body",
+        "http://b.example/latin": "café page",
+    }
+    assert all(r.get("WARC-Date") == "2026-01-01T00:00:00Z" for r in recs if r.warc_type == "conversion")
+
+    before = [open(f, "rb").read() for f in files]
+    write_wet(extracted, str(out))  # re-run: deterministic overwrite
+    assert [open(f, "rb").read() for f in files] == before

@@ -19,6 +19,7 @@ __all__ = [
     "read_corpus",
     "ingest_html_files",
     "ingest_warc",
+    "write_wet",
     "write_spans",
     "write_bucketed",
     "read_manifest",
@@ -218,6 +219,114 @@ def ingest_warc(
         ]
     )
     return raw.mapInPandas(parse, schema)
+
+
+def write_wet(
+    df: DataFrame,
+    location: str,
+    software: str = "spark-xkit",
+    compress: bool = True,
+) -> list[dict]:
+    """Extracted corpus → WET archives (Common Crawl's extracted-text
+    exchange format): the symmetric sink to :func:`ingest_warc`.
+
+    Input is the post-extract shape (``doc_id``, ``spans``; optional
+    ``url`` / ``fetched_at`` passthroughs are used for
+    WARC-Target-URI / WARC-Date, falling back to doc_id / epoch). Each
+    partition becomes one ``part-NNNNN.warc.wet[.gz]`` holding a
+    leading ``warcinfo`` record plus one ``conversion`` record per doc
+    (Content-Type text/plain, body = text spans joined by newlines,
+    UTF-8). Record IDs are md5(doc_id)-derived urn:uuids, and gzip
+    members carry mtime=0 — the whole export is byte-deterministic
+    given the same partitioning, so a retried/re-run job overwrites
+    with identical files.
+
+    Scale shape: the text join happens JVM-side (higher-order filter +
+    array_join) so only final strings cross the Arrow boundary; each
+    task streams its partition to a temp file and os.replace()s it
+    into place (atomic on a POSIX dir — speculative twin attempts
+    collide harmlessly because content is deterministic). Returns the
+    per-file manifest [{path, n_records}] — one row per non-empty
+    partition, tiny by construction.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(location, exist_ok=True)
+
+    cols = set(df.columns)
+    proj = df.select(
+        F.col("doc_id"),
+        (F.col("url") if "url" in cols else F.col("doc_id")).alias("uri"),
+        (
+            F.col("fetched_at")
+            if "fetched_at" in cols
+            else F.lit("1970-01-01T00:00:00Z")
+        ).alias("date"),
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+
+    def write_partition(batches):
+        import hashlib
+        import uuid as _uuid
+        from pyspark import TaskContext
+
+        from xkit.warc import build_record, build_warc
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        records = [
+            build_record(
+                "warcinfo",
+                f"software: {software}\r\nformat: WARC File Format 1.0\r\n".encode(),
+                content_type="application/warc-fields",
+                record_id=f"<urn:uuid:{_uuid.UUID(bytes=hashlib.md5(f'warcinfo-{pid}'.encode()).digest())}>",
+            )
+        ]
+        n = 0
+        for pdf in batches:
+            for doc_id, uri, date, text in zip(
+                pdf["doc_id"], pdf["uri"], pdf["date"], pdf["text"]
+            ):
+                rid = _uuid.UUID(bytes=hashlib.md5(str(doc_id).encode()).digest())
+                records.append(
+                    build_record(
+                        "conversion",
+                        str(text).encode("utf-8"),
+                        target_uri=str(uri),
+                        date=str(date) if date is not None else "1970-01-01T00:00:00Z",
+                        record_id=f"<urn:uuid:{rid}>",
+                        content_type="text/plain",
+                    )
+                )
+                n += 1
+        if n:
+            ext = ".warc.wet.gz" if compress else ".warc.wet"
+            final = os.path.join(location, f"part-{pid:05d}{ext}")
+            tmp = f"{final}.{attempt}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(build_warc(records, compress=compress))
+            os.replace(tmp, final)
+            import pandas as pd
+
+            yield pd.DataFrame([{"path": final, "n_records": n}])
+
+    from pyspark.sql import types as T
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+        ]
+    )
+    return [r.asDict() for r in proj.mapInPandas(write_partition, manifest_schema).collect()]
 
 
 def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
