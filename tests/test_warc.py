@@ -145,6 +145,70 @@ def test_ingest_warc_spark(spark, tmp_path):
     assert texts == {"café page", "alpha page body", "alpha refetch one", "alpha refetch two"}
 
 
+def test_surt_urlkey():
+    from xkit.warc import surt
+
+    assert surt("https://WWW.Example.COM:443/a/b?z=1&a=2#frag") == "com,example)/a/b?a=2&z=1"
+    assert surt("http://user:pw@sub.example.org:80") == "org,example,sub)/"
+    assert surt("http://example.com/path") == "com,example)/path"
+    assert surt("not a url") is None
+    # http/https/www variants collide on one urlkey
+    assert len({surt(u) for u in (
+        "http://example.com/p", "https://example.com/p", "http://www.example.com/p",
+    )}) == 1
+
+
+def test_iter_warc_offsets_ranged_read():
+    """The CDX property: [offset, offset+length) re-parses standalone
+    to the same record — in both the plain and gzip-member layouts."""
+    from xkit.warc import iter_warc_offsets
+
+    records = _fixture_records()
+    for compress in (False, True):
+        data = build_warc(records, compress=compress)
+        entries = list(iter_warc_offsets(data))
+        assert len(entries) == len(records)
+        for rec, off, length in entries:
+            (reread,) = iter_warc(data[off : off + length])
+            assert reread.headers == rec.headers
+            assert reread.block == rec.block
+        # spans tile the file (gzip members are contiguous)
+        if compress:
+            assert entries[0][1] == 0
+            assert all(
+                entries[i][1] + entries[i][2] == entries[i + 1][1]
+                for i in range(len(entries) - 1)
+            )
+
+
+def test_warc_cdx_spark(spark, tmp_path):
+    from xhtmlkit_spark.sources.io import warc_cdx
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc.gz").write_bytes(build_warc(_fixture_records(), compress=True))
+    idx = {r["url"]: r for r in warc_cdx(spark, str(d)).collect()}
+    # all four responses indexed (CDX keeps 404s and images — it's a
+    # capture index, not a content filter)
+    assert set(idx) == {
+        "http://a.example/", "http://b.example/latin",
+        "http://c.example/miss", "http://d.example/logo",
+    }
+    a = idx["http://a.example/"]
+    assert a["urlkey"] == "example,a)/"
+    assert a["timestamp"] == "20260101000000"
+    assert (a["mime"], a["status"], a["filename"]) == ("text/html", 200, "seg0.warc.gz")
+    assert idx["http://c.example/miss"]["status"] == 404
+    # digest matches the payload bytes; ranged read lands on the record
+    import base64
+    import hashlib
+
+    assert a["digest"] == base64.b32encode(hashlib.sha1(b"<p>alpha page body</p>").digest()).decode()
+    data = (d / "seg0.warc.gz").read_bytes()
+    (rec,) = iter_warc(data[a["offset"] : a["offset"] + a["length"]])
+    assert rec.target_uri == "http://a.example/"
+
+
 def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     """Ingest → extract → WET export: conversion records carry the
     extracted text per URI, re-running the export is byte-identical,

@@ -19,6 +19,7 @@ __all__ = [
     "read_corpus",
     "ingest_html_files",
     "ingest_warc",
+    "warc_cdx",
     "write_wet",
     "write_spans",
     "write_bucketed",
@@ -219,6 +220,91 @@ def ingest_warc(
         ]
     )
     return raw.mapInPandas(parse, schema)
+
+
+def warc_cdx(
+    spark: SparkSession, location: str, glob: str = "*.warc*", recursive: bool = False
+) -> DataFrame:
+    """Build a CDX(J) capture index over WARC archives — the third leg
+    of the crawl-ecosystem triangle (ingest_warc reads, write_wet
+    exports, warc_cdx makes archives randomly addressable): one row per
+    ``response`` record with
+
+        urlkey     SURT form of the target URI (xkit.warc.surt —
+                   reversed-host sort key, so a host's captures sort
+                   adjacently and http/https/www collide)
+        timestamp  WARC-Date as the 14-digit CDX form
+        url, mime, status
+        digest     sha1, base32, of the DECODED payload body (after
+                   de-chunk + content-decoding — the dedup-relevant
+                   bytes; note classic CDX digests the stored payload)
+        length, offset  the record's byte span AS STORED (the gzip
+                   member for .warc.gz) — a ranged read of
+                   [offset, offset+length) yields exactly this record
+        filename   archive basename
+
+    Scale shape: one task per archive, pure projection — no shuffle;
+    sort by (urlkey, timestamp) at write time if a merged index is
+    wanted (that global sort is the index build's only exchange).
+    """
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(location).select("path", "content")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        import hashlib
+        import re as _re
+
+        from xkit.warc import http_payload, iter_warc_offsets, surt
+
+        cols = ["urlkey", "timestamp", "url", "mime", "status", "digest", "length", "offset", "filename"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[-1]
+                for rec, off, length in iter_warc_offsets(bytes(content)):
+                    if rec.warc_type != "response":
+                        continue
+                    status, hdrs, body = http_payload(rec)
+                    uri = rec.target_uri or ""
+                    ts = _re.sub(r"[^0-9]", "", rec.date or "")[:14]
+                    rows.append(
+                        {
+                            "urlkey": surt(uri),
+                            "timestamp": ts,
+                            "url": uri,
+                            "mime": hdrs.get("content-type", "").split(";", 1)[0].strip().lower(),
+                            "status": status,
+                            "digest": base64.b32encode(hashlib.sha1(body).digest()).decode(),
+                            "length": length,
+                            "offset": off,
+                            "filename": fname,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("urlkey", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("digest", T.StringType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("filename", T.StringType()),
+        ]
+    )
+    return raw.mapInPandas(index, schema)
 
 
 def write_wet(

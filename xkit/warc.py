@@ -35,6 +35,8 @@ from collections.abc import Iterator
 __all__ = [
     "WarcRecord",
     "iter_warc",
+    "iter_warc_offsets",
+    "surt",
     "http_payload",
     "build_record",
     "build_warc",
@@ -150,6 +152,80 @@ def iter_warc(data: bytes) -> Iterator[WarcRecord]:
             length = n - block_start  # truncated final record
         yield WarcRecord(headers, data[block_start : block_start + length])
         pos = block_start + length
+
+
+def iter_warc_offsets(data: bytes) -> Iterator[tuple[WarcRecord, int, int]]:
+    """Yield ``(record, offset, length)`` where offset/length address
+    the record INSIDE THE FILE AS STORED — for ``.warc.gz`` that is the
+    gzip member's compressed byte span (the record-per-member layout
+    exists precisely so an index can point a ranged read at one
+    record), for plain WARC the record's own byte span. This is what a
+    CDX index needs; :func:`iter_warc` is the cheaper call when
+    offsets don't matter.
+    """
+    if data[:2] != _GZIP_MAGIC:
+        pos = 0
+        n = len(data)
+        while pos < n:
+            while data[pos : pos + 2] == _CRLF:
+                pos += 2
+            start = pos
+            if pos >= n or not data.startswith(b"WARC/", pos):
+                return
+            hdr_end = data.find(_CRLF + _CRLF, pos)
+            if hdr_end < 0:
+                return
+            line_end = data.find(_CRLF, pos)
+            headers = _parse_headers(data[line_end + 2 : hdr_end])
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            block_start = hdr_end + 4
+            if block_start + length > n:
+                length = n - block_start
+            end = min(block_start + length + 4, n)  # trailing CRLFCRLF
+            yield WarcRecord(headers, data[block_start : block_start + length]), start, end - start
+            pos = block_start + length
+        return
+    # gzip: one member per record; member length = consumed input
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(data[pos:])
+            raw += d.flush()
+        except zlib.error:
+            return
+        member_len = (n - pos) - len(d.unused_data)
+        for rec in iter_warc(raw):
+            yield rec, pos, member_len
+        pos += member_len
+
+
+# SURT canonicalization (Sort-friendly URI Reordering Transform, the
+# CDX urlkey convention): host lowercased, www. stripped, components
+# REVERSED comma-joined, then ")/path?query" with query params sorted —
+# so one host's captures sort adjacently and http/https collide.
+def surt(url: str) -> str | None:
+    """Minimal SURT urlkey for a CDX index; None for non-URLs."""
+    import re as _re
+
+    m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^?#]*)(?:\?([^#]*))?", url)
+    if not m or not m.group(1):
+        return None
+    host, path, query = m.group(1).lower(), m.group(2), m.group(3)
+    host = host.rpartition("@")[2]
+    host = _re.sub(r":(80|443)$", "", host)
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split("."))) + ")" + (path or "/")
+    if query:
+        kept = sorted(p for p in query.split("&") if p)
+        if kept:
+            key += "?" + "&".join(kept)
+    return key
 
 
 def _dechunk(body: bytes) -> bytes:
