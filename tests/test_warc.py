@@ -209,6 +209,32 @@ def test_warc_cdx_spark(spark, tmp_path):
     assert rec.target_uri == "http://a.example/"
 
 
+def test_streaming_warc_extract_incremental(spark, tmp_path):
+    """Archives land → drain → more land → drain: each drain parses
+    only the NEW archives (file-tracking log), the sink stays
+    exactly-once, and extracted spans match the batch path."""
+    from xhtmlkit_spark.streaming.jobs import streaming_warc_extract
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    (land / "seg0.warc.gz").write_bytes(build_warc(_fixture_records(), compress=True))
+
+    streaming_warc_extract(spark, str(land), out, ck)
+    first = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in first} == {"http://a.example/", "http://b.example/latin"}
+
+    (land / "seg1.warc").write_bytes(
+        build_warc([_html_response("http://e.example/new", b"<p>second wave page</p>")])
+    )
+    streaming_warc_extract(spark, str(land), out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # seg0 NOT re-parsed: no duplicates
+    texts = {s["text"] for r in rows for s in r["spans"] if s["kind"] == "text"}
+    assert texts == {"alpha page body", "café page", "second wave page"}
+    assert all(r["part"] is not None and r["url"] for r in rows)
+
+
 def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     """Ingest → extract → WET export: conversion records carry the
     extracted text per URI, re-running the export is byte-identical,

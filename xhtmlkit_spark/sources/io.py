@@ -152,64 +152,22 @@ def ingest_warc(
     .warc.gz segments, thousands per crawl — natural parallelism);
     a re-partition after ingest rebalances giant-archive skew.
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from xhtmlkit_spark.operators.extract_stage import SPANS_TYPE
-    from xkit.encoding import decode_html_bytes
-    from xkit.warc import http_payload, iter_warc
-
     reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(location).select("content")
+    return raw.mapInPandas(_parse_warc_batches, _warc_corpus_schema())
 
-    _HTML = ("text/html", "application/xhtml+xml")
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["doc_id", "url", "fetched_at", "http_status", "mime", "spans"]
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                seen: dict[str, int] = {}
-                for rec in iter_warc(bytes(content)):
-                    if rec.warc_type != "response":
-                        continue
-                    status, hdrs, body = http_payload(rec)
-                    if status is None or not (200 <= status < 300):
-                        continue
-                    ctype = hdrs.get("content-type", "")
-                    mime = ctype.split(";", 1)[0].strip().lower()
-                    if mime in _HTML:
-                        kind = "html"
-                        charset = None
-                        if "charset=" in ctype.lower():
-                            charset = ctype.lower().split("charset=", 1)[1].split(";")[0].strip(" \"'")
-                        text = decode_html_bytes(body, http_charset=charset)
-                    elif mime == "application/pdf":
-                        kind, text = "pdf", body.decode("latin-1")
-                    else:
-                        continue
-                    uri = rec.target_uri or rec.record_id or "urn:unknown"
-                    n = seen.get(uri, 0)
-                    seen[uri] = n + 1
-                    rows.append(
-                        {
-                            "doc_id": uri if n == 0 else f"{uri}#dup{n}",
-                            "url": uri,
-                            "fetched_at": rec.date,
-                            "http_status": status,
-                            "mime": mime,
-                            "spans": [
-                                {"kind": kind, "text": text, "media_ref": None, "offset": 0}
-                            ],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+_WARC_HTML_MIMES = ("text/html", "application/xhtml+xml")
 
-    schema = T.StructType(
+
+def _warc_corpus_schema():
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import SPANS_TYPE
+
+    return T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
             T.StructField("url", T.StringType()),
@@ -219,7 +177,55 @@ def ingest_warc(
             T.StructField("spans", SPANS_TYPE),
         ]
     )
-    return raw.mapInPandas(parse, schema)
+
+
+def _parse_warc_batches(batches):
+    """mapInPandas body shared by ingest_warc (batch) and
+    streaming_warc_extract (continuous): archive bytes → corpus rows."""
+    import pandas as pd
+
+    from xkit.encoding import decode_html_bytes
+    from xkit.warc import http_payload, iter_warc
+
+    cols = ["doc_id", "url", "fetched_at", "http_status", "mime", "spans"]
+    for pdf in batches:
+        rows = []
+        for content in pdf["content"]:
+            seen: dict[str, int] = {}
+            for rec in iter_warc(bytes(content)):
+                if rec.warc_type != "response":
+                    continue
+                status, hdrs, body = http_payload(rec)
+                if status is None or not (200 <= status < 300):
+                    continue
+                ctype = hdrs.get("content-type", "")
+                mime = ctype.split(";", 1)[0].strip().lower()
+                if mime in _WARC_HTML_MIMES:
+                    kind = "html"
+                    charset = None
+                    if "charset=" in ctype.lower():
+                        charset = ctype.lower().split("charset=", 1)[1].split(";")[0].strip(" \"'")
+                    text = decode_html_bytes(body, http_charset=charset)
+                elif mime == "application/pdf":
+                    kind, text = "pdf", body.decode("latin-1")
+                else:
+                    continue
+                uri = rec.target_uri or rec.record_id or "urn:unknown"
+                n = seen.get(uri, 0)
+                seen[uri] = n + 1
+                rows.append(
+                    {
+                        "doc_id": uri if n == 0 else f"{uri}#dup{n}",
+                        "url": uri,
+                        "fetched_at": rec.date,
+                        "http_status": status,
+                        "mime": mime,
+                        "spans": [
+                            {"kind": kind, "text": text, "media_ref": None, "offset": 0}
+                        ],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def warc_cdx(

@@ -408,6 +408,63 @@ def streaming_extract(
     q.awaitTermination()
 
 
+def streaming_warc_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The full parse-while-crawling analogue: WARC archives land
+    continuously (a crawler's output directory), each micro-batch
+    parses the new archives (xkit.warc via the shared
+    ``_parse_warc_batches`` stage), runs main-content extraction, and
+    commits extracted spans to the exactly-once file sink — the
+    streaming composition of :func:`ingest_warc` and
+    :func:`streaming_extract`. binaryFile is a first-class streaming
+    source, so the file-tracking log gives each archive
+    exactly-once PARSE too (a re-listed file is never re-parsed).
+    Drains with availableNow here; unbounded on a cluster.
+    """
+    from pyspark.sql import types as T
+
+    from xhtmlkit_spark.operators.extract_stage import extract_spans
+    from xhtmlkit_spark.plans.pipeline import derive_part
+    from xhtmlkit_spark.sources.io import _parse_warc_batches, _warc_corpus_schema
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir).select("content")
+
+    corpus = stream.mapInPandas(_parse_warc_batches, _warc_corpus_schema())
+    out = extract_spans(
+        derive_part(corpus), passthrough=("part", "url", "fetched_at")
+    ).select("doc_id", "url", "fetched_at", "spans", "part")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_select(
     spark: SparkSession,
     input_dir: str,
