@@ -689,6 +689,18 @@ def _q_containment_pairs(spark, sf_dir):
     return containment_verify(pairs, d, text="text", k=2)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (hashed uni+bigram likelihood ratio,
+    add-one smoothing): every non-English doc scored against the
+    English subset as target — the data-selection primitive. Oracle
+    rebuilds the same hashed-bucket models from scratch in SQL
+    (md5-prefix buckets are engine-portable)."""
+    from xhtmlkit_spark.operators.sampling import dsir_weights
+
+    d = _read(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=256)
+
+
 def _q_asof_event_orders(spark, sf_dir):
     """Point-in-time enrichment: each event joined to the customer's
     latest order at-or-before the event (union-scan window as-of join,
@@ -1662,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_urls": _q_robots_sitemap_urls,
         "contamination_spans": _q_contamination_spans,
         "feed_entries": _q_feed_entries,
+        "dsir_weights": _q_dsir_weights,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2889,6 +2902,43 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM pairs p
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        # DSIR: same hashed uni+bigram buckets, add-one models, log
+        # ratio — built from scratch (md5-prefix int is engine-portable)
+        "dsir_weights": """
+            WITH docs AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents WHERE text IS NOT NULL),
+            feats AS (
+              SELECT doc_id, tgt, unnest(list_filter(toks, x -> x <> '')) AS feat
+              FROM docs
+              UNION ALL
+              SELECT doc_id, tgt,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END) AS feat
+              FROM docs),
+            bucketed AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(feat), 1, 6))::BIGINT % 256 AS bucket
+              FROM feats),
+            per AS (
+              SELECT doc_id, tgt, bucket, count(*) AS n
+              FROM bucketed GROUP BY doc_id, tgt, bucket),
+            model AS (
+              SELECT bucket,
+                     sum(CASE WHEN tgt THEN n ELSE 0 END) AS tk,
+                     sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS rk
+              FROM per GROUP BY bucket),
+            tot AS (SELECT sum(tk)::DOUBLE AS T, sum(rk)::DOUBLE AS R FROM model)
+            SELECT p.doc_id, sum(p.n) AS n_feats,
+                   round(sum(p.n * (ln((m.tk + 1) / (T + 256))
+                                  - ln((m.rk + 1) / (R + 256)))), 6) AS log_weight
+            FROM per p JOIN model m ON p.bucket = m.bucket CROSS JOIN tot
+            WHERE NOT p.tgt
+            GROUP BY p.doc_id
         """,
         "dedup_groups": f"""
             WITH RECURSIVE {_shingle_sig_cte(2)},

@@ -37,6 +37,7 @@ QUERIES = [
     "size_bucket_histogram",
     "c4_line_stats",
     "quality_ensemble",
+    "dsir_weights",
 ]
 
 

@@ -414,6 +414,71 @@ def test_temperature_mix_flattens_skew(spark):
     assert ids(temperature_mix(df.repartition(13), stratum="source")) == ids(out)
 
 
+def test_dsir_weights_matches_reimplementation(spark):
+    """DSIR hashed-ngram importance weights equal an independent
+    pure-Python reimplementation, target-like raw docs outrank junk,
+    and the result is partitioning-invariant."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.sampling import dsir_weights
+
+    rows = [
+        ("t1", True, "the cat sat on the mat"),
+        ("t2", True, "the cat ran home"),
+        ("r1", False, "the cat sat"),
+        ("r2", False, "quantum flux capacitor overload"),
+        ("r3", False, "x"),
+        ("r4", False, None),
+        ("r5", False, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tgt boolean, text string")
+    out = dsir_weights(df, F.col("tgt"), n_buckets=64)
+    res = {r["doc_id"]: (r["n_feats"], r["log_weight"]) for r in out.collect()}
+
+    K = 64
+
+    def feats(s):
+        toks = s.lower().split()
+        bi = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        return [t for t in toks if t] + bi
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:6], 16) % K
+
+    tk: dict = {}
+    rk: dict = {}
+    for _, tgt, txt in rows:
+        if txt is None:
+            continue
+        for f in feats(txt):
+            d = tk if tgt else rk
+            d[bucket(f)] = d.get(bucket(f), 0) + 1
+    T, R = sum(tk.values()), sum(rk.values())
+    exp = {}
+    for did, tgt, txt in rows:
+        if tgt or txt is None or not feats(txt):
+            continue
+        lw = sum(
+            math.log((tk.get(bucket(f), 0) + 1) / (T + K))
+            - math.log((rk.get(bucket(f), 0) + 1) / (R + K))
+            for f in feats(txt)
+        )
+        exp[did] = (len(feats(txt)), round(lw, 6))
+    assert set(res) == set(exp)  # null/empty docs absent, targets absent
+    for k in exp:
+        assert res[k][0] == exp[k][0]
+        assert abs(res[k][1] - exp[k][1]) < 2e-6
+    assert res["r1"][1] > res["r2"][1]  # target-like beats junk
+    rep = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_weights(df.repartition(7), F.col("tgt"), n_buckets=64).collect()
+    }
+    assert rep == res
+
+
 def test_token_windows_coverage_and_overlap(spark):
     from xhtmlkit_spark.operators.text_stats import token_windows
 

@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "hash_sample", "stratified_sample", "temperature_mix"]
+__all__ = [
+    "hash_fraction",
+    "hash_sample",
+    "stratified_sample",
+    "temperature_mix",
+    "dsir_weights",
+]
 
 _DENOM = float(1 << 32)
 
@@ -104,4 +110,99 @@ def temperature_mix(
     )
     return df.join(F.broadcast(rates), stratum).where(
         hash_fraction(key, salt) < F.col("mix_rate")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    text: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every NON-target document by
+    how target-like its hashed n-gram profile is, so resampling by
+    weight shifts the raw pool toward the target distribution — the
+    standard cheap alternative to a trained quality classifier.
+
+    Features are word uni+bigrams hashed into ``n_buckets`` via the
+    engine-portable md5-prefix integer (same trick as
+    :func:`hash_fraction`); bucket unigram models are fit with add-one
+    smoothing on the target subset (rows matching ``is_target``) and
+    the raw rest, and each raw doc scores
+
+        log_w = Σ_k c_k(doc) · ( ln (t_k+1)/(T+K) − ln (r_k+1)/(R+K) )
+
+    Output: ``(doc_id, n_feats, log_weight)`` for raw docs, rounded 6
+    (the unigram_nll discipline — sums of a few hundred logs land
+    identically in both engines at 6 digits).
+
+    Scale shape: ONE explode feeds every aggregation — per-(doc,
+    bucket) counts first (the only full shuffle, keyed by doc), then
+    bucket models (≤ n_buckets rows) and the 1-row totals both hang
+    off that aggregate and come back as broadcasts; the corpus text
+    itself crosses the wire once. n_buckets is a constant: the model
+    is ~KBs at any corpus size.
+    """
+    from xhtmlkit_spark.functions.binding import bind
+
+    toks = F.split(F.trim(F.lower(F.col(text))), "\\s+")
+
+    # let-bind the split: inside bind, ``t`` is a lambda VARIABLE, so
+    # the size()/slice() multi-refs (and the per-bigram transform) see
+    # it evaluated once per row — referenced as a plain column,
+    # CollapseProject inlines the split per use site (3× measured)
+    def body(t: Column) -> Column:
+        uni = F.filter(t, lambda x: x != "")
+        bi = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(uni, bi)
+
+    feats = df.where(F.col(text).isNotNull()).select(
+        "doc_id",
+        is_target.alias("__tgt"),
+        F.explode(bind(toks, body)).alias("__feat"),
+    ).select(
+        "doc_id",
+        "__tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("__feat"), 1, 6), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("__bucket"),
+    )
+    # two consumers hang off ``per`` (the bucket model and the raw
+    # side) — without a checkpoint the explode+md5 subtree runs twice
+    # (the two-consumer lazy-subtree trap, PLANS.md); ``per`` is the
+    # slim (docs × buckets-touched) aggregate, cheap to pin
+    per = (
+        feats.groupBy("doc_id", "__tgt", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    model = per.groupBy("__bucket").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias("__tk"),
+        F.sum(F.when(~F.col("__tgt"), F.col("__n")).otherwise(0)).alias("__rk"),
+    )
+    totals = model.agg(
+        F.sum("__tk").cast("double").alias("__T"),
+        F.sum("__rk").cast("double").alias("__R"),
+    )
+    k = F.lit(float(n_buckets))
+    ratio = F.log((F.col("__tk") + 1) / (F.col("__T") + k)) - F.log(
+        (F.col("__rk") + 1) / (F.col("__R") + k)
+    )
+    return (
+        per.where(~F.col("__tgt"))
+        .join(F.broadcast(model), "__bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__n").alias("n_feats"),
+            F.round(F.sum(F.col("__n") * ratio), 6).alias("log_weight"),
+        )
     )
