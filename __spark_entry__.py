@@ -1064,18 +1064,15 @@ def _q_feed_entries(spark, sf_dir):
     )
 
 
-def _q_url_normalize(spark, sf_dir):
-    """R44: URL canonicalization for crawl-level dedup — scheme/host
-    case, default ports, userinfo, www., fragments, tracking params
-    (utm_*/fbclid/gclid/ref), query-param sort, empty path. Planted
-    URLs hit every rule; the DuckDB twin evaluates the identical
-    regexp/list chain."""
-    from xhtmlkit_spark.operators.urls import normalize_url
-
+def _planted_messy_url_col():
+    """The 6-way URL planting shared by url_normalize and surt_keys:
+    upper-case scheme/host + default port + tracking params + fragment,
+    userinfo@ + :443, fragment-only, tracking-only query, a non-URL,
+    and a non-default port with unsorted params."""
     did = F.col("doc_id")
     ds = did.cast("string")
     m = (did % 3).cast("string")
-    url = (
+    return (
         F.when(
             did % 6 == 0,
             F.concat(
@@ -1099,8 +1096,35 @@ def _q_url_normalize(spark, sf_dir):
                      F.lit("&ref=r")),
         )
     )
-    d = _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def _q_url_normalize(spark, sf_dir):
+    """R44: URL canonicalization for crawl-level dedup — scheme/host
+    case, default ports, userinfo, www., fragments, tracking params
+    (utm_*/fbclid/gclid/ref), query-param sort, empty path. Planted
+    URLs hit every rule; the DuckDB twin evaluates the identical
+    regexp/list chain."""
+    from xhtmlkit_spark.operators.urls import normalize_url
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _planted_messy_url_col().alias("url")
+    )
     return d.select("doc_id", "url", normalize_url("url").alias("norm_url"))
+
+
+def _q_surt_keys(spark, sf_dir):
+    """R52: SURT urlkeys (the CDX index key) as a JVM projection over
+    the same messy planted URLs — reversed-host sort key, params
+    sorted but KEPT (unlike url_normalize: an index key must not drop
+    information). The DuckDB twin evaluates the identical chain; the
+    python-side twin (xkit.warc.surt, used inside warc_cdx) is
+    fuzz-pinned equal in tests."""
+    from xhtmlkit_spark.operators.urls import surt_key
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _planted_messy_url_col().alias("url")
+    )
+    return d.select("doc_id", "url", surt_key("url").alias("urlkey"))
 
 
 def _q_url_host_policy(spark, sf_dir):
@@ -1666,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": _q_extract_spans,
         # -- new round-4 entries (driver window still has 16 slots) --
         "url_normalize": _q_url_normalize,
+        "surt_keys": _q_surt_keys,
         "length_outliers": _q_length_outliers,
         "char_entropy": _q_char_entropy,
         "postings_stats": _q_postings_stats,
@@ -1964,6 +1989,28 @@ def _pii_oracle() -> str:
         FROM r
     """
     )
+
+
+# the 6-way messy-URL planting (twin of _planted_messy_url_col),
+# shared by the url_normalize and surt_keys oracles
+_MESSY_URL_CTE = r"""
+            WITH b AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 3 AS VARCHAR) AS m
+              FROM documents),
+            u AS (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.EX' || m || '.COM:80/a/'
+                       || ds || '?z=2&utm_source=s' || ds || '&a=1#frag'
+                  WHEN doc_id % 6 = 1 THEN 'https://u:p@Ex' || m || '.org:443/P/' || ds
+                  WHEN doc_id % 6 = 2 THEN 'https://ex' || m || '.net#x'
+                  WHEN doc_id % 6 = 3 THEN 'http://ex' || m || '.com/p/' || ds
+                       || '?fbclid=' || ds
+                  WHEN doc_id % 6 = 4 THEN 'not a url ' || ds
+                  ELSE 'http://ex' || m || '.io:8080/x?b=2&a=' || ds || '&ref=r'
+                END AS url
+              FROM b)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2382,24 +2429,7 @@ def _oracle_sql_base() -> dict[str, str]:
                            / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
             FROM counts GROUP BY doc_id
         """,
-        "url_normalize": r"""
-            WITH b AS (
-              SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
-                     CAST(doc_id % 3 AS VARCHAR) AS m
-              FROM documents),
-            u AS (
-              SELECT doc_id,
-                CASE
-                  WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.EX' || m || '.COM:80/a/'
-                       || ds || '?z=2&utm_source=s' || ds || '&a=1#frag'
-                  WHEN doc_id % 6 = 1 THEN 'https://u:p@Ex' || m || '.org:443/P/' || ds
-                  WHEN doc_id % 6 = 2 THEN 'https://ex' || m || '.net#x'
-                  WHEN doc_id % 6 = 3 THEN 'http://ex' || m || '.com/p/' || ds
-                       || '?fbclid=' || ds
-                  WHEN doc_id % 6 = 4 THEN 'not a url ' || ds
-                  ELSE 'http://ex' || m || '.io:8080/x?b=2&a=' || ds || '&ref=r'
-                END AS url
-              FROM b),
+        "url_normalize": _MESSY_URL_CTE + r""",
             parts AS (
               SELECT doc_id, url,
                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
@@ -2428,6 +2458,34 @@ def _oracle_sql_base() -> dict[str, str]:
                 || (CASE WHEN len(kept) > 0
                          THEN '?' || array_to_string(kept, '&') ELSE '' END)
               END AS norm_url
+            FROM q
+        """,
+        # SURT: same planted URLs; host reversed, params sorted-kept,
+        # :80/:443 stripped unconditionally (the index-key convention)
+        "surt_keys": _MESSY_URL_CTE + r""",
+            parts AS (
+              SELECT doc_id, url,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth_raw,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+                regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+              FROM u),
+            hostn AS (
+              SELECT *, regexp_replace(regexp_replace(regexp_replace(
+                       lower(auth_raw), '^[^@]*@', ''), ':(80|443)$', ''),
+                       '^www\.', '') AS host
+              FROM parts),
+            q AS (
+              SELECT *, list_sort(list_filter(string_split(query, '&'),
+                                              p -> p <> '')) AS kept
+              FROM hostn)
+            SELECT doc_id, url,
+              CASE WHEN auth_raw <> '' THEN
+                array_to_string(list_reverse(string_split(host, '.')), ',')
+                || ')'
+                || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                || (CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&') ELSE '' END)
+              END AS urlkey
             FROM q
         """,
         "url_host_policy": f"""

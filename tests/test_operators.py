@@ -414,6 +414,35 @@ def test_temperature_mix_flattens_skew(spark):
     assert ids(temperature_mix(df.repartition(13), stratum="source")) == ids(out)
 
 
+def test_surt_key_matches_python_twin(spark):
+    """The JVM surt_key projection and the python xkit.warc.surt (used
+    inside warc_cdx) must agree — they are two implementations of one
+    index-key convention."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.urls import surt_key
+    from xkit.warc import surt
+
+    urls = [
+        "https://WWW.Example.COM:443/a/b?z=1&a=2#frag",
+        "http://user:pw@sub.example.org:80",
+        "http://example.com/path",
+        "http://example.com",
+        "https://example.com/p",
+        "http://www.example.com/p",
+        "http://ex.io:8080/x?b=2&a=1&ref=r",
+        "ftp://Example.com/F/Ile",
+        "https://a.b.c.example.co.uk/x?q=",
+        "http://h.example/?&&z=9&y=8",
+        "not a url 7",
+        "mailto:someone@example.com",
+    ] + [f"http://site{i % 7}.example/p/{i}?k{i % 3}={i}&utm_source=s{i}" for i in range(40)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["urlkey"] for r in df.select("url", surt_key("url").alias("urlkey")).collect()}
+    for u in urls:
+        assert got[u] == surt(u), (u, got[u], surt(u))
+
+
 def test_dsir_weights_matches_reimplementation(spark):
     """DSIR hashed-ngram importance weights equal an independent
     pure-Python reimplementation, target-like raw docs outrank junk,
