@@ -689,6 +689,29 @@ def _q_containment_pairs(spark, sf_dir):
     return containment_verify(pairs, d, text="text", k=2)
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """R53: two-crawl capture diff — added/removed/changed by content
+    digest, the incremental-crawl primitive. Snapshots planted from
+    documents (old = doc_id%5≠0, new = doc_id%7≠0, content mutated for
+    doc_id%3=0); the oracle runs a FULL OUTER JOIN with the same
+    null-safe digest compare."""
+    from xhtmlkit_spark.operators.dedup import snapshot_diff
+
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://s.example/p/"), F.col("doc_id").cast("string"))
+    old = d.where(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"), F.md5("text").alias("digest")
+    )
+    new = d.where(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return snapshot_diff(old, new)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (hashed uni+bigram likelihood ratio,
     add-one smoothing): every non-English doc scored against the
@@ -1700,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_spans": _q_contamination_spans,
         "feed_entries": _q_feed_entries,
         "dsir_weights": _q_dsir_weights,
+        "snapshot_diff": _q_snapshot_diff,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2960,6 +2984,27 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM pairs p
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b
+        """,
+        # two-crawl diff: FULL OUTER JOIN with null-safe digest compare
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT 'http://s.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(text) AS old_digest
+              FROM documents WHERE doc_id % 5 <> 0),
+            new AS (
+              SELECT 'http://s.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || '!'
+                              ELSE text END) AS new_digest
+              FROM documents WHERE doc_id % 7 <> 0),
+            j AS (
+              SELECT coalesce(o.url, n.url) AS url, o.old_digest, n.new_digest,
+                     CASE WHEN o.url IS NULL THEN 'added'
+                          WHEN n.url IS NULL THEN 'removed'
+                          WHEN o.old_digest IS DISTINCT FROM n.new_digest
+                               THEN 'changed' END AS change
+              FROM old o FULL OUTER JOIN new n ON o.url = n.url)
+            SELECT url, old_digest, new_digest, change
+            FROM j WHERE change IS NOT NULL
         """,
         # DSIR: same hashed uni+bigram buckets, add-one models, log
         # ratio — built from scratch (md5-prefix int is engine-portable)

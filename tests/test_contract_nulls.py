@@ -38,6 +38,7 @@ QUERIES = [
     "c4_line_stats",
     "quality_ensemble",
     "dsir_weights",
+    "snapshot_diff",
 ]
 
 

@@ -414,6 +414,30 @@ def test_temperature_mix_flattens_skew(spark):
     assert ids(temperature_mix(df.repartition(13), stratum="source")) == ids(out)
 
 
+def test_snapshot_diff_semantics(spark):
+    """added/removed/changed classification, unchanged dropped, and
+    NULL digests compared null-safely (presence ≠ digest nullability)."""
+    from xhtmlkit_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "d1"), ("b", "d2"), ("c", "d3"), ("n1", None), ("n2", None)],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("b", "d2"), ("c", "dX"), ("d", "d4"), ("n1", None), ("n2", "dY")],
+        "url string, digest string",
+    )
+    out = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    # a removed; b unchanged (dropped); c changed; d added;
+    # n1 NULL==NULL unchanged (dropped); n2 NULL→dY changed
+    assert {u: r["change"] for u, r in out.items()} == {
+        "a": "removed", "c": "changed", "d": "added", "n2": "changed",
+    }
+    assert out["c"]["old_digest"] == "d3" and out["c"]["new_digest"] == "dX"
+    assert out["d"]["old_digest"] is None and out["d"]["new_digest"] == "d4"
+    assert out["n2"]["old_digest"] is None and out["n2"]["new_digest"] == "dY"
+
+
 def test_surt_key_matches_python_twin(spark):
     """The JVM surt_key projection and the python xkit.warc.surt (used
     inside warc_cdx) must agree — they are two implementations of one

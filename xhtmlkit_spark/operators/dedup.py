@@ -42,6 +42,7 @@ __all__ = [
     "contamination_spans",
     "connected_components",
     "near_dup_groups",
+    "snapshot_diff",
 ]
 
 
@@ -370,6 +371,53 @@ def near_dup_groups(
     return connected_components(nodes, pairs).select(
         F.col("id").alias(id_col), "group_id"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    digest: str = "digest",
+) -> DataFrame:
+    """Diff two crawl snapshots by content digest: ``(key, old_digest,
+    new_digest, change)`` with change ∈ added / removed / changed;
+    unchanged keys are dropped. This is the incremental-crawl
+    primitive — what to re-extract after a new crawl lands (changed +
+    added), what to tombstone (removed) — and composes directly with
+    :func:`xhtmlkit_spark.sources.io.warc_cdx` output (key=url,
+    digest=digest) or any content_key projection.
+
+    NULL digests compare null-safely (NULL vs NULL = unchanged, NULL
+    vs value = changed); presence is tracked by marker literals, never
+    by digest nullability, so a snapshot that stores NULL digests
+    still diffs correctly.
+
+    Scale shape: one hash-partition shuffle per side on ``key``, then
+    a co-partitioned full-outer sort-merge join — only (key, digest)
+    pairs move, never documents; AQE's skew handling covers a
+    pathological hot key.
+    """
+    o = old.select(
+        F.col(key).alias("__k"),
+        F.col(digest).alias("old_digest"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key).alias("__k"),
+        F.col(digest).alias("new_digest"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")), F.lit("changed")
+        )
+    )
+    return j.select(
+        F.col("__k").alias(key), "old_digest", "new_digest", change.alias("change")
+    ).where(change.isNotNull())
 
 
 def jaccard_verify(
