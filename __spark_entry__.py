@@ -712,6 +712,27 @@ def _q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+def _q_pagerank(spark, sf_dir):
+    """R54: PageRank over a planted link graph (2 out-edges per doc,
+    every 10th doc dangling), 3 fixed power iterations with
+    dangling-mass redistribution. The oracle unrolls the same 3
+    iterations as SQL CTEs — both engines walk the identical float
+    recurrence, rounded 6 at the end."""
+    from xhtmlkit_spark.operators.graph import pagerank
+
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    src = F.col("doc_id")
+    linkers = d.where(src % 10 != 0)
+    edges = linkers.select(
+        src.alias("src"), ((src * 7 + 3) % n).alias("dst")
+    ).union(linkers.select(src.alias("src"), ((src * 13 + 5) % n).alias("dst")))
+    return pagerank(nodes, edges, n_iter=3).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (hashed uni+bigram likelihood ratio,
     add-one smoothing): every non-English doc scored against the
@@ -1724,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": _q_feed_entries,
         "dsir_weights": _q_dsir_weights,
         "snapshot_diff": _q_snapshot_diff,
+        "pagerank": _q_pagerank,
         # parser-bound round-4 entry (rows-only by necessity)
         "media_refs": _q_media_refs,
         # -- r03-green tail: these 50 carry CORRECTNESS_r03 rows --
@@ -2012,6 +2034,52 @@ def _pii_oracle() -> str:
                md5(redacted) AS redacted_md5
         FROM r
     """
+    )
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unroll the pagerank recurrence as CTEs (twin of _q_pagerank).
+    (1-damping) is spelled as the subtraction, not a folded literal —
+    1-0.85 is NOT the double 0.15, and the Spark side computes the
+    same subtraction."""
+    d = repr(damping)
+    head = f"""
+            WITH params AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src,
+                     (doc_id*7+3) % (SELECT count(*) FROM documents) AS dst
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION
+              SELECT doc_id,
+                     (doc_id*13+5) % (SELECT count(*) FROM documents)
+              FROM documents WHERE doc_id % 10 <> 0),
+            deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+            r0 AS (SELECT doc_id AS id, 1.0/(SELECT n FROM params) AS rank
+                   FROM documents)"""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f""",
+            c{i} AS (
+              SELECT e.dst AS id, sum(r.rank / g.d) AS contrib
+              FROM edges e JOIN r{i} r ON e.src = r.id
+                           JOIN deg g ON g.src = e.src
+              GROUP BY e.dst),
+            dang{i} AS (
+              SELECT coalesce(sum(r.rank), 0) AS dm
+              FROM r{i} r LEFT JOIN deg g ON g.src = r.id
+              WHERE g.src IS NULL),
+            r{i + 1} AS (
+              SELECT r.id,
+                     (1 - {d})/(SELECT n FROM params)
+                     + {d}*(coalesce(c.contrib, 0)
+                            + (SELECT dm FROM dang{i})/(SELECT n FROM params))
+                       AS rank
+              FROM r{i} r LEFT JOIN c{i} c ON c.id = r.id)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+            SELECT id, round(rank, 6) AS rank FROM r{n_iter}"""
     )
 
 
@@ -2985,6 +3053,7 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN s sa ON sa.doc_id = p.id_a
             JOIN s sb ON sb.doc_id = p.id_b
         """,
+        "pagerank": _pagerank_sql(3),
         # two-crawl diff: FULL OUTER JOIN with null-safe digest compare
         "snapshot_diff": """
             WITH old AS (

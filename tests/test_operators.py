@@ -414,6 +414,49 @@ def test_temperature_mix_flattens_skew(spark):
     assert ids(temperature_mix(df.repartition(13), stratum="source")) == ids(out)
 
 
+def test_pagerank_matches_reimplementation(spark):
+    """Fixed-iteration PageRank equals an independent power iteration
+    bit-for-bit (same recurrence order), conserves probability mass
+    every run, and handles dangling + isolated nodes."""
+    from xhtmlkit_spark.operators.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3->0 dangling? no: 3 has an out-edge;
+    # make 3 dangling (no out), 4 isolated (no edges at all)
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0)],  # duplicate edge dedupes
+        "src long, dst long",
+    )
+    res = {r["id"]: r["rank"] for r in pagerank(nodes, edges, n_iter=8).collect()}
+
+    N, d = 5, 0.85
+    out = {0: [1, 2], 1: [2], 2: [0]}
+    r = {i: 1 / N for i in range(N)}
+    for _ in range(8):
+        contrib = {i: 0.0 for i in range(N)}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        dang = sum(r[u] for u in range(N) if u not in out)
+        r = {i: (1 - d) / N + d * (contrib[i] + dang / N) for i in range(N)}
+    assert set(res) == set(r)
+    for i in range(N):
+        assert abs(res[i] - r[i]) < 1e-12
+    assert abs(sum(res.values()) - 1.0) < 1e-9  # mass conserved
+    assert res[3] == res[4]  # dangling and isolated: same (no in-links)
+    assert res[0] > res[1]  # 0 has the heavy in-link (from 2)
+    # edge endpoints absent from nodes are added
+    res2 = {
+        r2["id"]: r2["rank"]
+        for r2 in pagerank(
+            spark.createDataFrame([(0,)], "id long"),
+            spark.createDataFrame([(0, 9)], "src long, dst long"),
+            n_iter=2,
+        ).collect()
+    }
+    assert set(res2) == {0, 9} and res2[9] > res2[0]
+
+
 def test_snapshot_diff_semantics(spark):
     """added/removed/changed classification, unchanged dropped, and
     NULL digests compared null-safely (presence ≠ digest nullability)."""

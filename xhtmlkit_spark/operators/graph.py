@@ -1,0 +1,103 @@
+"""Link-graph operators (the web-graph side of a crawl corpus).
+
+PageRank is the canonical one: anchor harvests (doc_links /
+crawl_frontier) give the edge list, and the rank feeds source-quality
+priors in the training mix — a cheap, battle-tested alternative to
+per-page classifiers for demoting link farms.
+
+No GraphX/GraphFrames (neither ships with PySpark): like
+``operators.dedup.connected_components``, the iteration is pure
+DataFrame ops with per-round ``localCheckpoint`` lineage truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank with proper dangling-mass handling,
+    run for a FIXED ``n_iter`` rounds (fixed iteration count keeps the
+    result deterministic and SQL-twin-checkable; rank deltas shrink
+    geometrically, so ~8-20 rounds is the practical web-graph range).
+
+    Inputs: ``nodes`` with column ``id`` (every page, so sink-only and
+    isolated pages get ranks too), ``edges`` with ``src``/``dst``
+    (directed; multi-edges are deduplicated — two anchors to the same
+    target count once, the web-graph convention). Edge endpoints
+    missing from ``nodes`` are added, mirroring connected_components.
+
+    Per round, with N nodes and out-degree d(u):
+
+        r'(v) = (1-α)/N + α · ( Σ_{u→v} r(u)/d(u) + D/N )
+
+    where D = Σ r(u) over DANGLING nodes (no out-edges) — dropping D
+    (the common shortcut) deflates every rank and the total mass drifts
+    below 1; here Σ r stays 1 every round (asserted in tests).
+
+    Scale shape: each round is ONE shuffle (the contribution aggregate
+    on dst; the src-side join pre-partitions on src and reuses that
+    layout every round) plus a broadcast 1-row dangling scalar; only
+    (id, rank) pairs move, never pages. localCheckpoint per round keeps
+    planning O(1) and re-reads the small rank table, not the corpus.
+
+    Returns ``(id, rank)`` at full precision — round at the consumer
+    (the contract entry rounds 6, the unigram_nll discipline).
+    """
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        nodes.select("id")
+        .union(e.select(F.col("src").alias("id")))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = all_nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # out-degree rides the rank table so the per-round join is rank⋈edges only
+    base = all_nodes.join(deg, all_nodes["id"] == deg["src"], "left").select(
+        "id", F.col("__deg").alias("deg")
+    )
+    ranks = base.select("id", "deg", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    d = float(damping)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .where(F.col("deg").isNotNull())
+            .select("dst", (F.col("rank") / F.col("deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__contrib"))
+        )
+        dangling = ranks.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+        )
+        ranks = (
+            ranks.select("id", "deg")
+            .join(contrib, ranks["id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("__contrib"), F.lit(0.0)) + F.col("__dang") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")
