@@ -235,6 +235,55 @@ def test_streaming_warc_extract_incremental(spark, tmp_path):
     assert all(r["part"] is not None and r["url"] for r in rows)
 
 
+def test_pagerank_links_from_harvest(spark, tmp_path):
+    """The full graph story: WARC crawl → link harvest → URL
+    canonicalization → PageRank; alias URLs collapse to one node and
+    the result equals pagerank() on the hand-canonicalized edges."""
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.operators.graph import pagerank, pagerank_links
+    from xhtmlkit_spark.operators.harvest_stage import doc_links
+    from xhtmlkit_spark.sources.io import ingest_warc
+
+    pages = {
+        "http://x.example/a": b'<a href="http://x.example/b">b</a>'
+        b'<a href="HTTP://WWW.X.example/c?utm_source=t">c alias</a>'
+        b'<a href="mailto:someone@x.example">mail drop</a>',
+        "http://x.example/b": b'<a href="http://x.example/c">c</a>'
+        b'<a href="http://x.example/b">self drop</a>',
+        "http://x.example/c": b'<a href="http://x.example/a">a</a>',
+    }
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(
+        build_warc([_html_response(u, body) for u, body in pages.items()], compress=True)
+    )
+    corpus = ingest_warc(spark, str(d))
+    # in a WARC corpus doc_id IS the fetch URL — it becomes the edge src
+    links = doc_links(corpus, passthrough=()).select(
+        F.col("doc_id").alias("src_url"), F.col("url").alias("dst_url")
+    )
+    got = {r["url"]: r["rank"] for r in pagerank_links(links, n_iter=6).collect()}
+
+    exp_edges = spark.createDataFrame(
+        [
+            ("http://x.example/a", "http://x.example/b"),
+            ("http://x.example/a", "http://x.example/c"),
+            ("http://x.example/b", "http://x.example/c"),
+            ("http://x.example/c", "http://x.example/a"),
+        ],
+        "src string, dst string",
+    )
+    exp = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            exp_edges.select(F.col("src").alias("id")), exp_edges, n_iter=6
+        ).collect()
+    }
+    assert got == exp  # alias collapsed, mailto and self-link dropped
+    assert got["http://x.example/c"] == max(got.values())  # 2 in-links
+
+
 def test_write_wet_roundtrip_deterministic(spark, tmp_path):
     """Ingest → extract → WET export: conversion records carry the
     extracted text per URI, re-running the export is byte-identical,

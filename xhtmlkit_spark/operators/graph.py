@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "pagerank_links"]
 
 
 def pagerank(
@@ -101,3 +101,39 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", "rank")
+
+
+def pagerank_links(
+    links: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a harvested link table — the glue from
+    ``doc_links`` output (or any (source URL, target URL) edge list,
+    e.g. an ingest_warc corpus where doc_id IS the fetch URL joined to
+    its outlinks) to ``(url, rank)``.
+
+    Both endpoints are canonicalized with
+    :func:`xhtmlkit_spark.operators.urls.normalize_url` first — two
+    crawls of one resource must be ONE node or the rank mass splits
+    across aliases; non-URL endpoints (mailto:, javascript:, relative
+    leftovers) normalize to NULL and drop, and self-links (a page
+    linking to itself post-canonicalization) drop per the web-graph
+    convention. The node set is exactly the edge endpoints; pass extra
+    isolated nodes through :func:`pagerank` directly if needed.
+    """
+    from xhtmlkit_spark.operators.urls import normalize_url
+
+    e = links.select(
+        normalize_url(src).alias("src"), normalize_url(dst).alias("dst")
+    ).where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    nodes = e.select(F.col("src").alias("id"))  # dst endpoints added inside
+    return pagerank(nodes, e, n_iter=n_iter, damping=damping).withColumnRenamed(
+        "id", "url"
+    )
