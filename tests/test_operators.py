@@ -455,6 +455,9 @@ def test_pagerank_matches_reimplementation(spark):
         ).collect()
     }
     assert set(res2) == {0, 9} and res2[9] > res2[0]
+    # empty graph: empty frame, not ZeroDivisionError
+    empty = spark.createDataFrame([], "id long")
+    assert pagerank(empty, spark.createDataFrame([], "src long, dst long")).count() == 0
 
 
 def test_snapshot_diff_semantics(spark):
@@ -503,6 +506,7 @@ def test_surt_key_matches_python_twin(spark):
         "http://h.example/?&&z=9&y=8",
         "not a url 7",
         "mailto:someone@example.com",
+        "http://a@b@c.example/p",  # multi-@: both twins strip at the FIRST @
     ] + [f"http://site{i % 7}.example/p/{i}?k{i % 3}={i}&utm_source=s{i}" for i in range(40)]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r["url"]: r["urlkey"] for r in df.select("url", surt_key("url").alias("urlkey")).collect()}

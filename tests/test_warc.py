@@ -92,6 +92,29 @@ def test_http_payload_chunked_and_gzip_coding():
     assert http_payload(p)[2] == b"<p>compressed body</p>"
 
 
+def test_hostile_and_truncated_edge_cases():
+    """Regression set from the round-4 review: hostile negative
+    Content-Length must TERMINATE (it used to move pos backwards — an
+    infinite generator), chunk-boundary truncation must not leak
+    chunk-size framing into the text, and multi-@ authorities must
+    strip userinfo at the FIRST '@' like every JVM-side chain."""
+    from xkit.warc import _dechunk, iter_warc_offsets, surt
+
+    hostile = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    assert list(iter_warc(hostile)) == []
+    assert list(iter_warc_offsets(hostile)) == []
+    # a valid record FOLLOWED by a hostile one: keep the valid prefix
+    good = build_record("response", b"x")
+    assert len(list(iter_warc(good + hostile))) == 1
+
+    # truncated chunked body, cut exactly at a chunk boundary
+    assert _dechunk(b"4\r\nabcd\r\n") == b"abcd"
+    assert _dechunk(b"4\r\nabcd") == b"abcd"
+    assert _dechunk(b"4\r\nabcd\r\nZZ\r\nrest") == b"abcd"  # bad size line
+
+    assert surt("http://a@b@c.example/p") == "example,b@c)/p"  # first-@ rule
+
+
 def test_truncated_archive_keeps_parsed_prefix():
     records = _fixture_records()
     data = build_warc(records)

@@ -65,6 +65,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = all_nodes.count()
+    if n == 0:
+        # empty graph (e.g. every harvested link normalized away):
+        # an empty (id, rank) frame, not a 1.0/n ZeroDivisionError
+        return all_nodes.select("id", F.lit(1.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # out-degree rides the rank table so the per-round join is rank⋈edges only
     base = all_nodes.join(deg, all_nodes["id"] == deg["src"], "left").select(

@@ -366,30 +366,42 @@ def write_wet(
     )
 
     def write_partition(batches):
+        import gzip as _gzip
         import hashlib
         import uuid as _uuid
         from pyspark import TaskContext
 
-        from xkit.warc import build_record, build_warc
+        from xkit.warc import build_record
 
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
-        records = [
-            build_record(
-                "warcinfo",
-                f"software: {software}\r\nformat: WARC File Format 1.0\r\n".encode(),
-                content_type="application/warc-fields",
-                record_id=f"<urn:uuid:{_uuid.UUID(bytes=hashlib.md5(f'warcinfo-{pid}'.encode()).digest())}>",
-            )
-        ]
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        final = os.path.join(location, f"part-{pid:05d}{ext}")
+        tmp = f"{final}.{attempt}.tmp"
+
+        # records STREAM to the temp file one at a time (gzip members
+        # are independent, so per-record compression preserves the
+        # byte-deterministic layout) — building the whole archive in a
+        # list first would hold ~2× the partition's text in Python
+        # memory at once
+        f = None
         n = 0
-        for pdf in batches:
-            for doc_id, uri, date, text in zip(
-                pdf["doc_id"], pdf["uri"], pdf["date"], pdf["text"]
-            ):
-                rid = _uuid.UUID(bytes=hashlib.md5(str(doc_id).encode()).digest())
-                records.append(
-                    build_record(
+        try:
+            for pdf in batches:
+                for doc_id, uri, date, text in zip(
+                    pdf["doc_id"], pdf["uri"], pdf["date"], pdf["text"]
+                ):
+                    if f is None:
+                        f = open(tmp, "wb")
+                        info = build_record(
+                            "warcinfo",
+                            f"software: {software}\r\nformat: WARC File Format 1.0\r\n".encode(),
+                            content_type="application/warc-fields",
+                            record_id=f"<urn:uuid:{_uuid.UUID(bytes=hashlib.md5(f'warcinfo-{pid}'.encode()).digest())}>",
+                        )
+                        f.write(_gzip.compress(info, mtime=0) if compress else info)
+                    rid = _uuid.UUID(bytes=hashlib.md5(str(doc_id).encode()).digest())
+                    rec = build_record(
                         "conversion",
                         str(text).encode("utf-8"),
                         target_uri=str(uri),
@@ -397,14 +409,12 @@ def write_wet(
                         record_id=f"<urn:uuid:{rid}>",
                         content_type="text/plain",
                     )
-                )
-                n += 1
+                    f.write(_gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
         if n:
-            ext = ".warc.wet.gz" if compress else ".warc.wet"
-            final = os.path.join(location, f"part-{pid:05d}{ext}")
-            tmp = f"{final}.{attempt}.tmp"
-            with open(tmp, "wb") as f:
-                f.write(build_warc(records, compress=compress))
             os.replace(tmp, final)
             import pandas as pd
 

@@ -84,20 +84,47 @@ class WarcRecord:
         return (self.get("Content-Type") or "").lower()
 
 
+# feed size for member-at-a-time decompression: big enough that a
+# typical ~10 KB Common Crawl member needs ONE feed, small enough that
+# the unused_data copy at each member boundary stays cheap
+_GZ_CHUNK = 1 << 16
+
+
+def _iter_gzip_members(data: bytes):
+    """Yield ``(decompressed, offset, compressed_length)`` per gzip
+    member. Feeds the decompressor bounded ZERO-COPY memoryview slices
+    — the naive ``decompress(data[pos:])`` + ``unused_data`` loop
+    copies the whole remaining archive twice per member, which is
+    O(members × size): quadratic wall on a 1 GB / 100k-member
+    Common Crawl segment. Truncated trailing member yields what
+    decoded, then stops."""
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        fed = pos
+        while fed < n and not d.eof:
+            chunk = mv[fed : fed + _GZ_CHUNK]
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error:
+                if out:
+                    yield b"".join(out), pos, n - pos
+                return
+            fed += len(chunk)
+        if not d.eof:  # ran out of bytes mid-member
+            if out:
+                yield b"".join(out), pos, n - pos
+            return
+        member_len = (fed - pos) - len(d.unused_data)
+        yield b"".join(out), pos, member_len
+        pos += member_len
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress ALL concatenated gzip members (the .warc.gz layout)."""
-    out = []
-    buf = data
-    while buf[:2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(buf))
-        except zlib.error:
-            break  # truncated trailing member: keep what decoded
-        buf = d.unused_data
-        if not buf:
-            break
-    return b"".join(out)
+    return b"".join(raw for raw, _, _ in _iter_gzip_members(data))
 
 
 def _parse_headers(raw: bytes) -> dict[str, str]:
@@ -147,6 +174,8 @@ def iter_warc(data: bytes) -> Iterator[WarcRecord]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return  # hostile header: pos would move BACKWARDS (infinite loop)
         block_start = hdr_end + 4
         if block_start + length > n:
             length = n - block_start  # truncated final record
@@ -181,6 +210,8 @@ def iter_warc_offsets(data: bytes) -> Iterator[tuple[WarcRecord, int, int]]:
                 length = int(headers.get("content-length", ""))
             except ValueError:
                 return
+            if length < 0:
+                return  # same backwards-pos guard as iter_warc
             block_start = hdr_end + 4
             if block_start + length > n:
                 length = n - block_start
@@ -189,19 +220,10 @@ def iter_warc_offsets(data: bytes) -> Iterator[tuple[WarcRecord, int, int]]:
             pos = block_start + length
         return
     # gzip: one member per record; member length = consumed input
-    pos = 0
-    n = len(data)
-    while pos < n and data[pos : pos + 2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            raw = d.decompress(data[pos:])
-            raw += d.flush()
-        except zlib.error:
-            return
-        member_len = (n - pos) - len(d.unused_data)
+    # (bounded-chunk streaming — see _iter_gzip_members for why)
+    for raw, off, member_len in _iter_gzip_members(data):
         for rec in iter_warc(raw):
-            yield rec, pos, member_len
-        pos += member_len
+            yield rec, off, member_len
 
 
 # SURT canonicalization (Sort-friendly URI Reordering Transform, the
@@ -216,7 +238,13 @@ def surt(url: str) -> str | None:
     if not m or not m.group(1):
         return None
     host, path, query = m.group(1).lower(), m.group(2), m.group(3)
-    host = host.rpartition("@")[2]
+    # strip userinfo up to the FIRST '@' — the rule every JVM-side
+    # chain in this repo uses (url_host/normalize_url/surt_key all
+    # apply '^[^@]*@'); rpartition would take the LAST '@' and make a
+    # warc_cdx index disagree with a surt_key corpus column on
+    # multi-@ authorities
+    if "@" in host:
+        host = host.split("@", 1)[1]
     host = _re.sub(r":(80|443)$", "", host)
     if host.startswith("www."):
         host = host[4:]
@@ -235,12 +263,15 @@ def _dechunk(body: bytes) -> bytes:
     while True:
         eol = body.find(_CRLF, pos)
         if eol < 0:
-            return body
+            # truncated exactly at a chunk boundary: return what was
+            # de-chunked, NOT the raw chunk-framed bytes (size lines
+            # would otherwise leak into the decoded text)
+            return b"".join(out) if out else body
         size_token = body[pos:eol].split(b";", 1)[0].strip()
         try:
             size = int(size_token, 16)
         except ValueError:
-            return body
+            return b"".join(out) if out else body
         if size == 0:
             return b"".join(out)
         chunk = body[eol + 2 : eol + 2 + size]
