@@ -222,3 +222,48 @@ def test_xpath_translator_never_crashes_unhelpfully(s):
     except ValueError:
         return
     parse_selector(sel)
+
+
+# ---- WARC container (round 4): same never-fail discipline for the
+# binary side — arbitrary bytes, mutated archives, hostile headers ----
+
+_warc_ish = st.one_of(
+    st.binary(max_size=400),
+    # byte soup biased toward WARC framing states
+    st.text(
+        alphabet=st.sampled_from(
+            list("WARC/1.0\r\n:Content-Length -0123456789abcdef\x1f\x8b\x00")
+        ),
+        max_size=400,
+    ).map(lambda s: s.encode("latin-1")),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_warc_ish)
+def test_iter_warc_never_raises_never_hangs(data):
+    from xkit.warc import http_payload, iter_warc, iter_warc_offsets
+
+    n = len(list(iter_warc(data)))
+    assert n <= max(1, len(data))  # bounded: cannot loop forever
+    for rec, off, length in iter_warc_offsets(data):
+        assert 0 <= off <= len(data) and length >= 0
+        http_payload(rec)  # must also never raise
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=60), st.integers(0, 3))
+def test_iter_warc_mutated_real_archive(noise, cut):
+    """A REAL archive with random bytes spliced in (and optionally
+    truncated) parses some prefix and stops — never raises, never
+    yields structurally impossible records."""
+    from xkit.warc import build_record, build_warc, iter_warc
+
+    recs = [build_record("response", b"block %d" % i) for i in range(4)]
+    data = build_warc(recs, compress=False)
+    mid = len(data) // 2
+    mutated = data[:mid] + noise + data[mid + cut :]
+    out = list(iter_warc(mutated))
+    assert len(out) <= 8
+    for rec in out:
+        assert isinstance(rec.headers, dict)
