@@ -22,6 +22,15 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=("parquet", "iceberg", "warc", "html"),
+        help="corpus source: landed parquet/Iceberg table, raw Common "
+        "Crawl .warc(.gz) archives, or a directory tree of .html/.pdf "
+        "files (the two raw formats parse through xkit in the same "
+        "mapInPandas ingest the batch sources use)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--no-resume", action="store_true")
@@ -95,9 +104,11 @@ def main() -> None:
     }.items():
         spark.conf.set(k, v)
 
+    from xhtmlkit_spark.sources.io import read_corpus
+
     zero = F.lit(0).cast("long")
     row = (
-        spark.read.parquet(args.input)
+        read_corpus(spark, args.input, args.input_format)
         .agg(
             F.count("*").alias("docs"),
             F.sum(
@@ -116,7 +127,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.select_stage import select_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(spark.read.parquet(args.input))
+        df = derive_part(read_corpus(spark, args.input, args.input_format))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         select_spans(
             with_size_salt(df, n), args.select, xpath=args.xpath, emit=args.emit
@@ -126,7 +137,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.harvest_stage import harvest_all
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(spark.read.parquet(args.input))
+        df = derive_part(read_corpus(spark, args.input, args.input_format))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         harvest_all(with_size_salt(df, n)).write.mode("overwrite").format(
             "noop"
@@ -136,7 +147,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.project_stage import project_docs
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(spark.read.parquet(args.input))
+        df = derive_part(read_corpus(spark, args.input, args.input_format))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         project_docs(
             with_size_salt(df, n), want_xhtml=(args.project == "markdown+xhtml")
@@ -146,7 +157,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.extract_stage import extract_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(spark.read.parquet(args.input))
+        df = derive_part(read_corpus(spark, args.input, args.input_format))
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         extract_spans(with_size_salt(df, n)).write.mode("overwrite").format(
             "noop"
@@ -159,6 +170,7 @@ def main() -> None:
             args.output,
             manifest_path=args.manifest,
             num_partitions=args.num_partitions,
+            fmt=args.input_format,
             resume=not args.no_resume,
         )
     wall = time.monotonic() - t0

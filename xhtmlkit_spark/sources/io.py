@@ -432,8 +432,16 @@ def write_wet(
 
 
 def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
+    """Corpus rows from any supported source: the landed table
+    (parquet/Iceberg) or raw crawls (``warc`` = Common Crawl archives,
+    ``html`` = a directory tree of .html/.pdf files) — so run_pipeline
+    drives the same stages over every input shape."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(location)
+    if fmt == "warc":
+        return ingest_warc(spark, location)
+    if fmt == "html":
+        return ingest_html_files(spark, location, glob="*", recursive=True)
     return spark.read.parquet(location)
 
 
