@@ -46,6 +46,27 @@ def load_xkit_tree(root: str):
         importlib.invalidate_caches()
         doc = importlib.import_module("xkit.doc")
         fn = doc.extract_doc
+        # contamination guard: sys.modules is restored to HEAD's xkit.*
+        # in the finally below — BEFORE timing — so a LAZY
+        # (function-level) `from xkit... import` executed later inside
+        # any module the ref extract path loaded would silently resolve
+        # to HEAD code and bias the A/B toward "no regression". Refuse
+        # to measure in that case (scan only the transitively-loaded
+        # ref modules: an unused module's lazy import is harmless).
+        import re as _re
+
+        lazy = _re.compile(r"^[ \t]+(from xkit[.\s]|import xkit)", _re.M)
+        for name, mod in list(sys.modules.items()):
+            if (name == "xkit" or name.startswith("xkit.")) and getattr(
+                mod, "__file__", ""
+            ).startswith(root):
+                m = lazy.search(open(mod.__file__).read())
+                if m:
+                    raise SystemExit(
+                        f"ref module {mod.__file__} has a function-level xkit "
+                        f"import ({m.group(0).strip()!r}) that would resolve to "
+                        "HEAD's modules after the sys.modules restore — A/B invalid"
+                    )
     finally:
         for k in [k for k in sys.modules if k == "xkit" or k.startswith("xkit.")]:
             del sys.modules[k]

@@ -286,3 +286,37 @@ def test_feed_rss_and_atom():
         ("atom", "E2", "http://b.org/e2", "2026-01-03"),
     ]
     assert harvest_feed(_ev("<<<garbage")) == []
+
+
+def test_srcset_spec_comma_rules():
+    """Regression (round-4 review): a comma INSIDE a URL (CDN
+    transform paths) is a literal octet, not a candidate separator —
+    naive split(',') chopped it into phantom URLs."""
+    from xkit.harvest import _srcset_urls
+
+    assert _srcset_urls("https://cdn.ex/c_fill,w_300/a.jpg 300w") == [
+        "https://cdn.ex/c_fill,w_300/a.jpg"
+    ]
+    assert _srcset_urls("a.jpg 300w, b.jpg 600w") == ["a.jpg", "b.jpg"]
+    assert _srcset_urls("a.jpg,b.jpg 2x, c.jpg") == ["a.jpg,b.jpg", "c.jpg"]
+    assert _srcset_urls("a.jpg 1x,b.jpg") == ["a.jpg", "b.jpg"]
+    assert _srcset_urls("x.jpg,, ") == ["x.jpg"]
+    assert _srcset_urls("  ") == []
+
+
+def test_feed_link_tag_soup():
+    """Regression (round-4 review): text following the dropped stray
+    </link> close must not concatenate into the URL; entity-decoded
+    URLs (one text event) stay whole; in-link whitespace junk drops."""
+    from xkit.dom import repair
+    from xkit.harvest import harvest_feed
+    from xkit.tokenizer import tokenize
+
+    def feed(body):
+        return harvest_feed(repair(tokenize(f"<rss><channel><item>{body}</item></channel></rss>")))
+
+    assert feed("<title>T</title><link>http://a/1</link>editor note<pubDate>d</pubDate>") == [
+        ("rss", "T", "http://a/1", "d")
+    ]
+    assert feed("<link>http://a/1?x=1&amp;y=2</link>")[0][2] == "http://a/1?x=1&y=2"
+    assert feed("<link>http://a/1 junk</link>")[0][2] == "http://a/1"

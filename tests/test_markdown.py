@@ -60,3 +60,19 @@ def test_markdown_fragment_mode_keeps_title():
 
 def test_to_markdown_empty_events():
     assert to_markdown([]) == ""
+
+
+def test_no_block_jumps_ahead_of_table_between_cells():
+    """Regression (round-4 review): hr/pre BETWEEN cells (not just
+    inside an open cell) must not emit a block before the table — the
+    table block only lands at </table>."""
+    from xkit.dom import repair
+    from xkit.markdown import to_markdown
+    from xkit.tokenizer import tokenize
+
+    md = to_markdown(repair(tokenize("<table><tr><td>a</td><hr><td>b</td></tr></table>")))
+    assert not md.startswith("---")
+    assert "---\n\n|" not in md
+    md2 = to_markdown(repair(tokenize("<table><tr><td>a</td><pre>X</pre><td>b</td></tr></table>")))
+    assert "```" not in md2
+    assert md2.index("| a | b |") < md2.index("X")  # content after, never ahead

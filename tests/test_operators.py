@@ -1669,8 +1669,10 @@ def test_normalize_url_matrix(spark):
         ("https://u:p@Host.ORG:443/p", "https://host.org/p"),
         ("https://ex.net", "https://ex.net/"),
         ("https://ex.net#frag", "https://ex.net/"),
-        ("http://ex.com/p?fbclid=1&gclid=2&ref=r&msclkid=3&mc_eid=4",
+        ("http://ex.com/p?fbclid=1&gclid=2&msclkid=3&mc_eid=4",
          "http://ex.com/p"),
+        # ref is FUNCTIONAL on code hosts (?ref=branch): kept, not tracking
+        ("http://ex.com/p?ref=main", "http://ex.com/p?ref=main"),
         ("http://ex.io:8080/x?b=2&a=1", "http://ex.io:8080/x?a=1&b=2"),
         # :443 is only default for https (and :80 only for http)
         ("http://ex.com:443/p", "http://ex.com:443/p"),

@@ -57,7 +57,12 @@ def url_host(url: Column | str = "url") -> Column:
 
 # tracking query parameters dropped by normalize_url (the C4/CCNet
 # canonicalization list: ad-click + analytics campaign keys)
-_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+# bare "ref" is deliberately NOT here: unlike the write-only
+# analytics keys it is routinely FUNCTIONAL (?ref=<branch> on code
+# hosts) and dropping it merges genuinely distinct resources — a
+# false merge poisons URL-level dedup where a missed referral tag
+# only costs one duplicate fetch
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)="
 
 
 def normalize_url(url: Column | str = "url") -> Column:
@@ -70,7 +75,7 @@ def normalize_url(url: Column | str = "url") -> Column:
     * fragment dropped;
     * empty path becomes ``/``;
     * tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
-      ``msclkid``, ``mc_eid``, ``ref``), remaining params SORTED, the
+      ``msclkid``, ``mc_eid``), remaining params SORTED, the
       ``?`` dropped when nothing survives.
 
     Non-URLs (no scheme://authority) yield NULL, like
@@ -194,6 +199,25 @@ def robots_path_regex(pattern: Column) -> Column:
     )
 
 
+def _robots_kv_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """Shared robots.txt line lexer: one row per directive line as
+    ``(host, line_idx, key, value)`` — ``#`` comments stripped, key
+    lowercased, the value keeping its own colons (sitemap URLs contain
+    ``://``). Both parse_robots and robots_sitemaps consume this, so a
+    lexing fix (e.g. CRLF handling) lands in exactly one place."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
+    return lines.select(
+        "host",
+        "line_idx",
+        F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("value"),
+    ).where(F.col("key") != "")
+
+
 def parse_robots(
     df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -216,17 +240,7 @@ def parse_robots(
     hash partition by host; robots files are KB-scale, so per-host
     line counts are tiny regardless of corpus size.
     """
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
-    )
-    clean = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
-    kv = lines.select(
-        "host",
-        "line_idx",
-        F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
-        F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("value"),
-    ).where(F.col("key") != "")
+    kv = _robots_kv_lines(df, host_col, text_col)
     w = Window.partitionBy("host").orderBy("line_idx")
     is_ua = F.col("key") == "user-agent"
     prev_ua = F.lag(is_ua, 1, False).over(w)
@@ -262,18 +276,10 @@ def robots_sitemaps(
     line-split projection, zero shuffle. Duplicate directives dedupe.
     Feeds :func:`xhtmlkit_spark.operators.harvest_stage.sitemap_entries`
     — robots.txt is how a crawler DISCOVERS the sitemap."""
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-    )
-    clean = F.trim(F.regexp_replace(F.col("line"), "#.*", ""))
-    key = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
-    # the value keeps its own colons (sitemap URLs contain ://)
-    value = F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1))
     return (
-        lines.select("host", key.alias("k"), value.alias("sitemap_url"))
-        .where((F.col("k") == "sitemap") & (F.col("sitemap_url") != ""))
-        .select("host", "sitemap_url")
+        _robots_kv_lines(df, host_col, text_col)
+        .where((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
         .distinct()
     )
 

@@ -180,14 +180,43 @@ _MEDIA_KIND = {"picture": "image", "video": "video", "audio": "audio"}
 
 
 def _srcset_urls(srcset: str) -> list:
-    """Candidate URLs of a ``srcset`` value in attribute order: comma
-    split, each candidate's URL is its first whitespace token (the
-    descriptor — ``2x``, ``640w`` — is dropped)."""
+    """Candidate URLs of a ``srcset`` value in attribute order, per the
+    WHATWG parsing algorithm's comma rules: a comma separates
+    candidates only when it TRAILS a whitespace-delimited URL token or
+    follows the descriptors — a comma INSIDE a URL (CDN transform
+    paths: ``/c_fill,w_300/a.jpg``) is a literal URL octet, which a
+    naive ``split(',')`` chops into phantom candidates. Descriptors
+    (``2x``, ``640w``) are dropped; parenthesized descriptor commas
+    don't separate."""
     out = []
-    for cand in srcset.split(","):
-        toks = cand.split()
-        if toks:
-            out.append(toks[0])
+    pos, n = 0, len(srcset)
+    while pos < n:
+        while pos < n and (srcset[pos].isspace() or srcset[pos] == ","):
+            pos += 1
+        if pos >= n:
+            break
+        start = pos
+        while pos < n and not srcset[pos].isspace():
+            pos += 1
+        url = srcset[start:pos]
+        if url.endswith(","):
+            url = url.rstrip(",")
+            if url:
+                out.append(url)
+            continue  # the comma already ended this candidate
+        if url:
+            out.append(url)
+        depth = 0  # descriptors until an unparenthesized comma
+        while pos < n:
+            c = srcset[pos]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth = max(0, depth - 1)
+            elif c == "," and depth == 0:
+                pos += 1
+                break
+            pos += 1
     return out
 
 
@@ -353,7 +382,12 @@ def harvest_feed(events: list) -> list:
             if field is not None:
                 buf.append(ev[1])
             elif pending_link:
+                # entities decode INLINE (one text event per source
+                # run), so the first text event IS the whole URL; the
+                # next event is tag-soup tail text that the dropped
+                # stray </link> used to separate — stop capturing
                 cur["url"] = cur.get("url", "") + ev[1]
+                pending_link = False
         elif kind == "close":
             tag = ev[1]
             if cur is None:
@@ -368,7 +402,11 @@ def harvest_feed(events: list) -> list:
                 cur["published"] = _collapse("".join(buf))
                 field = None
             elif tag in ("item", "entry"):
-                url = _collapse(cur.get("url", ""))
+                # first whitespace-delimited token only: a URL carries
+                # no whitespace, so `<link>http://a/1 junk</link>`
+                # (one text event, tag soup) still yields the URL
+                parts = _collapse(cur.get("url", "")).split(" ", 1)
+                url = parts[0] if parts else ""
                 if url:
                     out.append(
                         (

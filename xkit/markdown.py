@@ -202,10 +202,12 @@ def to_markdown(
                 alt = " ".join((attrs.get("alt") or "").split())
                 (cell if cell is not None else buf).append("![%s](%s)" % (alt, src))
             elif tag == "pre":
-                # inside an open table cell, pre content flattens into
-                # the cell like any other nested content (no fence, no
-                # block reordering ahead of the table)
-                if cell is None:
+                # anywhere inside a table, pre content flattens (into
+                # the open cell, or to nothing between cells) — a fence
+                # emitted mid-table would be appended to `blocks`
+                # BEFORE the table block lands at </table>, the exact
+                # reordering the module contract rules out
+                if cell is None and table_depth == 0:
                     flush()
                     pre_depth += 1
             elif tag in _HEADINGS:
@@ -242,9 +244,10 @@ def to_markdown(
             elif tag == "code":
                 (cell if cell is not None else buf).append("`")
             elif tag == "hr":
-                # like pre: an <hr> inside an open cell must not emit a
-                # block ahead of the table — it flattens to nothing
-                if cell is None:
+                # like pre: an <hr> anywhere inside a table (open cell
+                # OR between cells/rows) must not emit a block ahead of
+                # the table — it flattens to nothing
+                if cell is None and table_depth == 0:
                     flush()
                     emit_block("---")
             elif tag == "table":
