@@ -1279,6 +1279,38 @@ def _q_robots_sitemap_urls(spark, sf_dir):
     return robots_sitemaps(hosts.withColumn("robots_txt", txt))
 
 
+def _q_robots_crawl_delays(spark, sf_dir):
+    """R59: Crawl-delay extraction from the * group — the politeness
+    interval per host (largest value in scope wins; non-numeric drops;
+    a delay inside ANOTHER agent's group must not leak). Shares the
+    group machinery with parse_robots; the oracle re-implements the
+    running-sum grouping in SQL."""
+    from xhtmlkit_spark.operators.urls import robots_crawl_delay
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit("-"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.org"),
+    )
+    hosts = d.select(
+        host.alias("host"), (F.col("doc_id") % 3).cast("string").alias("hidx")
+    ).distinct()
+    txt = F.concat(
+        # a delay scoped to another agent: must NOT apply to *
+        F.lit("User-agent: fancybot\nCrawl-delay: 99\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.when(F.col("hidx") == "0", F.lit("Crawl-delay: 2\n")).otherwise(F.lit("")),
+        F.when(
+            F.col("hidx") == "1",
+            F.lit("Crawl-delay: 0.5\nCrawl-delay: 10 # slow\n"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("hidx") == "2", F.lit("Crawl-delay: fast\n")).otherwise(
+            F.lit("")
+        ),
+    )
+    return robots_crawl_delay(hosts.withColumn("robots_txt", txt))
+
+
 def _q_select_multi_spans(spark, sf_dir):
     """R35: N queries in ONE corpus scan+parse — per-doc match counts
     for three simultaneous queries (markup, media, xpath text).
@@ -1783,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "url_host_policy": _q_url_host_policy,
         "robots_policy": _q_robots_policy,
+        "robots_crawl_delays": _q_robots_crawl_delays,
         "c4_line_stats": _q_c4_line_stats,
         "token_windows": _q_token_windows,
         "pack_chunks": _q_pack_chunks,
@@ -2407,6 +2440,56 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
+        # crawl-delay: same running-sum group machinery as robots_policy;
+        # TRY_CAST mirrors Spark's NULL-on-bad-cast for the 'fast' plant
+        "robots_crawl_delays": """
+            WITH hosts AS (
+              SELECT DISTINCT
+                source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+                CAST(doc_id % 3 AS VARCHAR) AS hidx
+              FROM documents),
+            robots AS (
+              SELECT host,
+                'User-agent: fancybot' || chr(10) || 'Crawl-delay: 99' || chr(10)
+                || 'Disallow: /' || chr(10) || chr(10)
+                || 'User-agent: *' || chr(10) || 'Disallow: /x' || chr(10)
+                || CASE WHEN hidx = '0' THEN 'Crawl-delay: 2' || chr(10) ELSE '' END
+                || CASE WHEN hidx = '1' THEN 'Crawl-delay: 0.5' || chr(10)
+                     || 'Crawl-delay: 10 # slow' || chr(10) ELSE '' END
+                || CASE WHEN hidx = '2' THEN 'Crawl-delay: fast' || chr(10) ELSE '' END
+                AS txt
+              FROM hosts),
+            lines AS (
+              SELECT host,
+                     unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS line_idx,
+                     unnest(string_split(txt, chr(10))) AS line
+              FROM robots),
+            kv AS (
+              SELECT host, line_idx,
+                lower(trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^([^:]+):', 1))) AS key,
+                trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^[^:]+:(.*)$', 1)) AS value
+              FROM lines
+              WHERE trim(regexp_replace(line, '#.*', '')) <> ''),
+            kept AS (SELECT * FROM kv WHERE key <> ''),
+            lagged AS (
+              SELECT *, (key = 'user-agent') AS is_ua,
+                coalesce(lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY line_idx), false) AS prev_ua
+              FROM kept),
+            grouped AS (
+              SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY line_idx ROWS UNBOUNDED PRECEDING) AS group_id
+              FROM lagged),
+            star_groups AS (
+              SELECT DISTINCT host, group_id FROM grouped
+              WHERE is_ua AND value = '*'),
+            delays AS (
+              SELECT g.host, TRY_CAST(g.value AS DOUBLE) AS d
+              FROM grouped g JOIN star_groups s
+                ON g.host = s.host AND g.group_id = s.group_id
+              WHERE g.key = 'crawl-delay')
+            SELECT host, max(d) AS crawl_delay
+            FROM delays WHERE d IS NOT NULL GROUP BY host
+        """,
         "robots_sitemap_urls": """
             WITH hosts AS (
               SELECT DISTINCT

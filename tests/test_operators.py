@@ -1865,3 +1865,21 @@ def test_contamination_spans_excises_planted_quote(spark):
     # doc2: quote at 0..4, five fillers at 5..9, quote again at 10..14
     assert got[2] == [(1, 0, 5), (2, 10, 5)]
     assert 3 not in got
+
+
+def test_robots_crawl_delay(spark):
+    """Group scoping, largest-wins, non-numeric drop, comment strip."""
+    from xhtmlkit_spark.operators.urls import robots_crawl_delay
+
+    rob = spark.createDataFrame(
+        [
+            ("a.ex", "User-agent: bot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 2\n"),
+            ("b.ex", "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 10 # slow\n"),
+            ("c.ex", "User-agent: *\nCrawl-delay: fast\n"),
+            ("d.ex", "User-agent: *\nDisallow: /\n"),
+            ("e.ex", "User-agent: bot\nCrawl-delay: 3\n"),  # no * group at all
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in robots_crawl_delay(rob).collect()}
+    assert got == {"a.ex": 2.0, "b.ex": 10.0}

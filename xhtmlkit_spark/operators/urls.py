@@ -34,6 +34,7 @@ __all__ = [
     "parse_robots",
     "robots_filter",
     "robots_sitemaps",
+    "robots_crawl_delay",
     "robots_path_regex",
 ]
 
@@ -218,6 +219,53 @@ def _robots_kv_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
     ).where(F.col("key") != "")
 
 
+def _robots_star_kv(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """Directive lines belonging to the ``*`` user-agent's group(s):
+    the Google-REP group machinery (consecutive User-agent lines form
+    ONE group — a per-host running sum over line index, the only
+    shuffle) shared by parse_robots and robots_crawl_delay."""
+    kv = _robots_kv_lines(df, host_col, text_col)
+    w = Window.partitionBy("host").orderBy("line_idx")
+    is_ua = F.col("key") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    grouped = kv.withColumn(
+        "group_id",
+        F.sum((is_ua & ~prev_ua).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    star_groups = (
+        grouped.where(is_ua & (F.col("value") == "*"))
+        .select("host", "group_id")
+        .distinct()
+    )
+    return grouped.join(star_groups, ["host", "group_id"])
+
+
+def robots_crawl_delay(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``(host, crawl_delay)`` from the ``*`` group's ``Crawl-delay:``
+    lines — the politeness interval a scheduler feeds into per-host
+    rate limiting (Bing/Yandex semantics; Google ignores the
+    directive, so emitting it is harmless there). Non-numeric values
+    drop; when several values are in scope the most CONSERVATIVE
+    (largest) delay wins, so a crawler never exceeds any stated limit.
+    Same single host-keyed shuffle as parse_robots (shared group
+    machinery)."""
+    star = _robots_star_kv(df, host_col, text_col)
+    # try_cast, not cast: ANSI mode (Spark 4 default) RAISES on a
+    # non-numeric value — 'Crawl-delay: fast' must drop, not kill a job
+    delays = star.where(F.col("key") == "crawl-delay").select(
+        "host", F.col("value").try_cast("double").alias("crawl_delay")
+    )
+    return (
+        delays.where(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
 def parse_robots(
     df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -240,25 +288,11 @@ def parse_robots(
     hash partition by host; robots files are KB-scale, so per-host
     line counts are tiny regardless of corpus size.
     """
-    kv = _robots_kv_lines(df, host_col, text_col)
-    w = Window.partitionBy("host").orderBy("line_idx")
-    is_ua = F.col("key") == "user-agent"
-    prev_ua = F.lag(is_ua, 1, False).over(w)
-    grouped = kv.withColumn(
-        "group_id",
-        F.sum((is_ua & ~prev_ua).cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    star_groups = (
-        grouped.where(is_ua & (F.col("value") == "*"))
-        .select("host", "group_id")
-        .distinct()
-    )
-    rules = grouped.where(
+    star = _robots_star_kv(df, host_col, text_col)
+    rules = star.where(
         F.col("key").isin("allow", "disallow") & (F.col("value") != "")
     )
-    return rules.join(star_groups, ["host", "group_id"]).select(
+    return rules.select(
         "host",
         F.col("key").alias("directive"),
         F.col("value").alias("path_prefix"),
