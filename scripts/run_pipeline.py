@@ -106,9 +106,17 @@ def main() -> None:
 
     from xhtmlkit_spark.sources.io import read_corpus
 
+    corpus_df = read_corpus(spark, args.input, args.input_format)
+    if args.input_format in ("warc", "html"):
+        # raw formats: the ingest is an expensive parse — persist so the
+        # stats aggregate below and the stage share ONE pass (the
+        # two-consumer double-scan trap, CLAUDE.md); parquet inputs keep
+        # the cheap columnar re-scan instead of caching
+        corpus_df = corpus_df.persist()
+
     zero = F.lit(0).cast("long")
     row = (
-        read_corpus(spark, args.input, args.input_format)
+        corpus_df
         .agg(
             F.count("*").alias("docs"),
             F.sum(
@@ -127,7 +135,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.select_stage import select_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(read_corpus(spark, args.input, args.input_format))
+        df = derive_part(corpus_df)
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         select_spans(
             with_size_salt(df, n), args.select, xpath=args.xpath, emit=args.emit
@@ -137,7 +145,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.harvest_stage import harvest_all
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(read_corpus(spark, args.input, args.input_format))
+        df = derive_part(corpus_df)
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         harvest_all(with_size_salt(df, n)).write.mode("overwrite").format(
             "noop"
@@ -147,7 +155,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.project_stage import project_docs
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(read_corpus(spark, args.input, args.input_format))
+        df = derive_part(corpus_df)
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         project_docs(
             with_size_salt(df, n), want_xhtml=(args.project == "markdown+xhtml")
@@ -157,7 +165,7 @@ def main() -> None:
         from xhtmlkit_spark.operators.extract_stage import extract_spans
         from xhtmlkit_spark.plans.pipeline import derive_part, with_size_salt
 
-        df = derive_part(read_corpus(spark, args.input, args.input_format))
+        df = derive_part(corpus_df)
         n = args.num_partitions or spark.sparkContext.defaultParallelism * 2
         extract_spans(with_size_salt(df, n)).write.mode("overwrite").format(
             "noop"
@@ -168,6 +176,7 @@ def main() -> None:
             spark,
             args.input,
             args.output,
+            corpus=corpus_df,
             manifest_path=args.manifest,
             num_partitions=args.num_partitions,
             fmt=args.input_format,

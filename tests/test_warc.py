@@ -111,6 +111,10 @@ def test_hostile_and_truncated_edge_cases():
     assert _dechunk(b"4\r\nabcd\r\n") == b"abcd"
     assert _dechunk(b"4\r\nabcd") == b"abcd"
     assert _dechunk(b"4\r\nabcd\r\nZZ\r\nrest") == b"abcd"  # bad size line
+    # negative chunk size: int(b'-6',16) parses — must terminate, not
+    # cycle pos backwards (same class as the Content-Length guard)
+    assert _dechunk(b"-6\r\nXXXX") == b"-6\r\nXXXX"
+    assert _dechunk(b"4\r\nabcd\r\n-6\r\nXX") == b"abcd"
 
     assert surt("http://a@b@c.example/p") == "example,b@c)/p"  # first-@ rule
 

@@ -90,17 +90,23 @@ def run_pipeline(
     n_parts: int = 16,
     fmt: str = "parquet",
     resume: bool = True,
+    corpus: DataFrame | None = None,
 ) -> dict:
     """Run the full job; returns summary metrics.
 
     Designed so that rerunning after a failure (or with new input
-    parts) only processes unfinished parts.
+    parts) only processes unfinished parts. ``corpus`` overrides the
+    path read — callers that already materialized (or persisted) the
+    ingest pass it to avoid re-parsing a raw warc/html source.
     """
     run_id = uuid.uuid4().hex[:12]
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    df = derive_part(xio.read_corpus(spark, input_path, fmt), n_parts)
+    df = derive_part(
+        corpus if corpus is not None else xio.read_corpus(spark, input_path, fmt),
+        n_parts,
+    )
 
     skipped_parts = 0
     if resume and manifest_path:

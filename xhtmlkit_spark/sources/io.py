@@ -377,7 +377,10 @@ def write_wet(
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         ext = ".warc.wet.gz" if compress else ".warc.wet"
         final = os.path.join(location, f"part-{pid:05d}{ext}")
-        tmp = f"{final}.{attempt}.tmp"
+        # leading dot: Spark file sources skip hidden files AND the name
+        # must not match ingest_warc/warc_cdx's default '*.warc*' glob —
+        # a crashed task's leftover must never be ingested as an archive
+        tmp = os.path.join(location, f".wet-{pid:05d}.{attempt}.tmp")
 
         # records STREAM to the temp file one at a time (gzip members
         # are independent, so per-record compression preserves the
@@ -386,6 +389,7 @@ def write_wet(
         # memory at once
         f = None
         n = 0
+        done = False
         try:
             for pdf in batches:
                 for doc_id, uri, date, text in zip(
@@ -411,9 +415,17 @@ def write_wet(
                     )
                     f.write(_gzip.compress(rec, mtime=0) if compress else rec)
                     n += 1
+            done = True
         finally:
             if f is not None:
                 f.close()
+                if not done:
+                    # mid-stream failure (exception, task kill): remove
+                    # the truncated temp archive instead of leaving it
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         if n:
             os.replace(tmp, final)
             import pandas as pd
@@ -441,7 +453,11 @@ def read_corpus(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
     if fmt == "warc":
         return ingest_warc(spark, location)
     if fmt == "html":
-        return ingest_html_files(spark, location, glob="*", recursive=True)
+        # NOT glob="*": a crawl tree holds logs/_SUCCESS/README next to
+        # the documents, and every stray file would become an "html" row
+        return ingest_html_files(
+            spark, location, glob="*.{html,htm,xhtml,pdf}", recursive=True
+        )
     return spark.read.parquet(location)
 
 

@@ -272,6 +272,11 @@ def _dechunk(body: bytes) -> bytes:
             size = int(size_token, 16)
         except ValueError:
             return b"".join(out) if out else body
+        if size < 0:
+            # int(b'-6', 16) parses; a negative size would slice with a
+            # negative end and cycle pos BACKWARDS — same infinite-loop
+            # class as the negative Content-Length guard in iter_warc
+            return b"".join(out) if out else body
         if size == 0:
             return b"".join(out)
         chunk = body[eol + 2 : eol + 2 + size]
