@@ -599,7 +599,11 @@ def _q_quality_scores(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return with_quality(d).select(
-        "doc_id", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+        "doc_id",
+        "mean_token_len_u",
+        "punct_ratio_u",
+        "stopword_ratio_u",
+        "quality_score_u",
     )
 
 
@@ -717,7 +721,12 @@ def _q_pagerank(spark, sf_dir):
     every 10th doc dangling), 3 fixed power iterations with
     dangling-mass redistribution. The oracle unrolls the same 3
     iterations as SQL CTEs — both engines walk the identical float
-    recurrence, rounded 6 at the end."""
+    recurrence, then quantize to micro-units with round-to-INTEGER
+    (no round-to-decimal midpoint lottery; the r05 exactmath sweep).
+    Residual risk is only a cross-engine ulp in the float recurrence
+    itself landing within ~1e-16 of a half-integer of 1e6·rank —
+    per node, not systematic."""
+    from xhtmlkit_spark.functions.exactmath import round_u
     from xhtmlkit_spark.operators.graph import pagerank
 
     d = _read(spark, sf_dir, "documents")
@@ -729,7 +738,7 @@ def _q_pagerank(spark, sf_dir):
         src.alias("src"), ((src * 7 + 3) % n).alias("dst")
     ).union(linkers.select(src.alias("src"), ((src * 13 + 5) % n).alias("dst")))
     return pagerank(nodes, edges, n_iter=3).select(
-        "id", F.round("rank", 6).alias("rank")
+        "id", round_u(F.col("rank")).alias("rank_u")
     )
 
 
@@ -864,9 +873,9 @@ def _q_temperature_mix(spark, sf_dir):
     )
     sampled = temperature_mix(d, stratum="src_grp", target_frac=0.5)
     return (
-        sampled.groupBy("src_grp", "mix_rate")
+        sampled.groupBy("src_grp", "mix_rate_u")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .select("src_grp", "mix_rate", "n_sampled")
+        .select("src_grp", "mix_rate_u", "n_sampled")
     )
 
 
@@ -1371,7 +1380,7 @@ def _q_c4_line_stats(spark, sf_dir):
         "doc_id",
         "n_lines",
         "n_kept",
-        "kept_ratio",
+        "kept_ratio_u",
         "has_lorem",
         "n_braces",
         F.md5("kept_text").alias("kept_md5"),
@@ -1840,35 +1849,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": _q_stream_dedup_counts,
         "stream_running_totals": _q_stream_running_totals,
     }
-    keys = list(q)
-    window = sorted(keys[:50], key=lambda k: _WINDOW_COST_S.get(k, 9.9))
-    return {k: q[k] for k in window + keys[50:]}
+    window = sorted(_R05_WINDOW, key=lambda k: _WINDOW_COST_S.get(k, 9.9))
+    in_window = set(window)
+    assert len(window) == 50 and in_window <= set(q), "window/registry drift"
+    return {k: q[k] for k in window + [k for k in q if k not in in_window]}
 
 
-# measured per-query wall (sf0.01 local[8], warm session, 2026-08-18;
-# check_contract prints these) for the cheapest-first window sort —
-# approximate is fine, only the ordering matters
+# Round-5 driver window (the gate records the FIRST 50 entries; see the
+# rotation note above). Leads with the 15 entries that MUST get an r05
+# row: robots_crawl_delays (never driver-recorded — VERDICT r04 ask #3)
+# plus the 14 queries whose output schema changed in the exactmath
+# sweep (*_u micro-unit columns; their r03/r04 rows describe the OLD
+# contract). The remaining 35 slots go to the cheapest entries whose
+# last driver row is r03 (oldest-first rotation discipline); the 10
+# stale entries left out (streams, robots_policy, math_lineitem_
+# features, bpe_token_counts, approx_distinct) are unchanged since
+# their r03-green rows. Whole window re-sorts cheapest-first below
+# (safe under both row-cap and wall-budget gate readings); measured
+# wall ≈ 50 s at sf0.01 local[8].
+_R05_WINDOW = [
+    # never-recorded + exactmath-changed (must record green in r05)
+    "robots_crawl_delays",
+    "repetition_scores", "unigram_nll", "dsir_weights",
+    "quality_scores", "quality_ensemble", "temperature_mix",
+    "c4_line_stats", "contamination_scores", "jaccard_candidates",
+    "containment_pairs", "length_outliers", "char_entropy",
+    "tfidf_top_terms", "pagerank",
+    # stale r03-recorded rotation block, cheapest 35
+    "unpivot_customer_metrics", "q06_revenue_forecast",
+    "rollup_order_stats", "dedup_exact", "running_user_value",
+    "anti_customers_without_orders", "fingerprints",
+    "semi_customers_with_big_orders", "distinct_counts",
+    "size_bucket_histogram", "value_percentiles", "pii_redaction",
+    "token_windows", "json_event_props", "cube_order_stats",
+    "balance_quartiles", "rolling_hour_user_value", "map_event_props",
+    "hourly_event_stats", "grouping_sets_order_stats",
+    "except_custkeys", "pivot_order_counts",
+    "left_join_customer_orders", "range_join_event_pairs",
+    "minhash_signatures", "embedding_explode", "lang_guess",
+    "pack_chunks_shuffled", "url_host_policy", "asof_event_orders",
+    "cosine_topk", "pack_chunks", "user_sessions",
+    "topk_acctbal_per_segment", "lsh_candidates",
+]
+
+
+# measured per-query wall (sf0.01 local[8], warm session, 2026-08-18
+# round-5 full-contract run; check_contract prints these) for the
+# cheapest-first window sort — approximate is fine, only the ordering
+# matters. Window wall ≈ 36 s.
 _WINDOW_COST_S = {
-    "ann_lsh_topk": 1.6, "bigram_doc_freq": 0.7, "char_entropy": 0.4,
-    "containment_pairs": 1.5, "contamination_scores": 1.0,
-    "contamination_spans": 0.8, "crawl_frontier": 1.8,
-    "dedup_groups": 3.9, "doc_links": 1.1, "dsir_weights": 1.0,
-    "embedding_neardup": 2.5, "extract_spans": 1.4, "feed_entries": 0.6,
-    "harvest_all": 0.8, "hourly_resample_user_value": 3.0,
-    "ivf_topk": 2.0, "jaccard_candidates": 1.8, "length_outliers": 0.4,
-    "line_dedup_stats": 1.3, "markdown_docs": 0.7, "media_features": 2.4,
-    "media_frames": 0.6, "media_refs": 1.1, "normalize_xhtml": 1.2,
-    "page_meta": 0.8, "pagerank": 2.1, "postings_stats": 0.6,
-    "project_docs": 1.1, "q01_pricing_summary": 0.5,  # 5.3 raw = warmup
-    "q03_top_unshipped": 1.4, "q05_region_revenue": 1.4,
-    "quality_ensemble": 1.8, "repetition_scores": 0.8,
-    "robots_sitemap_urls": 0.5, "select_html_spans": 0.9,
-    "select_multi_spans": 0.8, "select_spans": 1.1, "simhash": 1.7,
-    "simhash_neardup": 3.1, "sitemap_urls": 0.6, "snapshot_diff": 0.4,
-    "stratified_sample": 0.2, "stream_stream_join": 4.6,
-    "string_part_features": 1.5, "surt_keys": 0.3, "table_rows": 0.9,
-    "tfidf_top_terms": 1.5, "token_counts": 0.2, "unigram_nll": 0.9,
-    "url_normalize": 0.4,
+    "anti_customers_without_orders": 0.3, "asof_event_orders": 0.7,
+    "balance_quartiles": 0.3, "c4_line_stats": 0.4, "char_entropy": 1.8,
+    "containment_pairs": 1.8, "contamination_scores": 1.2,
+    "cosine_topk": 0.7, "cube_order_stats": 0.3, "dedup_exact": 0.3,
+    "distinct_counts": 0.3, "dsir_weights": 2.2, "embedding_explode": 0.5,
+    "except_custkeys": 0.4, "fingerprints": 0.3,
+    "grouping_sets_order_stats": 0.4, "hourly_event_stats": 0.4,
+    "jaccard_candidates": 1.6, "json_event_props": 0.3, "lang_guess": 0.6,
+    "left_join_customer_orders": 0.4, "length_outliers": 1.9,
+    "lsh_candidates": 1.0, "map_event_props": 0.4,
+    "minhash_signatures": 0.4, "pack_chunks": 0.8,
+    "pack_chunks_shuffled": 0.6, "pagerank": 2.4, "pii_redaction": 0.3,
+    "pivot_order_counts": 0.4, "q06_revenue_forecast": 0.2,
+    "quality_ensemble": 1.9, "quality_scores": 0.4,
+    "range_join_event_pairs": 0.4, "repetition_scores": 1.3,
+    "robots_crawl_delays": 0.7, "rolling_hour_user_value": 0.4,
+    "rollup_order_stats": 0.2, "running_user_value": 0.3,
+    "semi_customers_with_big_orders": 0.3, "size_bucket_histogram": 0.3,
+    "temperature_mix": 0.6, "tfidf_top_terms": 0.9, "token_windows": 0.3,
+    "topk_acctbal_per_segment": 0.9, "unigram_nll": 1.9,
+    "unpivot_customer_metrics": 0.2, "url_host_policy": 0.7,
+    "user_sessions": 0.8, "value_percentiles": 0.3,
 }
 
 
@@ -2149,7 +2200,8 @@ def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
         head
         + "".join(steps)
         + f"""
-            SELECT id, round(rank, 6) AS rank FROM r{n_iter}"""
+            SELECT id, CAST(round(rank * 1000000.0) AS BIGINT) AS rank_u
+            FROM r{n_iter}"""
     )
 
 
@@ -2184,19 +2236,20 @@ def oracle_sql() -> dict[str, str]:
         r AS ({d["repetition_scores"]}),
         n AS ({d["unigram_nll"]}),
         sig AS (
-          SELECT q.doc_id, q.quality_score, r.dup_token_ratio, n.mean_nll,
-                 CAST(round(q.quality_score * 1e4) AS BIGINT) AS q4,
-                 CAST(round(r.dup_token_ratio * 1e6) AS BIGINT) AS d6,
-                 CAST(round(n.mean_nll * 1e6) AS BIGINT) AS n6
+          SELECT q.doc_id,
+                 CAST(q.quality_score_u AS BIGINT) AS q4,
+                 CAST(r.dup_token_ratio_u AS BIGINT) AS d6,
+                 CAST(n.mean_nll_u AS BIGINT) AS n6
           FROM q JOIN r ON q.doc_id = r.doc_id JOIN n ON q.doc_id = n.doc_id),
         u AS (
-          SELECT doc_id, quality_score, dup_token_ratio, mean_nll,
+          SELECT doc_id, q4 AS quality_score_u, d6 AS dup_token_ratio_u,
+                 n6 AS mean_nll_u,
                  q4 * 2400
                    + (1000000 - least(d6 * 2, 1000000)) * 18
                    + (6000000 - least(greatest(n6 - 2000000, 0), 6000000)) * 3
                    AS ensemble_u
           FROM sig)
-        SELECT doc_id, quality_score, dup_token_ratio, mean_nll,
+        SELECT doc_id, quality_score_u, dup_token_ratio_u, mean_nll_u,
                ensemble_u, ensemble_u >= 30000000 AS keep
         FROM u
     """
@@ -2402,16 +2455,20 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM toks WHERE term <> '' GROUP BY term),
             n AS (SELECT count(*)::DOUBLE AS n_docs_total FROM docs),
             scored AS (
+              -- idf quantized ONCE per distinct df to micro-nats, then an
+              -- exact integer product (the exactmath twin of score_u)
               SELECT doc_id, term, n_term,
-                     round(n_term * ln((n_docs_total + 1) / (dfreq + 1)), 6) AS score
+                     n_term * CAST(round(ln((n_docs_total + 1.0) / (dfreq + 1.0))
+                                         * 1000000.0) AS BIGINT) AS score_u
               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
             r AS (
               SELECT doc_id,
                      row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, term ASC) AS rnk,
-                     term, n_term, score
+                                        ORDER BY score_u DESC, term ASC) AS rnk,
+                     term, n_term, score_u
               FROM scored)
-            SELECT doc_id, rnk, term, n_term, score FROM r WHERE rnk <= 3
+            SELECT doc_id, rnk, term, n_term, CAST(score_u AS BIGINT) AS score_u
+            FROM r WHERE rnk <= 3
         """,
         "bigram_doc_freq": f"""
             WITH {_shingle_sig_cte(2)},
@@ -2432,11 +2489,17 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT doc_id, term, count(*) AS n
               FROM toks WHERE term <> '' GROUP BY doc_id, term),
             cf AS (SELECT term, sum(n) AS cn FROM tf GROUP BY term),
-            tot AS (SELECT sum(cn)::DOUBLE AS corpus_tokens FROM cf)
-            SELECT t.doc_id, sum(t.n) AS n_tokens,
-                   round(sum(t.n * -ln(c.cn / corpus_tokens)) / sum(t.n), 6)
-                     AS mean_nll
-            FROM tf t JOIN cf c USING (term) CROSS JOIN tot
+            tot AS (SELECT sum(cn)::DOUBLE AS corpus_tokens FROM cf),
+            -- each DISTINCT term's -ln p quantized ONCE to micro-nats;
+            -- sums and the mean are exact integer arithmetic (exactmath)
+            u AS (SELECT term,
+                         CAST(round(ln(corpus_tokens / cn) * 1000000.0)
+                              AS BIGINT) AS nll_u
+                  FROM cf CROSS JOIN tot)
+            SELECT t.doc_id, CAST(sum(t.n) AS BIGINT) AS n_tokens,
+                   CAST((2 * sum(t.n * u.nll_u) + sum(t.n)) // (2 * sum(t.n))
+                        AS BIGINT) AS mean_nll_u
+            FROM tf t JOIN u USING (term)
             GROUP BY t.doc_id
         """,
         "pii_redaction": _pii_oracle(),
@@ -2618,14 +2681,15 @@ def _oracle_sql_base() -> dict[str, str]:
             med AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
             m2 AS (SELECT quantile_cont(abs(n - med), 0.5) AS mad
                    FROM d CROSS JOIN med)
-            SELECT doc_id, n_chars, robust_z,
-                   CASE WHEN robust_z IS NOT NULL
-                        THEN abs(robust_z) > 3.5 END AS is_outlier
+            SELECT doc_id, n_chars, robust_z_u,
+                   CASE WHEN robust_z_u IS NOT NULL
+                        THEN abs(robust_z_u) > 3500000 END AS is_outlier
             FROM (
               SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
                      CASE WHEN mad > 0
-                          THEN round(0.6745 * (n - med) / mad, 6)
-                     END AS robust_z
+                          THEN CAST(round(0.6745 * (n - med) / mad * 1000000.0)
+                                    AS BIGINT)
+                     END AS robust_z_u
               FROM d CROSS JOIN med CROSS JOIN m2)
         """,
         "char_entropy": """
@@ -2634,12 +2698,20 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL),
             counts AS (
               SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-              FROM chars GROUP BY doc_id, ch)
-            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
-                   round(ln(CAST(sum(c) AS DOUBLE))
-                         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-                           / CAST(sum(c) AS DOUBLE), 6) AS char_entropy
-            FROM counts GROUP BY doc_id
+              FROM chars GROUP BY doc_id, ch),
+            -- each count's ln quantized ONCE to nano-nats; weighted sum,
+            -- the /N mean, and the final subtraction are exact integers
+            agg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                     CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE))
+                                             * 1000000000.0) AS BIGINT))
+                          AS BIGINT) AS s_nano
+              FROM counts GROUP BY doc_id)
+            SELECT doc_id, n_chars,
+                   CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   - (2 * s_nano + 1000 * n_chars) // (2 * (1000 * n_chars))
+                     AS char_entropy_u
+            FROM agg
         """,
         "url_normalize": _MESSY_URL_CTE + r""",
             parts AS (
@@ -2893,19 +2965,27 @@ def _oracle_sql_base() -> dict[str, str]:
                      CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS src_grp
               FROM documents),
             c AS (SELECT src_grp, count(*) AS n FROM d GROUP BY src_grp),
+            -- per-stratum √n quantized ONCE to micro-units; their sum is
+            -- exact integer arithmetic, the final rate chain runs on
+            -- exactly-representable inputs in a fixed operand order
+            cq AS (SELECT src_grp, n,
+                          CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS sq_u
+                   FROM c),
             t AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
-                         sum(sqrt(n)) AS sum_sqrt FROM c),
+                         CAST(sum(sq_u) AS BIGINT) AS sum_sq_u FROM cq),
             r AS (
               SELECT src_grp,
-                     round(least(1.0,
-                       sqrt(n) / sum_sqrt * (0.5 * n_total) / n), 6) AS mix_rate
-              FROM c CROSS JOIN t)
-            SELECT d.src_grp, r.mix_rate,
+                     least(1000000, CAST(round(
+                       CAST(sq_u AS DOUBLE) / CAST(sum_sq_u AS DOUBLE)
+                       * (0.5 * n_total) / n * 1000000.0) AS BIGINT))
+                       AS mix_rate_u
+              FROM cq CROSS JOIN t)
+            SELECT d.src_grp, CAST(r.mix_rate_u AS BIGINT) AS mix_rate_u,
                    CAST(count(*) AS BIGINT) AS n_sampled
             FROM d JOIN r USING (src_grp)
             WHERE (('0x' || substr(md5('mix0' || doc_id::VARCHAR), 1, 8))::BIGINT
-                   / 4294967296.0) < r.mix_rate
-            GROUP BY d.src_grp, r.mix_rate
+                   / 4294967296.0) * 1000000.0 < CAST(r.mix_rate_u AS DOUBLE)
+            GROUP BY d.src_grp, r.mix_rate_u
         """,
         "line_dedup_stats": f"""
             WITH docs AS (
@@ -2940,9 +3020,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(lines) AS BIGINT) AS n_lines,
                    CAST(len(kept) AS BIGINT) AS n_kept,
-                   CASE WHEN len(lines) > 0
-                        THEN round(len(kept) / len(lines), 6)
-                        ELSE 0.0 END AS kept_ratio,
+                   CAST(CASE WHEN len(lines) > 0
+                             THEN (2000000 * len(kept) + len(lines))
+                                  // (2 * len(lines))
+                             ELSE 0 END AS BIGINT) AS kept_ratio_u,
                    contains(lower(text), 'lorem ipsum') AS has_lorem,
                    CAST(length(text) - length(replace(text, '{{', '')) AS BIGINT)
                      AS n_braces,
@@ -3017,7 +3098,8 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.doc_id,
                    count(*) AS n_shingles,
                    count(b.g) AS n_hits,
-                   round(count(b.g) / count(*), 6) AS contamination
+                   CAST((2000000 * count(b.g) + count(*)) // (2 * count(*))
+                        AS BIGINT) AS contamination_u
             FROM ex e LEFT JOIN bench b ON e.g = b.g
             GROUP BY e.doc_id
         """,
@@ -3038,10 +3120,13 @@ def _oracle_sql_base() -> dict[str, str]:
                      list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
                                     i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
               FROM docs)
-            SELECT a.doc_id, a.n_tokens,
-                   round(a.top_n / a.n_tokens, 6) AS top_token_ratio,
-                   round(1 - a.n_distinct / a.n_tokens, 6) AS dup_token_ratio,
-                   round(1 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_ratio
+            SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+                   CAST((2000000 * a.top_n + a.n_tokens) // (2 * a.n_tokens)
+                        AS BIGINT) AS top_token_ratio_u,
+                   CAST((2000000 * (a.n_tokens - a.n_distinct) + a.n_tokens)
+                        // (2 * a.n_tokens) AS BIGINT) AS dup_token_ratio_u,
+                   CAST((2000000 * (len(bg) - len(list_distinct(bg))) + len(bg))
+                        // (2 * len(bg)) AS BIGINT) AS dup_bigram_ratio_u
             FROM agg a JOIN big b ON a.doc_id = b.doc_id
         """,
         "quality_scores": """
@@ -3062,13 +3147,14 @@ def _oracle_sql_base() -> dict[str, str]:
                      CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_r
               FROM t)
             SELECT doc_id,
-                   round(mean_tok, 4) AS mean_token_len,
-                   round(punct_r, 4) AS punct_ratio,
-                   round(stop_r, 4) AS stopword_ratio,
-                   round(least(stop_r * 2.5, 1.0) * 0.4
+                   CAST(round(mean_tok * 10000.0) AS BIGINT) AS mean_token_len_u,
+                   CAST(round(punct_r * 10000.0) AS BIGINT) AS punct_ratio_u,
+                   CAST(round(stop_r * 10000.0) AS BIGINT) AS stopword_ratio_u,
+                   CAST(round((least(stop_r * 2.5, 1.0) * 0.4
                          + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
                          + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
-                         + (CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END) * 0.1, 4) AS quality_score
+                         + (CASE WHEN upper_r <= 0.3 THEN 1.0 ELSE 0.0 END) * 0.1)
+                         * 10000.0) AS BIGINT) AS quality_score_u
             FROM r
         """,
         "lang_guess": """
@@ -3149,13 +3235,19 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM bands x JOIN bands y
                 ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
                AND x.doc_id < y.doc_id)
-            SELECT p.id_a, p.id_b,
-                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-                         / (len(sa.sh) + len(sb.sh)
-                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
-            FROM pairs p
-            JOIN s sa ON sa.doc_id = p.id_a
-            JOIN s sb ON sb.doc_id = p.id_b
+            SELECT id_a, id_b,
+                   CAST((2000000 * inter + uni) // (2 * uni) AS BIGINT)
+                     AS jaccard_u
+            FROM (
+              SELECT p.id_a, p.id_b,
+                     len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                       AS inter,
+                     len(sa.sh) + len(sb.sh)
+                       - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                       AS uni
+              FROM pairs p
+              JOIN s sa ON sa.doc_id = p.id_a
+              JOIN s sb ON sb.doc_id = p.id_b)
         """,
         "containment_pairs": f"""
             WITH {_shingle_sig_cte(2)},
@@ -3164,14 +3256,19 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM bands x JOIN bands y
                 ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
                AND x.doc_id < y.doc_id)
-            SELECT p.id_a, p.id_b,
-                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-                         / len(sa.sh), 6) AS containment_ab,
-                   round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-                         / len(sb.sh), 6) AS containment_ba
-            FROM pairs p
-            JOIN s sa ON sa.doc_id = p.id_a
-            JOIN s sb ON sb.doc_id = p.id_b
+            SELECT id_a, id_b,
+                   CAST((2000000 * inter + la) // (2 * la) AS BIGINT)
+                     AS containment_ab_u,
+                   CAST((2000000 * inter + lb) // (2 * lb) AS BIGINT)
+                     AS containment_ba_u
+            FROM (
+              SELECT p.id_a, p.id_b,
+                     len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                       AS inter,
+                     len(sa.sh) AS la, len(sb.sh) AS lb
+              FROM pairs p
+              JOIN s sa ON sa.doc_id = p.id_a
+              JOIN s sb ON sb.doc_id = p.id_b)
         """,
         "pagerank": _pagerank_sql(3),
         # two-crawl diff: FULL OUTER JOIN with null-safe digest compare
@@ -3225,9 +3322,11 @@ def _oracle_sql_base() -> dict[str, str]:
                      sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS rk
               FROM per GROUP BY bucket),
             tot AS (SELECT sum(tk)::DOUBLE AS T, sum(rk)::DOUBLE AS R FROM model)
-            SELECT p.doc_id, sum(p.n) AS n_feats,
-                   round(sum(p.n * (ln((m.tk + 1) / (T + 256))
-                                  - ln((m.rk + 1) / (R + 256)))), 6) AS log_weight
+            SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_feats,
+                   CAST(sum(p.n * CAST(round((ln((m.tk + 1) / (T + 256))
+                                              - ln((m.rk + 1) / (R + 256)))
+                                             * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS log_weight_u
             FROM per p JOIN model m ON p.bucket = m.bucket CROSS JOIN tot
             WHERE NOT p.tgt
             GROUP BY p.doc_id

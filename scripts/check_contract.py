@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime
 import math
 import os
+import struct
 import sys
 import time
 
@@ -32,8 +33,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # kill float-formatting differences; values are pre-rounded in queries
-        return f"{v:.6f}"
+        # BIT-EXACT, like the driver's value hash: the old f"{v:.6f}"
+        # re-rounded the stored binary, masking last-ulp disagreements
+        # between Spark's HALF_UP BigDecimal round and DuckDB's double
+        # rounding — exactly the class that shipped three driver-red
+        # queries in r04 (VERDICT r04 ask #2). local-green must imply
+        # driver-green, so compare the raw bit pattern.
+        return struct.pack(">d", v).hex()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (bytes, bytearray)):

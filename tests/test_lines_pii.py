@@ -139,7 +139,7 @@ def test_c4_line_filter_rules(spark):
     )
     assert out[1]["has_lorem"] is False and out[1]["n_braces"] == 0
     assert out[2]["has_lorem"] is True and out[2]["n_braces"] == 2
-    assert out[4]["n_lines"] == 0 and out[4]["kept_ratio"] == 0.0
+    assert out[4]["n_lines"] == 0 and out[4]["kept_ratio_u"] == 0
     assert out[4]["kept_text"] is None
     # punctuation rule off: the bare line now passes
     loose = {

@@ -80,10 +80,10 @@ def test_lsh_finds_near_duplicate(docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got  # exact dup always collides
     assert (1, 3) in got or (2, 3) in got  # near dup shares most bigrams
-    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_verify(pairs, docs, k=2).collect()}
-    assert j[(1, 2)] == 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard_u"] for r in jaccard_verify(pairs, docs, k=2).collect()}
+    assert j[(1, 2)] == 1_000_000
     if (1, 3) in j:
-        assert 0.5 < j[(1, 3)] < 1.0
+        assert 500_000 < j[(1, 3)] < 1_000_000
 
 
 def test_connected_components_planted_chain(spark):
@@ -355,9 +355,9 @@ def test_quality_ensemble_separates_planted_docs(spark):
     assert out[1]["keep"] and not out[2]["keep"]
     # hand-check the integer composition for doc 1
     r1 = out[1]
-    q4 = round(r1["quality_score"] * 1e4)
-    d6 = round(r1["dup_token_ratio"] * 1e6)
-    n6 = round(r1["mean_nll"] * 1e6)
+    q4 = r1["quality_score_u"]
+    d6 = r1["dup_token_ratio_u"]
+    n6 = r1["mean_nll_u"]
     expect = (
         q4 * 2400
         + (1_000_000 - min(d6 * 2, 1_000_000)) * 18
@@ -397,11 +397,11 @@ def test_temperature_mix_flattens_skew(spark):
     )
     out = temperature_mix(df, stratum="source", target_frac=0.5)
     rates = {
-        r["source"]: r["mix_rate"]
-        for r in out.select("source", "mix_rate").distinct().collect()
+        r["source"]: r["mix_rate_u"]
+        for r in out.select("source", "mix_rate_u").distinct().collect()
     }
     # small stratum: sqrt(20)/(sqrt(500)+sqrt(20)) * 260 / 20 > 1 → clamped
-    assert rates["small"] == 1.0 and 0.0 < rates["big"] < 1.0
+    assert rates["small"] == 1_000_000 and 0 < rates["big"] < 1_000_000
     counts = {
         r["source"]: r["n"]
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
@@ -536,7 +536,7 @@ def test_dsir_weights_matches_reimplementation(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id string, tgt boolean, text string")
     out = dsir_weights(df, F.col("tgt"), n_buckets=64)
-    res = {r["doc_id"]: (r["n_feats"], r["log_weight"]) for r in out.collect()}
+    res = {r["doc_id"]: (r["n_feats"], r["log_weight_u"]) for r in out.collect()}
 
     K = 64
 
@@ -557,23 +557,26 @@ def test_dsir_weights_matches_reimplementation(spark):
             d = tk if tgt else rk
             d[bucket(f)] = d.get(bucket(f), 0) + 1
     T, R = sum(tk.values()), sum(rk.values())
+
+    def ratio_micro(b):  # the per-BUCKET micro-quantized log ratio
+        x = 1e6 * (
+            math.log((tk.get(b, 0) + 1) / (T + K))
+            - math.log((rk.get(b, 0) + 1) / (R + K))
+        )
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))  # half away
+
     exp = {}
     for did, tgt, txt in rows:
         if tgt or txt is None or not feats(txt):
             continue
-        lw = sum(
-            math.log((tk.get(bucket(f), 0) + 1) / (T + K))
-            - math.log((rk.get(bucket(f), 0) + 1) / (R + K))
-            for f in feats(txt)
-        )
-        exp[did] = (len(feats(txt)), round(lw, 6))
+        lw_u = sum(ratio_micro(bucket(f)) for f in feats(txt))
+        exp[did] = (len(feats(txt)), lw_u)
     assert set(res) == set(exp)  # null/empty docs absent, targets absent
     for k in exp:
-        assert res[k][0] == exp[k][0]
-        assert abs(res[k][1] - exp[k][1]) < 2e-6
+        assert res[k] == exp[k]  # EXACT integers now (exactmath)
     assert res["r1"][1] > res["r2"][1]  # target-like beats junk
     rep = {
-        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        r["doc_id"]: (r["n_feats"], r["log_weight_u"])
         for r in dsir_weights(df.repartition(7), F.col("tgt"), n_buckets=64).collect()
     }
     assert rep == res
@@ -1120,13 +1123,13 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     rows = tfidf_top_terms(df, top_n=2).collect()
     by_doc: dict = {}
     for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score"]))
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score_u"]))
     assert set(by_doc) == {1, 2, 3}  # NULL-text doc contributes nothing
     for doc, uniq in [(1, "apple"), (2, "banana"), (3, "cherry")]:
         ranked = sorted(by_doc[doc])
         assert ranked[0][1] == uniq, (doc, ranked)
         # idf of the everywhere-term is ln(4/4)=0 -> score 0
-        assert ranked[1][1] == "common" and ranked[1][2] == 0.0
+        assert ranked[1][1] == "common" and ranked[1][2] == 0
 
 
 def test_bigram_doc_freq_counts_docs_not_occurrences(spark):
@@ -1229,13 +1232,13 @@ def test_repetition_scores_flag_repetitive_docs(spark):
     )
     out = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
     assert set(out) == {1, 2, 3}
-    assert out[1]["top_token_ratio"] == 1.0
-    assert out[1]["dup_token_ratio"] == 0.75
-    assert out[1]["dup_bigram_ratio"] == pytest.approx(2 / 3)
-    assert out[2]["top_token_ratio"] == 0.2
-    assert out[2]["dup_token_ratio"] == 0.0
-    assert out[2]["dup_bigram_ratio"] == 0.0
-    assert out[3]["n_tokens"] == 1 and out[3]["dup_bigram_ratio"] == 0.0
+    assert out[1]["top_token_ratio_u"] == 1_000_000
+    assert out[1]["dup_token_ratio_u"] == 750_000
+    assert out[1]["dup_bigram_ratio_u"] == 666_667  # round-half-up(2/3 * 1e6)
+    assert out[2]["top_token_ratio_u"] == 200_000
+    assert out[2]["dup_token_ratio_u"] == 0
+    assert out[2]["dup_bigram_ratio_u"] == 0
+    assert out[3]["n_tokens"] == 1 and out[3]["dup_bigram_ratio_u"] == 0
 
 
 def test_contamination_scores_planted_overlap(spark):
@@ -1256,8 +1259,8 @@ def test_contamination_scores_planted_overlap(spark):
     assert set(out) == {1, 2}
     # doc 1 shingles: {alpha beta gamma, beta gamma delta} -> 1 of 2 in bench
     assert out[1]["n_shingles"] == 2 and out[1]["n_hits"] == 1
-    assert out[1]["contamination"] == 0.5
-    assert out[2]["n_hits"] == 0 and out[2]["contamination"] == 0.0
+    assert out[1]["contamination_u"] == 500_000
+    assert out[2]["n_hits"] == 0 and out[2]["contamination_u"] == 0
 
     # benchmark side must broadcast (corpus shingles never shuffle)
     plan = contamination_scores(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
@@ -1762,13 +1765,13 @@ def test_robust_length_outliers_mad_and_degenerate(spark):
     assert all(got[str(i)]["is_outlier"] is False for i in range(7))
     # median of [8,9,10,10,10,10,11,12,1000] lengths: 8 docs → 10;
     # MAD over |n-10| = [2,1,0,1,2,0,0,990] → median 1.0
-    assert got["2"]["robust_z"] == 0.0
+    assert got["2"]["robust_z_u"] == 0
 
     const = spark.createDataFrame(
         [(str(i), "y" * 5) for i in range(6)], "doc_id string, text string"
     )
     out = robust_length_outliers(const).collect()
-    assert all(r["robust_z"] is None and r["is_outlier"] is None for r in out)
+    assert all(r["robust_z_u"] is None and r["is_outlier"] is None for r in out)
 
 
 def test_char_entropy_known_values(spark):
@@ -1782,8 +1785,13 @@ def test_char_entropy_known_values(spark):
         "doc_id string, text string",
     )
     got = {r["doc_id"]: r for r in char_entropy_scores(df).collect()}
-    assert got["a"]["char_entropy"] == 0.0
-    assert got["b"]["char_entropy"] == round(math.log(4), 6)
+    assert got["a"]["char_entropy_u"] == 0
+    # term-wise quantization contract: ln2 quantized to nano-nats FIRST,
+    # then exact integer mean — H_u = round(1e6·ln8) - round(round(1e9·ln2)/1000)
+    ln2_nano = round(1e9 * math.log(2))
+    expect_b = round(1e6 * math.log(8)) - (2 * 8 * ln2_nano + 8000) // 16000
+    assert got["b"]["char_entropy_u"] == expect_b
+    assert abs(got["b"]["char_entropy_u"] - 1e6 * math.log(4)) < 2  # ≈ ln 4
     assert "c" not in got and "d" not in got
 
 
@@ -1802,10 +1810,10 @@ def test_containment_detects_subdocument(spark):
     )
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     got = containment_verify(pairs, df, text="text", k=2).collect()[0]
-    jac = jaccard_verify(pairs, df, text="text", k=2).collect()[0]["jaccard"]
-    assert got["containment_ab"] == 1.0
-    assert got["containment_ba"] < 0.2
-    assert jac < 0.2
+    jac = jaccard_verify(pairs, df, text="text", k=2).collect()[0]["jaccard_u"]
+    assert got["containment_ab_u"] == 1_000_000
+    assert got["containment_ba_u"] < 200_000
+    assert jac < 200_000
 
 
 def test_inverted_index_stats_digest_capped(spark):

@@ -541,7 +541,7 @@ def test_build_training_corpus_funnel(spark, corpus_path, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == funnel["written"]
     assert set(landed.columns) == {
-        "doc_id", "text", "lang_guess", "quality_score", "n_tokens"
+        "doc_id", "text", "lang_guess", "quality_score_u", "n_tokens"
     }
     # sampling is deterministic: rerun writes the identical doc set
     funnel2 = build_training_corpus(

@@ -447,12 +447,17 @@ def jaccard_verify(
         .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
+    from xhtmlkit_spark.functions.exactmath import ratio_u
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # BIGINT millionths, exact half-up integer rounding — a union size
+    # with a 2^k k>6 factor lands round-6 exactly on a midpoint where
+    # the engines' float rounding diverges (functions/exactmath.py)
     return out.select(
         "id_a",
         "id_b",
-        F.round(inter / union, 6).alias("jaccard"),
+        ratio_u(inter.cast("long"), union.cast("long")).alias("jaccard_u"),
     )
 
 
@@ -546,12 +551,15 @@ def containment_verify(
         .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    from xhtmlkit_spark.functions.exactmath import ratio_u
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    # BIGINT millionths via exact integer rounding (exactmath)
     return out.select(
         "id_a",
         "id_b",
-        F.round(inter / F.size("sh_a"), 6).alias("containment_ab"),
-        F.round(inter / F.size("sh_b"), 6).alias("containment_ba"),
+        ratio_u(inter, F.size("sh_a").cast("long")).alias("containment_ab_u"),
+        ratio_u(inter, F.size("sh_b").cast("long")).alias("containment_ba_u"),
     )
 
 
@@ -576,6 +584,8 @@ def contamination_scores(
     when the benchmark itself is corpus-sized. NULL-text docs drop
     (nothing to score) on both sides.
     """
+    from xhtmlkit_spark.functions.exactmath import ratio_u
+
     bench = (
         benchmark.where(F.col(text).isNotNull())
         .select(F.explode(shingles_col(text, k)).alias("g"))
@@ -596,6 +606,7 @@ def contamination_scores(
             "doc_id",
             "n_shingles",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
+            # BIGINT millionths via exact integer rounding (exactmath)
+            ratio_u(F.col("n_hits"), F.col("n_shingles")).alias("contamination_u"),
         )
     )

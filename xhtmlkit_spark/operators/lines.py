@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xhtmlkit_spark.functions.binding import bind
+from xhtmlkit_spark.functions.exactmath import ratio_u
 
 __all__ = [
     "split_text_lines",
@@ -146,8 +147,9 @@ def c4_line_filter(
 
     A line is kept iff it has ≥ ``min_words`` whitespace words and
     (when ``require_terminal_punct``) ends in terminal punctuation.
-    Output per document: ``n_lines``, ``n_kept``, ``kept_ratio``
-    (rounded 6, 0.0 for line-less docs), ``has_lorem`` (case-folded
+    Output per document: ``n_lines``, ``n_kept``, ``kept_ratio_u``
+    (BIGINT millionths via exact integer rounding — the exactmath
+    midpoint-lottery fix; 0 for line-less docs), ``has_lorem`` (case-folded
     "lorem ipsum" marker on the full text), ``n_braces`` (count of
     ``{`` — C4's code-page signal), and ``kept_text`` (surviving lines
     re-joined, NULL when none survive). Pure row-local expressions —
@@ -188,10 +190,11 @@ def c4_line_filter(
         st["n_lines"].cast("long").alias("n_lines"),
         st["n_kept"].cast("long").alias("n_kept"),
         F.when(
-            st["n_lines"] > 0, F.round(st["n_kept"] / st["n_lines"], 6)
+            st["n_lines"] > 0,
+            ratio_u(st["n_kept"].cast("long"), st["n_lines"].cast("long")),
         )
-        .otherwise(F.lit(0.0))
-        .alias("kept_ratio"),
+        .otherwise(F.lit(0).cast("long"))
+        .alias("kept_ratio_u"),
         F.lower(c).contains(LOREM_MARKER).alias("has_lorem"),
         (F.length(c) - F.length(F.replace(c, F.lit("{"), F.lit(""))))
         .cast("long")

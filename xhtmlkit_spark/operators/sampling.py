@@ -80,36 +80,44 @@ def temperature_mix(
     source skew while keeping ≈ ``target_frac`` of the corpus. α is
     fixed at 0.5 because ``sqrt`` is an exactly-rounded IEEE op, so
     the DuckDB oracle computes bit-identical rates (a general ``pow``
-    is not exactly rounded); rates are rounded to 6 digits before the
-    hash-fraction comparison so a last-ulp summation difference cannot
-    flip a row.
+    is not exactly rounded). The rate ships as ``mix_rate_u`` — BIGINT
+    millionths: each stratum's √n is quantized ONCE to micro-units
+    (bit-identical: sqrt and the 1e6 scaling are correctly-rounded
+    ops), their SUM is exact integer arithmetic in any order (the old
+    float Σ√n was summation-order-dependent), and the final
+    rate-per-stratum double chain runs on exactly-representable
+    integer inputs in a fixed operand order, so round-to-INTEGER is
+    exact cross-engine (functions/exactmath.py).
 
     Scale shape: one hash aggregation to |strata| rows, a broadcast
     1-row totals append, a broadcast rate join back, then the same
     pure-filter hash sampling as :func:`hash_sample` — the corpus
     itself never shuffles. Returns the sampled rows plus their
-    ``mix_rate``.
+    ``mix_rate_u``.
     """
+    from xhtmlkit_spark.functions.exactmath import round_u
+
     counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__xk_n"))
+    counts = counts.withColumn("__xk_sq_u", round_u(F.sqrt("__xk_n")))
     totals = counts.agg(
         F.sum("__xk_n").cast("double").alias("__xk_total"),
-        F.sum(F.sqrt("__xk_n")).alias("__xk_sum_sqrt"),
+        F.sum("__xk_sq_u").alias("__xk_sum_sq_u"),
+    )
+    rate_scaled = (
+        F.col("__xk_sq_u").cast("double")
+        / F.col("__xk_sum_sq_u").cast("double")
+        * (F.lit(float(target_frac)) * F.col("__xk_total"))
+        / F.col("__xk_n")
+        * F.lit(1e6)
     )
     rates = counts.crossJoin(F.broadcast(totals)).select(
         stratum,
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.sqrt("__xk_n")
-                / F.col("__xk_sum_sqrt")
-                * (F.lit(float(target_frac)) * F.col("__xk_total"))
-                / F.col("__xk_n"),
-            ),
-            6,
-        ).alias("mix_rate"),
+        F.least(F.lit(1_000_000), F.round(rate_scaled).cast("long")).alias(
+            "mix_rate_u"
+        ),
     )
     return df.join(F.broadcast(rates), stratum).where(
-        hash_fraction(key, salt) < F.col("mix_rate")
+        hash_fraction(key, salt) * F.lit(1e6) < F.col("mix_rate_u").cast("double")
     )
 
 
@@ -133,9 +141,12 @@ def dsir_weights(
 
         log_w = Σ_k c_k(doc) · ( ln (t_k+1)/(T+K) − ln (r_k+1)/(R+K) )
 
-    Output: ``(doc_id, n_feats, log_weight)`` for raw docs, rounded 6
-    (the unigram_nll discipline — sums of a few hundred logs land
-    identically in both engines at 6 digits).
+    Output: ``(doc_id, n_feats, log_weight_u)`` for raw docs — BIGINT
+    micro-log-units: each BUCKET's log-ratio is quantized ONCE to
+    micro-units (≤ ``n_buckets`` quantizations total, each a ~1e-9
+    midpoint window), then every per-doc weight is an exact integer
+    dot product, order-free in both engines (the exactmath
+    discipline; the r04 round-6 double shipped driver-red).
 
     Scale shape: ONE explode feeds every aggregation — per-(doc,
     bucket) counts first (the only full shuffle, keyed by doc), then
@@ -196,6 +207,9 @@ def dsir_weights(
     ratio = F.log((F.col("__tk") + 1) / (F.col("__T") + k)) - F.log(
         (F.col("__rk") + 1) / (F.col("__R") + k)
     )
+    from xhtmlkit_spark.functions.exactmath import round_u
+
+    ratio_micro = round_u(ratio)
     return (
         per.where(~F.col("__tgt"))
         .join(F.broadcast(model), "__bucket")
@@ -203,6 +217,6 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("__n").alias("n_feats"),
-            F.round(F.sum(F.col("__n") * ratio), 6).alias("log_weight"),
+            F.sum(F.col("__n") * ratio_micro).alias("log_weight_u"),
         )
     )

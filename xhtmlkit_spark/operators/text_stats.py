@@ -75,11 +75,18 @@ def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
-    """Quality-scoring features + one combined score (rounded, oracle-safe).
+    """Quality-scoring features + one combined score, shipped as
+    BIGINT ten-thousandths (``*_u``, scale 1e4 — the exactmath
+    discipline: the pre-round doubles are pure +,-,*,/ chains on
+    integer-valued inputs, bit-identical across engines, and
+    round-to-INTEGER is exact where round-to-4-decimals was a
+    midpoint lottery — a doc whose length carries a 2^k k>4 factor
+    lands a ratio exactly on .00005 and Spark/DuckDB last digits
+    diverge; see functions/exactmath.py).
 
-    mean_token_len, punct_ratio, stopword_ratio, upper_ratio →
-    quality_score ∈ [0,1]-ish (weights frozen; they only need to be
-    deterministic and identical in SQL). The token array is
+    mean_token_len_u, punct_ratio_u, stopword_ratio_u →
+    quality_score_u ∈ [0, 10000]-ish (weights frozen; they only need
+    to be deterministic and identical in SQL). The token array is
     materialized once (`_toks`) — the ratios reference it five times
     and Catalyst does not CSE sibling splits.
     """
@@ -100,12 +107,14 @@ def with_quality(df: DataFrame, text: str = "text") -> DataFrame:
         + F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0) * 0.2
         + F.when(upper_ratio <= 0.3, 1.0).otherwise(0.0) * 0.1
     )
+    from xhtmlkit_spark.functions.exactmath import round_u
+
     return df.withColumns(
         {
-            "mean_token_len": F.round(mean_tok, 4),
-            "punct_ratio": F.round(punct_ratio, 4),
-            "stopword_ratio": F.round(stop_ratio, 4),
-            "quality_score": F.round(score, 4),
+            "mean_token_len_u": round_u(mean_tok, 10_000),
+            "punct_ratio_u": round_u(punct_ratio, 10_000),
+            "stopword_ratio_u": round_u(stop_ratio, 10_000),
+            "quality_score_u": round_u(score, 10_000),
         }
     ).drop("__xk_toks")
 
@@ -170,14 +179,18 @@ def with_fingerprints(df: DataFrame, text: str = "text") -> DataFrame:
 def tfidf_top_terms(df: DataFrame, top_n: int = 3, text: str = "text") -> DataFrame:
     """Per-document top-``top_n`` terms by tf·idf.
 
-    Terms are lowercased whitespace tokens; idf = ln((N+1)/(df+1)) with
-    N = docs carrying text. Scale shape: one explode + two hash
-    aggregations (term frequency per doc, document frequency per term)
-    + a broadcast of the 1-row corpus count + a per-doc ranking window
-    — no Python, no quadratic joins; the df side aggregates to
-    |vocabulary| rows before the join back. Score rounded to 6 so the
-    DuckDB oracle compares value-for-value.
+    Terms are lowercased whitespace tokens; idf = ln((N+1)/(df+1))
+    with N = docs carrying text, quantized ONCE per distinct df to
+    micro-nats, so ``score_u = n_term · idf_u`` is an exact BIGINT
+    both engines compute identically (the exactmath discipline — the
+    old round-6 double score was a midpoint lottery). Scale shape:
+    one explode + two hash aggregations (term frequency per doc,
+    document frequency per term) + a broadcast of the 1-row corpus
+    count + a per-doc ranking window — no Python, no quadratic joins;
+    the df side aggregates to |vocabulary| rows before the join back.
     """
+    from xhtmlkit_spark.functions.exactmath import round_u
+
     docs = df.where(F.col(text).isNotNull())
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col(text)))).alias("term")
@@ -197,20 +210,21 @@ def tfidf_top_terms(df: DataFrame, top_n: int = 3, text: str = "text") -> DataFr
             "doc_id",
             "term",
             "n_term",
-            F.round(
+            (
                 F.col("n_term")
-                * F.log((F.col("n_docs_total") + 1.0) / (F.col("dfreq") + 1.0)),
-                6,
-            ).alias("score"),
+                * round_u(
+                    F.log((F.col("n_docs_total") + 1.0) / (F.col("dfreq") + 1.0))
+                )
+            ).alias("score_u"),
         )
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_n)
-        .select("doc_id", "rnk", "term", "n_term", "score")
+        .select("doc_id", "rnk", "term", "n_term", "score_u")
     )
 
 
@@ -234,11 +248,16 @@ def bigram_doc_freq(df: DataFrame, top_n: int = 20, text: str = "text") -> DataF
 
 
 def repetition_scores(df: DataFrame, text: str = "text") -> DataFrame:
-    """Gopher-style repetition quality signals per document.
+    """Gopher-style repetition quality signals per document, as BIGINT
+    millionths (exact half-up integer rounding of the rational — the
+    exactmath discipline; r04 shipped this query driver-red because
+    ``round(top_n/n_tokens, 6)`` lands exactly on a .5 midpoint
+    whenever n_tokens carries a 2^k k>6 factor, e.g. 128 tokens with
+    an odd top count, and Spark/DuckDB round-6 disagree there).
 
-    * ``top_token_ratio`` — share of the single most frequent token;
-    * ``dup_token_ratio`` — 1 - distinct/total tokens;
-    * ``dup_bigram_ratio`` — 1 - distinct/total word bigrams.
+    * ``top_token_ratio_u`` — 1e6 · share of the most frequent token;
+    * ``dup_token_ratio_u`` — 1e6 · (1 - distinct/total tokens);
+    * ``dup_bigram_ratio_u`` — 1e6 · (1 - distinct/total bigrams).
 
     Highly repetitive machine-generated or boilerplate pages score
     high on all three; real prose stays low. Scale shape: the token
@@ -275,18 +294,20 @@ def repetition_scores(df: DataFrame, text: str = "text") -> DataFrame:
         F.size(bg).alias("n_bigrams"),
         F.size(F.array_distinct(bg)).alias("n_dist_bigrams"),
     )
+    from xhtmlkit_spark.functions.exactmath import ratio_u
+
     return (
         agg.join(big, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("top_n") / F.col("n_tokens"), 6).alias("top_token_ratio"),
-            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
-                "dup_token_ratio"
-            ),
-            F.round(1 - F.col("n_dist_bigrams") / F.col("n_bigrams"), 6).alias(
-                "dup_bigram_ratio"
-            ),
+            ratio_u(F.col("top_n"), F.col("n_tokens")).alias("top_token_ratio_u"),
+            ratio_u(
+                F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")
+            ).alias("dup_token_ratio_u"),
+            ratio_u(
+                F.col("n_bigrams") - F.col("n_dist_bigrams"), F.col("n_bigrams")
+            ).alias("dup_bigram_ratio_u"),
         )
     )
 
@@ -341,13 +362,25 @@ def unigram_nll_scores(df: DataFrame, text: str = "text") -> DataFrame:
     score high, typical prose low).
 
     p(term) = corpus_count(term) / corpus_tokens;
-    mean_nll = Σ tf(doc,term)·(-ln p(term)) / Σ tf(doc,term).
+    mean_nll = Σ tf(doc,term)·(-ln p(term)) / Σ tf(doc,term),
+    shipped as ``mean_nll_u`` — BIGINT micro-nats.
+
+    Exactness (r04 shipped this driver-red as a round-6 double): each
+    DISTINCT term's -ln p is quantized ONCE to micro-nats
+    (``round(1e6·ln(total/cn))`` — the division is correctly rounded
+    and bit-identical, the single ln quantization window is ~1e-9 per
+    distinct count), then the per-doc sum and the mean are exact
+    integer arithmetic in ANY order — no float-summation
+    nondeterminism, no round-to-decimal midpoint lottery (see
+    functions/exactmath.py).
 
     Scale shape: one explode feeds BOTH aggregations (per-doc tf and
     the corpus LM); the join back is tf-rows ⋈ |vocabulary|, never
     one row per token occurrence, and the corpus total is a broadcast
     1-row aggregate.
     """
+    from xhtmlkit_spark.functions.exactmath import ratio_u, round_u
+
     docs = df.where(F.col(text).isNotNull())
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col(text)))).alias("term")
@@ -355,18 +388,20 @@ def unigram_nll_scores(df: DataFrame, text: str = "text") -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     cf = tf.groupBy("term").agg(F.sum("n").alias("cn"))
     total = cf.agg(F.sum("cn").cast("double").alias("corpus_tokens"))
-    return (
+    nll_term_u = round_u(F.log(F.col("corpus_tokens") / F.col("cn")))
+    agg = (
         tf.join(cf, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("n") * -F.log(F.col("cn") / F.col("corpus_tokens")))
-                / F.sum("n"),
-                6,
-            ).alias("mean_nll"),
+            F.sum(F.col("n") * nll_term_u).alias("__nll_sum_u"),
         )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        ratio_u(F.col("__nll_sum_u"), F.col("n_tokens"), 1).alias("mean_nll_u"),
     )
 
 
@@ -388,25 +423,24 @@ def quality_ensemble(
     math row-local.
 
     The score ships as ``ensemble_u``, a BIGINT in units of 1/(6·10^7)
-    (the LCM denominator of the weights and the /6 calibration):
-    composing already-rounded decimal signals routinely lands the
-    float sum EXACTLY on a round-to-6 midpoint, where Spark (HALF_UP)
-    and DuckDB (double rounding) disagree in the last digit — integer
-    micro-units make the composition exact in both engines instead.
-    Scale shape: three per-doc scalar frames (one row-local, two
+    (the LCM denominator of the weights and the /6 calibration). Since
+    round 5 the component signals ARE already exact integers
+    (quality_score_u ten-thousandths, dup_token_ratio_u / mean_nll_u
+    millionths — the exactmath sweep), so the whole composition is
+    integer arithmetic end to end; the r04 float-recovery step is
+    gone. Scale shape: three per-doc scalar frames (one row-local, two
     explode+hash-agg) joined on doc_id; the joins co-partition on the
     same key. Inner joins ⇒ only docs with ≥ 1 token score (same
     population as the component signals).
     """
     docs = df.where(F.col(text).isNotNull())
-    q = with_quality(docs).select("doc_id", "quality_score")
-    r = repetition_scores(df, text).select("doc_id", "dup_token_ratio")
-    n = unigram_nll_scores(df, text).select("doc_id", "mean_nll")
+    q = with_quality(docs).select("doc_id", "quality_score_u")
+    r = repetition_scores(df, text).select("doc_id", "dup_token_ratio_u")
+    n = unigram_nll_scores(df, text).select("doc_id", "mean_nll_u")
     j = q.join(r, "doc_id").join(n, "doc_id")
-    # exact integer recovery of the rounded component signals
-    q4 = F.round(F.col("quality_score") * 1e4).cast("long")
-    d6 = F.round(F.col("dup_token_ratio") * 1e6).cast("long")
-    n6 = F.round(F.col("mean_nll") * 1e6).cast("long")
+    q4 = F.col("quality_score_u")
+    d6 = F.col("dup_token_ratio_u")
+    n6 = F.col("mean_nll_u")
     rep6 = F.lit(1_000_000) - F.least(d6 * 2, F.lit(1_000_000))
     nll_clamp = F.least(
         F.greatest(n6 - F.lit(2_000_000), F.lit(0)), F.lit(6_000_000)
@@ -415,9 +449,9 @@ def quality_ensemble(
     score_u = q4 * 2400 + rep6 * 18 + (F.lit(6_000_000) - nll_clamp) * 3
     return j.select(
         "doc_id",
-        "quality_score",
-        "dup_token_ratio",
-        "mean_nll",
+        "quality_score_u",
+        "dup_token_ratio_u",
+        "mean_nll_u",
         score_u.alias("ensemble_u"),
         (score_u >= F.lit(int(round(keep_threshold * 60_000_000)))).alias("keep"),
     )
@@ -430,11 +464,16 @@ def robust_length_outliers(
     outlier gate for corpus ingestion (unlike mean/stddev, one 2 GB
     pathological document cannot drag the threshold).
 
-    robust_z = 0.6745·(len − median)/MAD, MAD = median(|len − median|);
-    ``is_outlier`` = |robust_z| > ``z_threshold`` evaluated on the
-    ROUNDED score so the decision is reproducible cross-engine. A
-    degenerate corpus (MAD = 0: over half the docs share one length)
-    yields NULL scores rather than ±inf.
+    robust_z_u = round(1e6·0.6745·(len − median)/MAD) as a BIGINT
+    (micro-z; MAD = median(|len − median|)). The pre-round double is
+    a pure literal·sub/div/mul chain on exactly-representable inputs
+    (exact percentiles of integer lengths land on integers or .5
+    halves) — bit-identical across engines in this operand order, and
+    round-to-INTEGER is exact where the r04 round-to-6-decimals was a
+    midpoint lottery (functions/exactmath.py). ``is_outlier`` =
+    |robust_z_u| > 1e6·``z_threshold`` so the decision is reproducible
+    cross-engine. A degenerate corpus (MAD = 0: over half the docs
+    share one length) yields NULL scores rather than ±inf.
 
     Scale shape: two exact-percentile aggregates (Spark's exact
     ``percentile`` matches DuckDB ``quantile_cont`` value-for-value —
@@ -457,24 +496,27 @@ def robust_length_outliers(
             "__mad"
         )
     )
-    z = F.when(
+    z_u = F.when(
         F.col("__mad") > 0,
         F.round(
-            F.lit(0.6745) * (F.col("__n") - F.col("__med")) / F.col("__mad"), 6
-        ),
+            F.lit(0.6745)
+            * (F.col("__n") - F.col("__med"))
+            / F.col("__mad")
+            * F.lit(1e6)
+        ).cast("long"),
     )
     return (
         with_med.crossJoin(F.broadcast(mad))
         .select(
             "doc_id",
             F.col("__n").cast("long").alias("n_chars"),
-            z.alias("robust_z"),
+            z_u.alias("robust_z_u"),
         )
         .withColumn(
             "is_outlier",
             F.when(
-                F.col("robust_z").isNotNull(),
-                F.abs(F.col("robust_z")) > F.lit(z_threshold),
+                F.col("robust_z_u").isNotNull(),
+                F.abs(F.col("robust_z_u")) > F.lit(int(round(z_threshold * 1e6))),
             ),
         )
     )
@@ -487,26 +529,35 @@ def char_entropy_scores(df: DataFrame, text: str = "text") -> DataFrame:
 
     H = ln(N) − (Σ c·ln c)/N over per-doc character counts (the
     algebraically stable form — one log per DISTINCT char, not per
-    occurrence). Rounded to 6 like unigram_nll (the proven
-    cross-engine float-sum pattern).
+    occurrence), shipped as ``char_entropy_u`` BIGINT micro-nats:
+    each count's ln is quantized ONCE to nano-nats, the weighted sum
+    and the /N mean are exact integer arithmetic, and the two terms
+    subtract as integers — no float-sum order dependence, no
+    round-to-decimal midpoint lottery (the r04 exactmath sweep;
+    term-wise quantization is the defined contract).
 
     Scale shape: explode to (doc, char) → two hash aggregates; the
     alphabet bounds the post-explode agg at |doc|·|alphabet| rows,
     and chars never leave their doc's partition key.
     """
+    from xhtmlkit_spark.functions.exactmath import ratio_u, round_u
+
     docs = df.where(F.col(text).isNotNull())
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col(text), "")).alias("ch")
     ).where(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    return counts.groupBy("doc_id").agg(
+    ln_c_nano = round_u(F.log(F.col("c").cast("double")), 1_000_000_000)
+    agg = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_chars"),
-        F.round(
-            F.log(F.sum("c").cast("double"))
-            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("char_entropy"),
+        F.sum(F.col("c") * ln_c_nano).alias("__s_nano"),
+    )
+    ln_n_micro = round_u(F.log(F.col("n_chars").cast("double")))
+    mean_micro = ratio_u(F.col("__s_nano"), F.lit(1000) * F.col("n_chars"), 1)
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        (ln_n_micro - mean_micro).alias("char_entropy_u"),
     )
 
 

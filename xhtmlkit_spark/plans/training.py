@@ -56,7 +56,7 @@ def _near_dup_keeper(docs: DataFrame, mode: str, jaccard_threshold: float) -> Da
         cand = lsh_candidate_pairs(docs)
         sources.append(
             jaccard_verify(cand, docs)
-            .where(F.col("jaccard") >= jaccard_threshold)
+            .where(F.col("jaccard_u") >= int(round(jaccard_threshold * 1e6)))
             .select("id_a", "id_b")
         )
     if mode in ("simhash", "both"):
@@ -229,7 +229,8 @@ def build_training_corpus(
         .withColumn("lang_ok", F.col("lang_guess").isin(*langs))
         .withColumn(
             "quality_ok",
-            (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens),
+            (F.col("quality_score_u") >= int(round(min_quality * 1e4)))
+            & (F.col("n_tokens") >= min_tokens),
         )
         .withColumn("sampled", hash_fraction("doc_id", salt) < F.lit(sample_rate))
     )
@@ -280,7 +281,7 @@ def build_training_corpus(
                 )
             )
             verified = jaccard_verify(lsh_candidate_pairs(tagged), tagged).where(
-                F.col("jaccard") >= jaccard_threshold
+                F.col("jaccard_u") >= int(round(jaccard_threshold * 1e6))
             )
             a_prior = F.col("id_a").startswith(marker)
             b_prior = F.col("id_b").startswith(marker)
@@ -326,7 +327,7 @@ def build_training_corpus(
     (
         out.where(final)
         .select(
-            "doc_id", "text", *md_cols, "lang_guess", "quality_score", "n_tokens"
+            "doc_id", "text", *md_cols, "lang_guess", "quality_score_u", "n_tokens"
         )
         .write.mode("overwrite")
         .parquet(output_path)
