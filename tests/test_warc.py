@@ -130,6 +130,24 @@ def test_truncated_archive_keeps_parsed_prefix():
     assert len(list(iter_warc(build_warc(records[:1]) + b"JUNK"))) == 1
 
 
+def test_ingest_warc_default_glob_skips_wet_exports(spark, tmp_path):
+    """The default '*.warc{,.gz}' glob reads .warc and .warc.gz but
+    NOT part-*.warc.wet.gz — a WET export dir pointed back at the WARC
+    readers is skipped instead of re-decompressed (ADVICE r04)."""
+    from xhtmlkit_spark.sources.io import ingest_warc
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    rec = [
+        _html_response("http://glob.example/", b"<p>real archive</p>"),
+    ]
+    (d / "a.warc").write_bytes(build_warc(rec))
+    (d / "b.warc.gz").write_bytes(build_warc(rec, compress=True))
+    (d / "part-00000.warc.wet.gz").write_bytes(build_warc(rec, compress=True))
+    ids = [r["doc_id"] for r in ingest_warc(spark, str(d)).collect()]
+    assert sorted(ids) == ["http://glob.example/", "http://glob.example/"]
+
+
 def test_ingest_warc_spark(spark, tmp_path):
     """Two .warc.gz archives → corpus rows → extract_spans, with
     status/mime filtering, charset honor, and dup-URI doc_ids."""

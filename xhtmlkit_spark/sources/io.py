@@ -111,7 +111,7 @@ def ingest_html_files(
 
 
 def ingest_warc(
-    spark: SparkSession, location: str, glob: str = "*.warc*", recursive: bool = False
+    spark: SparkSession, location: str, glob: str = "*.warc{,.gz}", recursive: bool = False
 ) -> DataFrame:
     """WARC archives (the Common Crawl container format) → corpus rows.
 
@@ -229,7 +229,7 @@ def _parse_warc_batches(batches):
 
 
 def warc_cdx(
-    spark: SparkSession, location: str, glob: str = "*.warc*", recursive: bool = False
+    spark: SparkSession, location: str, glob: str = "*.warc{,.gz}", recursive: bool = False
 ) -> DataFrame:
     """Build a CDX(J) capture index over WARC archives — the third leg
     of the crawl-ecosystem triangle (ingest_warc reads, write_wet
@@ -377,9 +377,12 @@ def write_wet(
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         ext = ".warc.wet.gz" if compress else ".warc.wet"
         final = os.path.join(location, f"part-{pid:05d}{ext}")
-        # leading dot: Spark file sources skip hidden files AND the name
-        # must not match ingest_warc/warc_cdx's default '*.warc*' glob —
-        # a crashed task's leftover must never be ingested as an archive
+        # TEMP files: leading dot (Spark file sources skip hidden
+        # files) and a non-archive suffix — a crashed task's leftover
+        # must never be ingested. The FINAL part-NNNNN.warc.wet.gz
+        # names sit outside ingest_warc/warc_cdx's default
+        # '*.warc{,.gz}' glob too, so a WET export dir pointed back at
+        # the WARC readers is skipped rather than re-decompressed
         tmp = os.path.join(location, f".wet-{pid:05d}.{attempt}.tmp")
 
         # records STREAM to the temp file one at a time (gzip members

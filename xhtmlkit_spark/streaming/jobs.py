@@ -413,7 +413,7 @@ def streaming_warc_extract(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    glob: str = "*.warc*",
+    glob: str = "*.warc{,.gz}",
     max_files_per_trigger: int | None = None,
 ) -> None:
     """The full parse-while-crawling analogue: WARC archives land

@@ -947,7 +947,13 @@ def _page_fonts(
             if m:
                 fonts[_pdf_name_key(entry.group(1))] = (m, w)
                 union.update(m)
-                width = w
+                # page-default width = the FIRST ToUnicode-carrying
+                # font's, deterministically (not dict-iteration luck);
+                # a page mixing 1- and 2-byte fonts decodes pre-Tf text
+                # best-effort with that width — per-Tf tracking is the
+                # accurate path once the content names a font
+                if not found:
+                    width = w
                 found = True
     return fonts, ((union, width) if found else (None, 2))
 

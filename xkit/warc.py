@@ -191,6 +191,13 @@ def iter_warc_offsets(data: bytes) -> Iterator[tuple[WarcRecord, int, int]]:
     record), for plain WARC the record's own byte span. This is what a
     CDX index needs; :func:`iter_warc` is the cheaper call when
     offsets don't matter.
+
+    Gzip assumption: ONE record per member — the Common Crawl layout,
+    and what :func:`build_warc` writes. A spec-legal archive that packs
+    several records into one member still yields every record, but each
+    carries the WHOLE member's (offset, length): a ranged read of that
+    span returns the sibling records too (over-addressed, never
+    truncated).
     """
     if data[:2] != _GZIP_MAGIC:
         pos = 0
