@@ -1123,6 +1123,104 @@ def test_build_training_corpus_all_tiers_on(spark, corpus_path, tmp_path):
     }
 
 
+def test_build_training_corpus_decontaminate_tiers(spark, tmp_path):
+    """Benchmark decontamination composed into the funnel, both modes:
+    'drop' kills the quoting doc at its own funnel stage; 'excise' cuts
+    exactly the quoted token run and keeps the doc, with span/token
+    counts riding the observed write. A doc that IS the benchmark
+    excises to empty text and dies at the token floor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    bench_passage = (
+        "the capital of france is paris and the old tower stands tall"
+    )  # 12 tokens -> 10 contaminated 3-shingles
+    prefix = (
+        "this page talks about travel plans for the spring and lists "
+        "a few of the cities that the group wants to visit soon"
+    )
+    suffix = "after the quote the page closes with a short note about trains"
+    docs = {
+        "quoter": f"{prefix} {bench_passage} {suffix}",
+        "clean": (
+            "an entirely separate page about spark partitions and the "
+            "way a shuffle moves the rows of a table between the stages"
+        ),
+        "full": bench_passage,  # 100% contaminated
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [{"kind": "html", "text": f"<p>{t}</p>", "media_ref": None, "offset": 0}]
+            for t in docs.values()
+        ],
+        "part": [0, 1, 2],
+    }
+    corpus = str(tmp_path / "decon_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+    bench = str(tmp_path / "benchmark.parquet")
+    pq.write_table(
+        pa.Table.from_pydict({"text": [bench_passage]}), bench
+    )
+
+    common = dict(
+        langs=("en",), min_quality=0.0, min_tokens=2, near_dup=None,
+        benchmark_path=bench,
+    )
+    # --- drop mode: both overlapping docs die at the decontam stage ---
+    out_d = str(tmp_path / "train_drop")
+    fd = build_training_corpus(
+        spark, corpus, out_d, decontaminate="drop",
+        contamination_threshold=0.05, **common,
+    )
+    assert fd["extracted"] == 3 and fd["deduped"] == 3
+    assert fd["quality_kept"] >= fd["decontam_kept"] >= fd["written"]
+    landed_d = {r["doc_id"] for r in spark.read.parquet(out_d).collect()}
+    assert landed_d == {"clean"}
+    assert fd["decontam_kept"] == 1 == fd["written"]
+
+    # --- excise mode: the quote is cut, the quoting doc survives ---
+    out_e = str(tmp_path / "train_excise")
+    fe = build_training_corpus(
+        spark, corpus, out_e, decontaminate="excise", **common,
+    )
+    assert fe["extracted"] == 3
+    landed_e = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out_e).select("doc_id", "text").collect()
+    }
+    # 'full' excised to empty -> token floor; quoter + clean land
+    assert set(landed_e) == {"quoter", "clean"}
+    assert "paris" not in landed_e["quoter"]
+    assert landed_e["quoter"] == f"{prefix} {suffix}"
+    assert landed_e["clean"] == docs["clean"]  # untouched docs byte-equal
+    # one span each in quoter and full, covering exactly the passage
+    assert fe["contam_spans_excised"] == 2
+    assert fe["contam_tokens_excised"] == 2 * len(bench_passage.split())
+    # deterministic rerun
+    fe2 = build_training_corpus(
+        spark, corpus, str(tmp_path / "train_excise2"), decontaminate="excise",
+        **common,
+    )
+    assert fe == {**fe2, "output_path": out_e}
+
+    # --- guard rails ---
+    with _pytest.raises(ValueError, match="benchmark_path"):
+        build_training_corpus(
+            spark, corpus, str(tmp_path / "x"), decontaminate="drop",
+            langs=("en",),
+        )
+    with _pytest.raises(ValueError, match="markdown"):
+        build_training_corpus(
+            spark, corpus, str(tmp_path / "x"), decontaminate="excise",
+            emit_markdown=True, **common,
+        )
+
+
 def test_build_training_corpus_pack_plan(spark, corpus_path, tmp_path):
     """pack_context_len finishes the funnel with a packing plan over
     the LANDED corpus: every landed token covered exactly once, every

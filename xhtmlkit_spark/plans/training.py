@@ -87,6 +87,10 @@ def build_training_corpus(
     ensemble_threshold: float | None = None,
     pack_context_len: int | None = None,
     emit_markdown: bool = False,
+    benchmark_path: str | None = None,
+    decontaminate: str | None = None,
+    contamination_threshold: float = 0.05,
+    decontam_k: int = 3,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -147,6 +151,31 @@ def build_training_corpus(
     When ``redact_pii`` is on, the same redaction expressions scrub
     the markdown too (funnel ``pii_matches`` stays the raw-TEXT count
     — markdown counts the same entities rendered differently).
+
+    ``decontaminate`` (requires ``benchmark_path``, a parquet with a
+    ``text`` column — the eval benchmark) inserts benchmark hygiene:
+
+    * ``"drop"`` — per-doc :func:`contamination_scores` (distinct
+      k-shingle overlap fraction, ``k=decontam_k``); docs at or above
+      ``contamination_threshold`` die at their own funnel stage
+      (``decontam_kept``, between quality and the sampler). The
+      benchmark collapses to its broadcast distinct-shingle set, so
+      the corpus never shuffles for the probe.
+    * ``"excise"`` — :func:`contamination_spans` finds the contiguous
+      contaminated token runs and CUTS them from the text, keeping the
+      document (the curation move when the doc merely quotes the
+      benchmark). Excised docs are re-joined with single spaces
+      (whitespace normalizes only where a cut happened; untouched docs
+      pass through byte-identical); a fully-contaminated doc excises to
+      empty text and dies at the token floor while still counting in
+      ``extracted``. Funnel gains ``contam_spans_excised`` /
+      ``contam_tokens_excised`` — per-doc counts ride the single write
+      via observe(), never a second scan. Excision runs BEFORE stats,
+      dedup keys, the ensemble, and the near-dup tier, so every gate
+      sees the clean text; the doc projection is localCheckpointed
+      first so span-finding + join-back never re-extract. Incompatible
+      with ``emit_markdown`` (spans are text-token positions and don't
+      map onto the markdown rendering — use ``"drop"`` there).
 
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
@@ -217,7 +246,81 @@ def build_training_corpus(
                 F.col("n_emails") + F.col("n_phones") + F.col("n_ips"), F.lit(0)
             ).alias("n_pii"),
         )
-    if near_dup or ensemble_threshold is not None:
+    contam_flags = None
+    if decontaminate is not None:
+        if decontaminate not in ("drop", "excise"):
+            raise ValueError(
+                f"decontaminate must be 'drop' or 'excise', got {decontaminate!r}"
+            )
+        if benchmark_path is None:
+            raise ValueError("decontaminate requires benchmark_path")
+        if decontaminate == "excise" and emit_markdown:
+            raise ValueError(
+                "decontaminate='excise' cuts text-token spans, which do not "
+                "map onto the markdown rendering — use decontaminate='drop' "
+                "with emit_markdown"
+            )
+        from xhtmlkit_spark.operators.dedup import (
+            contamination_scores,
+            contamination_spans,
+        )
+
+        bench = spark.read.parquet(benchmark_path).select("text")
+        # two consumers (span/score probe + join-back or downstream):
+        # checkpoint once so neither re-runs extraction
+        docs = docs.localCheckpoint(eager=True)
+        if decontaminate == "drop":
+            thr_u = int(round(contamination_threshold * 1e6))
+            contam_flags = contamination_scores(docs, bench, k=decontam_k).select(
+                "doc_id",
+                (F.col("contamination_u") < thr_u).alias("__xk_contam_ok"),
+            )
+        else:
+            per_doc = contamination_spans(docs, bench, k=decontam_k).groupBy(
+                "doc_id"
+            ).agg(
+                F.collect_list(F.struct("tok_start", "tok_len")).alias("__xk_csp"),
+                F.count(F.lit(1)).alias("n_contam_spans"),
+                F.sum("tok_len").alias("n_contam_tokens"),
+            )
+            toks = F.split(F.trim(F.col("text")), "\\s+")  # = the span tokenization
+            csp = F.col("__xk_csp")
+            kept = F.filter(
+                F.transform(  # 2-param lambda = (element, index), 0-based
+                    toks,
+                    lambda x, i: F.when(
+                        F.exists(
+                            csp,
+                            lambda s: (s["tok_start"] <= i)
+                            & (i < s["tok_start"] + s["tok_len"]),
+                        ),
+                        F.lit(None).cast("string"),
+                    ).otherwise(x),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            docs = (
+                docs.join(per_doc, "doc_id", "left")
+                .withColumn(
+                    "text",
+                    F.when(csp.isNotNull(), F.concat_ws(" ", kept)).otherwise(
+                        F.col("text")
+                    ),
+                )
+                .withColumn(
+                    "n_contam_spans",
+                    F.coalesce(F.col("n_contam_spans"), F.lit(0)).cast("long"),
+                )
+                .withColumn(
+                    "n_contam_tokens",
+                    F.coalesce(F.col("n_contam_tokens"), F.lit(0)).cast("long"),
+                )
+                .drop("__xk_csp")
+            )
+    if (near_dup or ensemble_threshold is not None) and (
+        decontaminate != "drop"
+    ):
+        # in drop mode docs is already the (unmodified) checkpoint above
         docs = docs.localCheckpoint(eager=True)
     stats = with_quality(with_lang_guess(with_token_counts(docs)))
 
@@ -303,11 +406,23 @@ def build_training_corpus(
                 .drop("__xk_nd_prior")
             )
 
+    if contam_flags is not None:
+        # NULL-text docs never produce a score row; they are "clean"
+        # here and die at the quality gate instead
+        flagged = (
+            flagged.join(contam_flags, "doc_id", "left")
+            .withColumn(
+                "contam_ok", F.coalesce(F.col("__xk_contam_ok"), F.lit(True))
+            )
+            .drop("__xk_contam_ok")
+        )
+
     one = F.lit(1).cast("long")
     keep = F.col("is_keeper")
     lang = keep & F.col("lang_ok")
     qual = lang & F.col("quality_ok")
-    final = qual & F.col("sampled")
+    decon = qual & F.col("contam_ok") if contam_flags is not None else qual
+    final = decon & F.col("sampled")
     obs = Observation("training_funnel")
     metrics = [
         F.sum(one).alias("extracted"),
@@ -316,6 +431,13 @@ def build_training_corpus(
         F.sum(F.when(qual, one)).alias("quality_kept"),
         F.sum(F.when(final, one)).alias("written"),
     ]
+    if contam_flags is not None:
+        metrics.append(F.sum(F.when(decon, one)).alias("decontam_kept"))
+    if decontaminate == "excise":
+        metrics += [
+            F.sum("n_contam_spans").alias("contam_spans_excised"),
+            F.sum("n_contam_tokens").alias("contam_tokens_excised"),
+        ]
     if dedup_lines:
         metrics += [
             F.sum(F.col("n_lines").cast("long")).alias("lines_total"),
@@ -346,6 +468,11 @@ def build_training_corpus(
         funnel["lines_kept"] = m["lines_kept"] or 0
     if redact_pii:
         funnel["pii_matches"] = m["pii_matches"] or 0
+    if contam_flags is not None:
+        funnel["decontam_kept"] = m["decontam_kept"] or 0
+    if decontaminate == "excise":
+        funnel["contam_spans_excised"] = m["contam_spans_excised"] or 0
+        funnel["contam_tokens_excised"] = m["contam_tokens_excised"] or 0
     if pack_context_len:
         from xhtmlkit_spark.operators.packing import pack_chunks
 
