@@ -157,6 +157,21 @@ PDF_ENC_AES256_R6 = make_fixture_pdf_encrypted(
 PDF_ENC_AES_LOCKED = make_fixture_pdf_encrypted(
     [["never readable"]], r=6, corrupt_u=True
 )
+# round 5: Type0/Identity-H CID fonts (the dominant real-crawl shape).
+# The sloppy 1-byte codespacerange is what real writers emit — Type0
+# must force 2-byte CID codes regardless; literal (…) strings carry
+# the same CID pairs as hex strings; a CID font with NO ToUnicode must
+# degrade to no text (glyph ids, never latin-1 mojibake).
+from xkit.pdfmini import make_fixture_pdf_cid  # noqa: E402
+
+PDF_CID_TOUNICODE = make_fixture_pdf_cid(
+    "नमस्ते दुनिया", tounicode=True, sloppy_codespace=True
+)
+PDF_CID_LITERAL = make_fixture_pdf_cid(
+    "mixed forms", tounicode=True, sloppy_codespace=False, literal=True,
+    cid_base=0x0200,
+)
+PDF_CID_NO_TOUNICODE = make_fixture_pdf_cid("नमस्ते", tounicode=False)
 
 CASES = {
     "malformed_markup": [
@@ -418,6 +433,9 @@ CASES = {
         ("pdf_aes256_r5_encrypted", [("pdf", PDF_ENC_AES256_R5, None)]),
         ("pdf_aes256_r6_encrypted", [("pdf", PDF_ENC_AES256_R6, None)]),
         ("pdf_aes_user_locked_degrades_empty", [("pdf", PDF_ENC_AES_LOCKED, None)]),
+        ("pdf_cid_identity_h_tounicode", [("pdf", PDF_CID_TOUNICODE, None)]),
+        ("pdf_cid_literal_string_codes", [("pdf", PDF_CID_LITERAL, None)]),
+        ("pdf_cid_no_tounicode_degrades_empty", [("pdf", PDF_CID_NO_TOUNICODE, None)]),
         ("not_a_pdf_yields_nothing", [("pdf", "hello plain text", None)]),
     ],
     # A18/§3.3 fragment mode: snippets keep head/title content and the
@@ -893,6 +911,35 @@ SELECTOR_CASES = [
      '<div data-kind=rich><img src=/i></div><div data-kind=poor>t</div>',
      'div:has(img) @data-kind',
      None),
+    # --- round-5 grammar additions: :has witness modes (XPath axes
+    # parent:: / preceding-sibling:: compile onto these) ---
+    ('has_child_mode_direct_only',
+     '<article><p>direct</p></article>'
+     '<article><div><p>nested</p></div></article>',
+     'article:has(> p)',
+     None),
+    ('has_child_mode_projection',
+     '<div id=par><p>a</p></div><div id=grand><section><p>b</p></section></div>',
+     'div:has(> p) @id',
+     None),
+    ('has_sibling_mode',
+     '<div><span>A</span><p>x</p><span>B</span><p>y</p><span>C</span></div>'
+     '<div><span>no p after</span></div>',
+     'span:has(~ p)',
+     None),
+    ('has_sibling_parent_scope',
+     '<div><span>sib in other parent</span></div><div><p>p</p></div>',
+     'span:has(~ p)',
+     None),
+    ('has_sibling_and_plain_alternative_dedupe',
+     '<ul><li class=k>one</li><li>two</li><li class=k>three</li></ul>',
+     'li, li:has(~ li.k)',
+     None),
+    ('has_sibling_media_projection',
+     '<figure><img src=/a.png><figcaption>cap</figcaption></figure>'
+     '<figure><img src=/b.png></figure>',
+     'img:has(~ figcaption)',
+     'https://ex.com/'),
 ]
 
 

@@ -270,15 +270,42 @@ def test_xpath_translation_strings():
     # names the selector grammar cannot round-trip are rejected, but
     # predicate ATTRIBUTE names keep the XML charset
     assert x("//a[@xml:lang='en']") == "a[xml:lang='en']"
+    # round-5 axes: sibling combinator + :has witness modes
+    assert x("//a/following-sibling::b") == "a ~ b"
+    assert (
+        x("//div[@id='x']/p/following-sibling::span[@class='y']")
+        == "div[id='x'] > p ~ span[class='y']"
+    )
+    assert x("//a/following-sibling::b/c") == "a ~ b > c"
+    assert x("//a/following-sibling::b/@href") == "a ~ b @href"
+    assert x("//li/following-sibling::li/following-sibling::li") == "li ~ li ~ li"
+    assert x("//a/preceding-sibling::b") == "b:has(~ a)"
+    assert (
+        x("//div[@id='x']/p/preceding-sibling::span")
+        == "div[id='x'] > span:has(~ p)"
+    )
+    assert x("//p/preceding-sibling::span/@id") == "span:has(~ p) @id"
+    assert x("/a/preceding-sibling::b") == "b:has(~ a:root)"
+    assert x("//a/..") == "*:has(> a)"
+    assert x("//a/parent::div") == "div:has(> a)"
+    assert x("//a/parent::div[@class='c']") == "div[class='c']:has(> a)"
+    assert x("//td/..[@class='row']") == "*[class='row']:has(> td)"
 
 
 @pytest.mark.parametrize(
     "bad",
     [
         "",
-        "//p/..",
         "//ancestor::div",
         "//p[position()>1]",
+        "//following-sibling::b",  # axis needs a context step
+        "//a//following-sibling::b",  # '//' before an axis
+        "//a/following-sibling::b[1]",  # positional pred on an axis step
+        "//a/preceding-sibling::b[last()]",
+        "//x/a/..",  # parent:: needs a single-step prefix
+        "//a/../b",  # parent result must be the final step
+        "//a/preceding-sibling::b/c",
+        "//a/preceding-sibling::b/preceding-sibling::c",
         "//p[",  # unterminated predicate
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
@@ -330,6 +357,75 @@ def test_xpath_end_to_end_matches_selector():
     assert select_html_xpath("<<<garbage", "//p") == []
 
 
+def test_xpath_axes_end_to_end():
+    """following-sibling:: / preceding-sibling:: / parent:: node-sets,
+    hand-computed per the XPath spec, over one document."""
+    from xkit.xpath import select_html_xpath as q
+
+    html = (
+        "<html><body>"
+        '<div id=x><span id=s1>A</span><p id=p1>P1</p>'
+        '<span id=s2>B</span><p id=p2>P2</p><b id=b1>Z</b></div>'
+        '<div id=y><span id=s3>C</span></div>'
+        '<section><p id=p3>P3</p><span id=s4>D</span></section>'
+        "</body></html>"
+    )
+    t = lambda *vals: [("text", v, None) for v in vals]
+    assert q(html, "//div[@id='x']/p/following-sibling::span/@id") == t("s2")
+    assert q(html, "//span/following-sibling::p/@id") == t("p1", "p2")
+    assert q(html, "//div[@id='x']/p/preceding-sibling::span/@id") == t("s1", "s2")
+    assert q(html, "//span/preceding-sibling::p/@id") == t("p1", "p3")
+    # parent of several matching children emits ONCE (node-set identity)
+    assert q(html, "//p/parent::div/@id") == t("x")
+    assert q(html, "//p/../@id") == t("x")  # section has no id → skipped
+    assert q(html, "//span[@id='s3']/../@id") == t("y")
+    # deferred sib verdicts keep document-open order and html emission;
+    # s4 FOLLOWS p3, so it is NOT a preceding sibling of any p
+    assert q(html, "//p/preceding-sibling::span", emit="html") == [
+        ("html", '<span id="s1">A</span>', None),
+        ("html", '<span id="s2">B</span>', None),
+    ]
+    assert q(html, "//p/preceding-sibling::span/@id") == t("s1", "s2")
+
+
+def test_has_witness_modes_unit():
+    """:has(> x) / :has(~ x) evaluator semantics beyond the goldens:
+    pre-pass pseudos inside a sib witness, text tests on deferred
+    captures, fragment-mode top-level siblings."""
+    h = (
+        "<div><span>A</span><p>x</p><span>B</span><p>y</p><span>C</span></div>"
+        "<div><span>D</span></div>"
+    )
+    # sib witness with a from-the-end pseudo (exercises the pre-pass
+    # through the (mode, inner) tuples)
+    assert select_html(h, "span:has(~ p:last-of-type)") == [
+        ("text", "A", None),
+        ("text", "B", None),
+    ]
+    # :contains on a deferred sib capture: text verdict at close, sib
+    # verdict later — both must hold
+    assert select_html(h, "span:has(~ p):contains('B')") == [("text", "B", None)]
+    # fragment-mode top-level elements are siblings of each other
+    from xkit.options import ExtractOptions
+
+    frag = ExtractOptions(fragment=True)
+    assert select_html("<a>1</a><b>2</b><a>3</a>", "a:has(~ b)", frag) == [
+        ("text", "1", None)
+    ]
+    # inner_html on a deferred capture uses the stored close slice
+    assert select_html(h, "span:has(~ p)", emit="inner_html") == [
+        ("html", "A", None),
+        ("html", "B", None),
+    ]
+    # nested / non-subject placements still reject loudly
+    with pytest.raises(ValueError):
+        parse_selector("div:has(~ a) p")
+    with pytest.raises(ValueError):
+        parse_selector("div:not(:has(~ a))")
+    with pytest.raises(ValueError):
+        parse_selector("div:has(+ a)")  # adjacent witness: out of scope
+
+
 def test_spark_select_stage_accepts_xpath(tmp_path):
     """select_spans(xpath=…) must equal select_spans(selector=…) for
     the translated query — the distributed surface speaks the
@@ -350,6 +446,15 @@ def test_spark_select_stage_accepts_xpath(tmp_path):
     got = flat(select_spans(df, xpath="//table//td | //img"))
     assert got == flat(select_spans(df, "table td, img"))
     assert any(v for v in got.values())
+
+    # axis queries ride the same distributed surface (round-5)
+    fs = flat(select_spans(df, xpath="//h1/following-sibling::p"))
+    assert fs == flat(select_spans(df, "h1 ~ p"))
+    ps = flat(select_spans(df, xpath="//p/preceding-sibling::h1"))
+    assert ps == flat(select_spans(df, "h1:has(~ p)"))
+    pr = flat(select_spans(df, xpath="//td/.."))
+    assert pr == flat(select_spans(df, "*:has(> td)"))
+    assert any(v for v in pr.values())
 
     with pytest.raises(ValueError):
         select_spans(df, "p", xpath="//p")  # both

@@ -18,7 +18,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
               | (":nth-child(" | ":nth-last-child(" | ":nth-of-type("
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
               | ":not(" compound ")" | ":root"
-              | ":has(" compound ")"     (subject compound only)
+              | ":has(" (">"|"~")? compound ")"   (subject compound only)
               | (":contains(" | ":text-is(") string ")"   (subject only)
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
@@ -73,6 +73,15 @@ Semantics (querySelectorAll-like, frozen by the goldens):
   (rejected loudly, like everything else out of scope). Several
   ``:has()`` on one compound AND together; nesting inside ``:not``/
   ``:has`` is rejected
+* ``:has(> compound)`` narrows the witness to a DIRECT CHILD (XPath's
+  ``parent::`` axis: ``//a/..`` → ``*:has(> a)``); ``:has(~ compound)``
+  requires a FOLLOWING SIBLING witness (XPath's ``preceding-sibling::``
+  axis: ``//a/preceding-sibling::b`` → ``b:has(~ a)``). The sibling
+  form's verdict can land only after the subject's own close, so such
+  captures wait until the shared parent closes — emission order is
+  unchanged (document order of the element open), the wait just spans
+  the sibling run instead of the subtree. Subject-compound-only, like
+  every deferred pseudo
 * ``:contains("s")`` matches when the element's whitespace-collapsed
   SUBTREE text contains ``s`` (case-sensitive, jQuery-style);
   ``:text-is("s")`` when it EQUALS ``s`` — the pragmatic mapping of
@@ -413,6 +422,15 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 inner_s = s[j + 1 : k - 1].strip()
                 if ":not" in inner_s or ":has" in inner_s:
                     raise ValueError(f"nested :not/:has in selector {s!r}")
+                # :has accepts an optional leading combinator narrowing
+                # the witness relation: '>' = direct child, '~' =
+                # FOLLOWING sibling (CSS4 relative-selector shapes; the
+                # XPath-lite parent:: / preceding-sibling:: axes compile
+                # onto these). Bare compound = any descendant, as before.
+                mode = "desc"
+                if name == "has" and inner_s[:1] in (">", "~"):
+                    mode = "child" if inner_s[0] == ">" else "sib"
+                    inner_s = inner_s[1:].strip()
                 inner, used = _parse_compound(inner_s, 0)
                 if used != len(inner_s):
                     raise ValueError(
@@ -425,7 +443,10 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                     raise ValueError(
                         f":contains/:text-is inside :{name} in selector {s!r}"
                     )
-                (nots if name == "not" else has).append(inner)
+                if name == "not":
+                    nots.append(inner)
+                else:
+                    has.append((mode, inner))
                 i = k
             elif name == "root":
                 root = True
@@ -687,7 +708,7 @@ def select_events(
             c.last_pseudos
             or c.last_of_type
             or any(_needs_pre(inner) for inner in c.nots)
-            or any(_needs_pre(inner) for inner in c.has)
+            or any(_needs_pre(inner) for _, inner in c.has)
         )
 
     if any(_needs_pre(c) for (chain, _), _ in groups for c in chain):
@@ -719,8 +740,70 @@ def select_events(
     #  :contains/:text-is tests (checked on the subtree text at close)]
     captures: list = []
     results: list = []  # (seq, cap_idx, kind, text, media_ref)
+    # :has witness registries, indexed by the INNER compound's identity
+    # so each element open pays O(#distinct inners), never O(#pending
+    # captures) — a 50k-sibling run with an unsatisfied :has(~ x) (or a
+    # 50k-deep chain with :has(y)) must stay linear. Bucket layout:
+    # [inner, cap, cap, ...]; ONE witness satisfies every cap in the
+    # bucket (desc: all caps are open ancestors of the witness; child/
+    # sib: the bucket is depth-keyed to exactly the caps this witness
+    # serves), so satisfaction deletes the bucket wholesale. A capture
+    # closing with an unsatisfied desc/child inner sits at its bucket's
+    # TAIL (closes are LIFO over open order, and later-opened caps have
+    # already closed and left), so close-time removal is a tail-pop and
+    # "not at the tail / bucket gone" MEANS the inner was satisfied.
+    desc_pend: dict = {}   # id(inner) -> bucket (witness = any descendant)
+    child_pend: dict = {}  # witness 0-based depth -> {id(inner): bucket}
+    sib_pend: dict = {}    # witness 0-based depth -> {id(inner): bucket}
+    # cap[7] counts unsatisfied inners; cap[10] is the static (mode,
+    # inner) tuple; closed captures waiting on sib witnesses append
+    # their close event index as cap[11] (the html slice needs it).
+    # one (element, projection) emits at most once, whether the verdict
+    # landed at close (finalized order: smallest cap_idx wins) or later
+    # (sib satisfaction); seq is unique per element, so a global
+    # (seq, proj) set is the close-local dedupe, widened
+    emitted: set = set()
     seq = 0
     n_caps = 0
+
+    def _finalize(cap, close_ei):
+        _, proj, ctag, cattrs, texts, cseq, cidx, _cnt, oei, ctests = cap[:10]
+        if ctests:
+            # text tests drop BEFORE the projection dedupe, so a failed
+            # conditional alternative never shadows an unconditional one
+            subtext = _collapse("".join(texts))
+            if not all(
+                (val in subtext) if op == "contains" else subtext == val
+                for op, val in ctests
+            ):
+                return
+        if (cseq, proj) in emitted:
+            return
+        emitted.add((cseq, proj))
+        if proj is not None:
+            value = cattrs.get(proj)
+            if value is not None:
+                results.append((cseq, cidx, "text", value, None))
+        elif want_html:
+            # outer XHTML of the match: the event slice from its open to
+            # its close is balanced by repair's construction, so it
+            # serializes standalone; inner = the same slice without the
+            # element's own open/close
+            sl = (
+                events[oei + 1 : close_ei]
+                if inner_only
+                else events[oei : close_ei + 1]
+            )
+            markup = serialize(sl, xml_safe=True)
+            results.append((cseq, cidx, "html", markup, None))
+        elif ctag in MEDIA_TAGS and cattrs.get("src"):
+            src = cattrs["src"]
+            results.append(
+                (cseq, cidx, "media", None, urljoin(base, src) if base else src)
+            )
+        else:
+            results.append((cseq, cidx, "text", _collapse("".join(texts)), None))
+
     for ei, ev in enumerate(events):
         k = ev[0]
         if k == "text":
@@ -737,26 +820,47 @@ def select_events(
             stack.append((tag, attrs, sibs, idx, totals.get(ps), tag_totals.get(ps)))
             parent_seqs.append(seq)
             children_stack.append([])
-            # every still-open capture belongs to an ANCESTOR of this
-            # element, so this element can satisfy their :has() inners
-            # (tested before this element's own captures exist — an
-            # element is not its own descendant)
+            # witness tests run BEFORE this element's own captures exist
+            # (an element is not its own descendant/sibling): desc
+            # buckets hold open ANCESTORS' captures; child buckets at
+            # this 0-based depth hold the immediate parent's; sib
+            # buckets at this depth hold closed earlier SIBLINGS'
+            # (their shared parent is still open, or the bucket would
+            # have been flushed at its close)
             e_total, e_ttot = stack[-1][4], stack[-1][5]
             e_depth = len(stack) - 1
-            for cap in captures:
-                if cap[7]:
-                    cap[7] = [
-                        h for h in cap[7]
-                        if not h.matches(
-                            tag, attrs, idx + 1, e_total, sibs, idx, e_ttot, e_depth
-                        )
-                    ]
+
+            def _test_buckets(bdict):
+                for key in list(bdict):
+                    entry = bdict[key]
+                    if entry[0].matches(
+                        tag, attrs, idx + 1, e_total, sibs, idx, e_ttot, e_depth
+                    ):
+                        for cap in entry[1:]:
+                            cap[7] -= 1
+                            if cap[7] == 0 and len(cap) == 12:
+                                # already closed, was waiting on siblings
+                                _finalize(cap, cap[11])
+                        del bdict[key]
+
+            if desc_pend:
+                _test_buckets(desc_pend)
+            cb = child_pend.get(e_depth)
+            if cb is not None:
+                _test_buckets(cb)
+                if not cb:
+                    del child_pend[e_depth]
+            sb = sib_pend.get(e_depth)
+            if sb is not None:
+                _test_buckets(sb)
+                if not sb:
+                    del sib_pend[e_depth]
             projs_here = set()
             for (chain, rels), proj in groups:
                 if proj in projs_here:
                     continue  # dedupe: element matched by 2 alternatives
                 if _chain_matches(stack, chain, rels):
-                    pending = list(chain[-1].has)
+                    pending = chain[-1].has
                     ctests = chain[-1].texts
                     if not pending and not ctests:
                         # a pending capture may still DROP at close, so
@@ -771,11 +875,20 @@ def select_events(
                     )
                     # :contains/:text-is need the subtree text even when
                     # the OUTPUT doesn't (attr/html/media projections)
-                    captures.append(
-                        [len(stack), proj, tag, attrs,
-                         [] if (wants_text or ctests) else None,
-                         seq, n_caps, pending, ei, ctests]
-                    )
+                    cap = [len(stack), proj, tag, attrs,
+                           [] if (wants_text or ctests) else None,
+                           seq, n_caps, len(pending), ei, ctests, pending]
+                    captures.append(cap)
+                    # register desc/child witnesses now; sib witnesses
+                    # wait for the close (nothing can open at the
+                    # capture's own depth while it is open)
+                    for m, h in pending:
+                        if m == "desc":
+                            desc_pend.setdefault(id(h), [h]).append(cap)
+                        elif m == "child":
+                            child_pend.setdefault(cap[0], {}).setdefault(
+                                id(h), [h]
+                            ).append(cap)
                     n_caps += 1
             seq += 1
         elif k == "close":
@@ -792,47 +905,47 @@ def select_events(
             finalized: list = []
             while captures and captures[-1][0] == depth:
                 cap = captures.pop()
-                if not cap[7]:
+                if cap[7] == 0:
                     finalized.append(cap)
-            finalized.sort(key=lambda c: c[6])
-            done_projs = set()
-            for _, proj, ctag, cattrs, texts, cseq, cidx, _pend, oei, ctests in finalized:
-                if ctests:
-                    # text tests drop BEFORE the projection dedupe, so a
-                    # failed conditional alternative never shadows an
-                    # unconditional one (same rule as unsatisfied :has)
-                    subtext = _collapse("".join(texts))
-                    if not all(
-                        (val in subtext) if op == "contains" else subtext == val
-                        for op, val in ctests
-                    ):
-                        continue
-                if proj in done_projs:
                     continue
-                done_projs.add(proj)
-                if proj is not None:
-                    value = cattrs.get(proj)
-                    if value is not None:
-                        results.append((cseq, cidx, "text", value, None))
-                elif want_html:
-                    # outer XHTML of the match: the event slice from its
-                    # open to THIS close is balanced by repair's
-                    # construction, so it serializes standalone; inner =
-                    # the same slice without the element's own open/close
-                    sl = (
-                        events[oei + 1 : ei]
-                        if inner_only
-                        else events[oei : ei + 1]
-                    )
-                    markup = serialize(sl, xml_safe=True)
-                    results.append((cseq, cidx, "html", markup, None))
-                elif ctag in MEDIA_TAGS and cattrs.get("src"):
-                    src = cattrs["src"]
-                    results.append(
-                        (cseq, cidx, "media", None, urljoin(base, src) if base else src)
-                    )
-                else:
-                    results.append((cseq, cidx, "text", _collapse("".join(texts)), None))
+                # deregister unsatisfied desc/child inners (tail-pop —
+                # see the registry comment; absence means satisfied);
+                # any unsatisfied one kills the capture, since its
+                # witness window (the subtree) is over
+                dead = False
+                n_sib = 0
+                for m, h in cap[10]:
+                    if m == "sib":
+                        n_sib += 1
+                        continue
+                    if m == "desc":
+                        holder, entry = desc_pend, desc_pend.get(id(h))
+                    else:
+                        holder = child_pend.get(cap[0])
+                        entry = holder.get(id(h)) if holder else None
+                    if entry is not None and entry[-1] is cap:
+                        entry.pop()
+                        if len(entry) == 1:
+                            del holder[id(h)]
+                        dead = True
+                d = child_pend.get(cap[0])
+                if d is not None and not d:
+                    del child_pend[cap[0]]
+                if dead or n_sib == 0:
+                    continue
+                # only sib witnesses outstanding (they cannot satisfy
+                # before the close): wait until the parent closes
+                cap.append(ei)  # the html slice needs THIS close
+                buckets = sib_pend.setdefault(cap[0] - 1, {})
+                for m, h in cap[10]:
+                    if m == "sib":
+                        buckets.setdefault(id(h), [h]).append(cap)
+            finalized.sort(key=lambda c: c[6])
+            for cap in finalized:
+                _finalize(cap, ei)
+            # this element's CHILDREN can have no further siblings —
+            # whatever still waits at their depth drops now
+            sib_pend.pop(depth, None)
         # comments / doctype: not selectable, contribute no text
     # (seq, cap_idx): document order of the element open, then capture
     # CREATION order — one element matched by several alternatives

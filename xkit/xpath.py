@@ -38,6 +38,22 @@ Supported subset and its mapping:
     trailing /@attr              → @attr projection
     trailing /text()             → subtree-text projection (default)
     p1 | p2                      → comma group
+    a/following-sibling::b       → a ~ b      (general sibling; prefix
+                                   carries over — siblings share every
+                                   ancestor; further steps may follow)
+    a/preceding-sibling::b       → b:has(~ a) — b with a FOLLOWING
+                                   sibling matching the context step;
+                                   the context step's own prefix
+                                   re-attaches to b verbatim. Final
+                                   step only (:has is subject-only)
+    a/parent::t,  a/..           → t:has(> a) (／*:has(> a)) — exact
+                                   for a single-step prefix; longer
+                                   prefixes are rejected (the parent
+                                   may BE the prefix element, which
+                                   the chain grammar can't express).
+                                   Final step only
+    positional predicates ([N], [last()]) are REJECTED on axis steps:
+    there they index the axis node-set, not same-tag children
 
 Step names are restricted to the selector-expressible charset
 (``[A-Za-z_][A-Za-z0-9_-]*``): a dot or colon in a tag or trailing
@@ -50,10 +66,9 @@ Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
 selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
 or each top-level element in fragment mode, mirroring XPath over a
-fragment's node-set). Everything else —
-other axes (``ancestor::``, ``following-sibling::``),
-``..``, ``node()``, ``position()`` arithmetic, nested paths in
-predicates — raises ``ValueError`` naming the unsupported construct.
+fragment's node-set). Everything else — other axes (``ancestor::``,
+``following::``), ``node()``, ``position()`` arithmetic, nested paths
+in predicates — raises ``ValueError`` naming the unsupported construct.
 """
 
 from __future__ import annotations
@@ -153,13 +168,25 @@ def _split_and(pred: str) -> list[str]:
     return parts
 
 
-def _translate_predicate(pred: str, tag: str, xpath: str) -> str:
+def _translate_predicate(
+    pred: str, tag: str, xpath: str, positional_ok: bool = True
+) -> str:
     pred = pred.strip()
     conj = _split_and(pred)
     if len(conj) > 1:
         # [p1 and p2] = both hold on the same element → predicate
         # concatenation in the compound grammar
-        return "".join(_translate_predicate(p, tag, xpath) for p in conj)
+        return "".join(
+            _translate_predicate(p, tag, xpath, positional_ok) for p in conj
+        )
+    if not positional_ok and (_PRED_INT.match(pred) or pred == "last()"):
+        # [N]/[last()] on an AXIS step indexes the axis node-set (the
+        # N-th preceding sibling, etc.), which is NOT nth-of-type —
+        # reject rather than mis-translate
+        raise ValueError(
+            f"unsupported positional predicate {pred!r} on an axis step "
+            f"in {xpath!r}"
+        )
     m = _PRED_ATTR.match(pred)
     if m:
         return f"[{m.group(1)}]"
@@ -212,8 +239,13 @@ def _translate_path(path: str, xpath: str) -> str:
     else:
         rest = path  # relative = descendant, like '//'
 
-    # walk steps; '//' between steps = descendant, '/' = child
-    out: list[str] = []
+    # walk steps; '//' between steps = descendant, '/' = child.
+    # out entries are (combinator, compound, kind): kind "plain" for
+    # ordinary steps, "sib" for following-sibling:: results (a normal
+    # compound behind a ~ combinator), "has" for parent::/preceding-
+    # sibling:: results (the step folded into a :has(...) subject —
+    # final-step-only, since :has lives on the subject compound)
+    out: list[tuple[str, str, str]] = []
     i, n = 0, len(rest)
     combinator = ""  # before the first step
     while i < n:
@@ -228,19 +260,52 @@ def _translate_path(path: str, xpath: str) -> str:
                 raise ValueError(f"unsupported XPath attribute step in {xpath!r}")
             if not out:
                 raise ValueError(f"unsupported XPath (bare attribute): {xpath!r}")
-            return "".join(out) + f" @{name}"
+            return "".join(c + s for c, s, _ in out) + f" @{name}"
         if rest.startswith("text()", i):
             if i + 6 != n or not out:
                 raise ValueError(f"unsupported XPath text() position in {xpath!r}")
-            return "".join(out)  # subtree text is the default projection
-        m = _AXIS_RE.match(rest, i)
-        if m:
-            raise ValueError(f"unsupported XPath axis {m.group(0)!r} in {xpath!r}")
-        m = _STEP_RE.match(rest, i)
-        if not m:
-            raise ValueError(f"unsupported XPath step at {rest[i:]!r} in {xpath!r}")
-        tag = m.group(1)
-        i = m.end()
+            # subtree text is the default projection
+            return "".join(c + s for c, s, _ in out)
+        # axes: following-sibling:: / preceding-sibling:: / parent:: /
+        # '..' translate onto the sibling combinator and the :has
+        # witness modes; anything else axis-shaped stays a loud reject
+        axis = None
+        if rest.startswith("..", i) and (i + 2 == n or rest[i + 2] in "/["):
+            axis, i = "parent", i + 2
+            tag = "*"
+        else:
+            m = _AXIS_RE.match(rest, i)
+            if m:
+                ax = m.group(0)[:-2]
+                if ax not in ("following-sibling", "preceding-sibling", "parent"):
+                    raise ValueError(
+                        f"unsupported XPath axis {m.group(0)!r} in {xpath!r}"
+                    )
+                axis = ax
+                i = m.end()
+            m = _STEP_RE.match(rest, i)
+            if not m:
+                raise ValueError(f"unsupported XPath step at {rest[i:]!r} in {xpath!r}")
+            tag = m.group(1)
+            i = m.end()
+        if axis is not None:
+            if not out:
+                raise ValueError(
+                    f"unsupported XPath ({axis}:: needs a context step): {xpath!r}"
+                )
+            if combinator != " > ":
+                # only the plain '/step/axis::...' separator is defined;
+                # '//axis::' (descendant-or-self then axis) is out
+                raise ValueError(
+                    f"unsupported XPath ('//' before {axis}::): {xpath!r}"
+                )
+        if out and out[-1][2] == "has":
+            # a parent::/preceding-sibling:: result is a :has subject —
+            # the evaluator supports :has on the final compound only
+            raise ValueError(
+                "unsupported XPath (parent::/preceding-sibling:: only on "
+                f"the final step): {xpath!r}"
+            )
         preds: list[str] = []
         while i < n and rest[i] == "[":
             depth, j, quote = 1, i + 1, ""
@@ -258,10 +323,48 @@ def _translate_path(path: str, xpath: str) -> str:
                 j += 1
             if depth:
                 raise ValueError(f"unterminated predicate in {xpath!r}")
-            preds.append(_translate_predicate(rest[i + 1 : j - 1], tag, xpath))
+            preds.append(
+                _translate_predicate(
+                    rest[i + 1 : j - 1], tag, xpath, positional_ok=axis is None
+                )
+            )
             i = j
-        anchor = ":root" if absolute and not out else ""
-        out.append(combinator + tag + anchor + "".join(preds))
+        if axis == "following-sibling":
+            # b after a, same parent — exactly the CSS general-sibling
+            # combinator; the prefix carries over untouched (siblings
+            # share every ancestor)
+            out.append((" ~ ", tag + "".join(preds), "sib"))
+        elif axis == "preceding-sibling":
+            # b BEFORE a, same parent ⇔ b has a following sibling
+            # matching a: fold the context step into :has(~ a). Its own
+            # prefix re-attaches to b verbatim — sibling steps keep the
+            # ancestor chain, so 'P / a' constraints transfer to b
+            prev_comb, prev_comp, prev_kind = out.pop()
+            if prev_kind != "plain":
+                raise ValueError(
+                    f"unsupported XPath (preceding-sibling:: after another "
+                    f"axis step): {xpath!r}"
+                )
+            out.append(
+                (prev_comb, f"{tag}{''.join(preds)}:has(~ {prev_comp})", "has")
+            )
+        elif axis == "parent":
+            # t:has(> a) is exact only when a's own relation to the rest
+            # of the path is unconstrained — i.e. a single-step prefix
+            # ('//a/..'); with a longer prefix the parent may BE the
+            # prefix element, which the chain grammar can't express
+            if len(out) != 1 or out[0][2] != "plain":
+                raise ValueError(
+                    f"unsupported XPath (parent::/'..' needs a single-step "
+                    f"prefix): {xpath!r}"
+                )
+            prev_comb, prev_comp, _ = out.pop()
+            out.append(
+                (prev_comb, f"{tag}{''.join(preds)}:has(> {prev_comp})", "has")
+            )
+        else:
+            anchor = ":root" if absolute and not out else ""
+            out.append((combinator, tag + anchor + "".join(preds), "plain"))
         combinator = ""
         if i < n and rest[i] not in "/":
             raise ValueError(f"unsupported XPath syntax at {rest[i:]!r} in {xpath!r}")
@@ -270,15 +373,15 @@ def _translate_path(path: str, xpath: str) -> str:
     # [.//x] compiles to :has(), which the selector grammar accepts on
     # the SUBJECT compound only — reject it on earlier steps here so
     # the translator never emits a selector the evaluator rejects
-    if any(":has(" in step for step in out[:-1]):
+    if any(":has(" in s for _, s, _ in out[:-1]):
         raise ValueError(
             f"unsupported XPath ([.//…] only on the final step): {xpath!r}"
         )
-    if any(":contains(" in step or ":text-is(" in step for step in out[:-1]):
+    if any(":contains(" in s or ":text-is(" in s for _, s, _ in out[:-1]):
         raise ValueError(
             f"unsupported XPath (text predicates only on the final step): {xpath!r}"
         )
-    return "".join(out)
+    return "".join(c + s for c, s, _ in out)
 
 
 def xpath_to_selector(xpath: str) -> str:
