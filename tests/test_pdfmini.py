@@ -570,3 +570,55 @@ def test_two_fonts_hex_escaped_name_matches():
     patched = pdf.replace("/F1 12 Tf\n0 600 Td", "/F#31 12 Tf\n0 6 Td")
     assert len(patched) == len(pdf)
     assert extract_pdf_text(patched) == ["AB", "xy"]
+
+
+# ------------------------------------------------------- round 5: CID fonts
+
+
+def test_cid_identity_h_sloppy_codespace_forces_two_bytes():
+    """Type0/Identity-H codes are 2-byte CIDs even when the ToUnicode
+    codespacerange lies (1-byte <00> <FF> — the real-writer sloppiness);
+    the honest codespace must decode identically."""
+    from xkit.pdfmini import make_fixture_pdf_cid
+
+    sloppy = make_fixture_pdf_cid("नमस्ते", sloppy_codespace=True)
+    honest = make_fixture_pdf_cid("नमस्ते", sloppy_codespace=False)
+    assert extract_pdf_text(sloppy) == ["नमस्ते"]
+    assert extract_pdf_text(honest) == ["नमस्ते"]
+
+
+def test_cid_literal_and_hex_strings_share_decode():
+    """A literal (…) string under an Identity-H font carries the same
+    2-byte CID codes as a hex string — including codes whose bytes are
+    the string delimiters ( ) \\ (escape round-trip)."""
+    from xkit.pdfmini import make_fixture_pdf_cid
+
+    pdf = make_fixture_pdf_cid("mixed forms", literal=True, cid_base=0x0200)
+    assert extract_pdf_text(pdf) == ["mixed forms"]
+    # cid_base 0x0225: codes run 0x0225..: low bytes hit 0x28 '(' /
+    # 0x29 ')' / 0x5C '\' for some positions of a longer text
+    tricky = make_fixture_pdf_cid(
+        "abcdefghij" * 12, literal=True, cid_base=0x0225
+    )
+    out = extract_pdf_text(tricky)
+    assert len(out) == 1 and out[0].replace(" ", "") == "abcdefghij" * 12
+
+
+def test_cid_without_tounicode_degrades_to_no_text():
+    """Identity-H with no usable ToUnicode: the codes are glyph ids —
+    the page yields NO text (never latin-1 mojibake from CID bytes)."""
+    from xkit.pdfmini import make_fixture_pdf_cid
+
+    assert extract_pdf_text(make_fixture_pdf_cid("नमस्ते", tounicode=False)) == []
+    # corrupting the ToUnicode stream away degrades the same way
+    pdf = make_fixture_pdf_cid("ab", tounicode=True)
+    broken = pdf.replace("beginbfchar", "beginnothing")
+    assert extract_pdf_text(broken) == []
+
+
+def test_cid_descendant_font_has_no_cidtogidmap():
+    """The fixture's CIDFontType2 carries no /CIDToGIDMap — extraction
+    never needs it (it maps CID→glyph for rendering)."""
+    from xkit.pdfmini import make_fixture_pdf_cid
+
+    assert "/CIDToGIDMap" not in make_fixture_pdf_cid("ab")

@@ -141,26 +141,28 @@ _ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
 _NAMED_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t"}
 
 
-def _unescape_pdf_string(body: bytes) -> str:
+def _unescape_pdf_bytes(body: bytes) -> bytes:
     def sub(m: re.Match) -> bytes:
         g = m.group(1)
         if len(g) > 1 or g in b"01234567":
             return bytes([int(g, 8) & 0xFF])
         return _NAMED_ESC.get(g, g)
 
-    return _ESC_RE.sub(sub, body).decode("latin-1", errors="replace")
+    return _ESC_RE.sub(sub, body)
 
 
-def _hex_string_text(hexbody: bytes, cmap: dict | None, width: int) -> str:
-    """Decode one <hex> string: latin-1 bytes without a CMap, else
-    width-byte codes through the page's ToUnicode map."""
-    h = re.sub(rb"\s+", b"", hexbody)
-    if len(h) % 2:
-        h += b"0"
-    # h is pure hex by the regex class — fromhex cannot fail
-    raw = bytes.fromhex(h.decode("ascii"))
+def _string_text(raw: bytes, cmap: dict | None, width: int) -> str:
+    """Decode one shown string's raw bytes under the active font:
+    ``width == 0`` is the CID-without-ToUnicode sentinel (the codes are
+    glyph ids with no Unicode meaning — suppress rather than emit
+    mojibake); no CMap keeps the latin-1 byte rule; otherwise width-byte
+    codes map through the font's ToUnicode. Literal ``(...)`` and hex
+    ``<...>`` strings share this rule — under a 2-byte (Identity-H)
+    font a literal string's bytes pair into CIDs exactly like hex."""
+    if width == 0:
+        return ""
     if cmap is None:
-        return raw.decode("latin-1")
+        return raw.decode("latin-1", errors="replace")
     out = []
     # trailing partial code (len not a multiple of width) is dropped,
     # matching viewers' behavior on truncated CID strings
@@ -171,6 +173,15 @@ def _hex_string_text(hexbody: bytes, cmap: dict | None, width: int) -> str:
             mapped = chr(code) if code < 256 else "�"
         out.append(mapped)
     return "".join(out)
+
+
+def _hex_string_text(hexbody: bytes, cmap: dict | None, width: int) -> str:
+    """Decode one <hex> string (whitespace allowed, odd digit pads 0)."""
+    h = re.sub(rb"\s+", b"", hexbody)
+    if len(h) % 2:
+        h += b"0"
+    # h is pure hex by the regex class — fromhex cannot fail
+    return _string_text(bytes.fromhex(h.decode("ascii")), cmap, width)
 
 
 def _scan_content(
@@ -194,7 +205,11 @@ def _scan_content(
     for m in _CONTENT_RE.finditer(body):
         if m.group("str") is not None:
             if in_bt:
-                pending.append(_unescape_pdf_string(m.group("body")))
+                pending.append(
+                    _string_text(
+                        _unescape_pdf_bytes(m.group("body")), cur_cmap, cur_width
+                    )
+                )
         elif m.group("hex") is not None:
             # <48656C6C6F> hex string form; whitespace allowed inside,
             # odd trailing digit pads with 0 (PDF spec rule)
@@ -821,6 +836,8 @@ def _parse_xref_streams(data: bytes) -> dict:
 
 
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_ENC_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _HEXVAL_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -934,27 +951,42 @@ def _page_fonts(
             font = _object_at(data, int(entry.group(2)), offsets, dec=dec)
             if font is None:
                 continue
+            # Type0 (composite/CID) fonts: the string codes ARE 2-byte
+            # CIDs under Identity-H/V and the common 2-byte predefined
+            # CMaps — force width 2 rather than trusting the ToUnicode
+            # codespace (real writers emit sloppy 1-byte codespaces).
+            # CIDToGIDMap never matters for text extraction (it maps
+            # CID→glyph for RENDERING; ToUnicode maps code→text).
+            is_type0 = _TYPE0_RE.search(font) is not None
             tu = _TOUNICODE_RE.search(font)
-            if tu is None:
-                continue
             body = None
-            tu_obj = _object_at(data, int(tu.group(1)), offsets, dec=dec)
-            if tu_obj is not None:
-                body = _decode_stream(tu_obj)
-            if body is None:
+            if tu is not None:
+                tu_obj = _object_at(data, int(tu.group(1)), offsets, dec=dec)
+                if tu_obj is not None:
+                    body = _decode_stream(tu_obj)
+            m = {}
+            if body is not None:
+                m, w = _parse_tounicode(body)
+            if not m:
+                if is_type0 and _IDENTITY_ENC_RE.search(font):
+                    # Identity-keyed CID font with no usable ToUnicode:
+                    # the codes are bare glyph ids — width-0 sentinel
+                    # SUPPRESSES its strings (correct degradation, not
+                    # latin-1 mojibake from CID byte pairs)
+                    fonts[_pdf_name_key(entry.group(1))] = (None, 0)
                 continue
-            m, w = _parse_tounicode(body)
-            if m:
-                fonts[_pdf_name_key(entry.group(1))] = (m, w)
-                union.update(m)
-                # page-default width = the FIRST ToUnicode-carrying
-                # font's, deterministically (not dict-iteration luck);
-                # a page mixing 1- and 2-byte fonts decodes pre-Tf text
-                # best-effort with that width — per-Tf tracking is the
-                # accurate path once the content names a font
-                if not found:
-                    width = w
-                found = True
+            if is_type0:
+                w = 2
+            fonts[_pdf_name_key(entry.group(1))] = (m, w)
+            union.update(m)
+            # page-default width = the FIRST ToUnicode-carrying
+            # font's, deterministically (not dict-iteration luck);
+            # a page mixing 1- and 2-byte fonts decodes pre-Tf text
+            # best-effort with that width — per-Tf tracking is the
+            # accurate path once the content names a font
+            if not found:
+                width = w
+            found = True
     return fonts, ((union, width) if found else (None, 2))
 
 
@@ -1524,6 +1556,109 @@ def make_fixture_pdf_two_fonts(
     out.append("\n".join(xref))
     out.append(
         "trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % pos
+    )
+    return "\n".join(out)
+
+
+def make_fixture_pdf_cid(
+    text: str = "नमस्ते",
+    tounicode: bool = True,
+    sloppy_codespace: bool = True,
+    literal: bool = False,
+    cid_base: int = 0x0C15,
+) -> str:
+    """Build a Type0 / Identity-H composite-font fixture — the dominant
+    real-crawl PDF shape (CID-keyed TrueType, text shown as 2-byte CID
+    strings). ``text[i]`` is assigned CID ``cid_base + i``; the
+    descendant CIDFontType2 carries NO /CIDToGIDMap entry (extraction
+    never needs it — that map is for rendering).
+
+    * ``tounicode=True`` attaches a CID→Unicode CMap; with
+      ``sloppy_codespace`` its codespacerange lies (``<00> <FF>``,
+      1-byte) the way real writers often do — a reader trusting it
+      would split the 2-byte CIDs into garbage bytes; Type0 forces
+      width 2.
+    * ``tounicode=False`` drops the CMap: the strings are bare glyph
+      ids and the page must degrade to NO text (never latin-1 mojibake).
+    * ``literal=True`` shows the second half of the text as a LITERAL
+      ``(...)`` string whose bytes are the same 2-byte CIDs — literal
+      and hex strings share the CID decode rule.
+
+    Deterministic, latin-1-safe string like :func:`make_fixture_pdf`.
+    """
+    cids = [cid_base + i for i in range(len(text))]
+    half = (len(cids) + 1) // 2 if literal else len(cids)
+    hex_codes = "".join("%04X" % c for c in cids[:half])
+    content_lines = ["BT", "/F1 12 Tf", "0 700 Td", "<%s> Tj" % hex_codes]
+    if literal and cids[half:]:
+        raw = b"".join(c.to_bytes(2, "big") for c in cids[half:])
+        lit = (
+            raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        ).decode("latin-1")
+        content_lines += ["0 -14 Td", "(%s) Tj" % lit]
+    content_lines.append("ET")
+    content = "\n".join(content_lines)
+
+    codespace = "<00> <FF>" if sloppy_codespace else "<0000> <FFFF>"
+    entries = "\n".join(
+        "<%04X> <%s>" % (c, ch.encode("utf-16-be").hex().upper())
+        for c, ch in zip(cids, text)
+    )
+    cmap_body = (
+        "1 begincodespacerange\n%s\nendcodespacerange\n"
+        "%d beginbfchar\n%s\nendbfchar" % (codespace, len(cids), entries)
+    )
+
+    f1 = (
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans "
+        "/Encoding /Identity-H /DescendantFonts [6 0 R]"
+        + (" /ToUnicode 7 0 R" if tounicode else "")
+        + " >>\nendobj"
+    )
+    objs = [
+        (1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj"),
+        (2, "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj"),
+        (
+            3,
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            "/MediaBox [0 0 612 792] /Resources << /Font "
+            "<< /F1 5 0 R >> >> >>\nendobj",
+        ),
+        (
+            4,
+            "4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+            % (len(content), content),
+        ),
+        (5, f1),
+        (
+            6,
+            "6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+            "/NotoSans /CIDSystemInfo << /Registry (Adobe) /Ordering "
+            "(Identity) /Supplement 0 >> >>\nendobj",
+        ),
+    ]
+    if tounicode:
+        objs.append(
+            (
+                7,
+                "7 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj"
+                % (len(cmap_body), cmap_body),
+            )
+        )
+    out = ["%PDF-1.4"]
+    offsets: dict = {}
+    pos = len("%PDF-1.4\n")
+    for num, o in objs:
+        offsets[num] = pos
+        out.append(o)
+        pos += len(o) + 1
+    size = len(objs) + 1
+    xref = ["xref", "0 %d" % size, "0000000000 65535 f "]
+    xref += ["%010d 00000 n " % offsets[n] for n in range(1, size)]
+    out.append("\n".join(xref))
+    out.append(
+        "trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (size, pos)
     )
     return "\n".join(out)
 
