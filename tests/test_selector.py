@@ -290,6 +290,14 @@ def test_xpath_translation_strings():
     assert x("//a/parent::div") == "div:has(> a)"
     assert x("//a/parent::div[@class='c']") == "div[class='c']:has(> a)"
     assert x("//td/..[@class='row']") == "*[class='row']:has(> td)"
+    assert x("//a/child::b") == "a > b"
+    assert x("//a/child::b[2]") == "a > b:nth-of-type(2)"
+    assert x("//a/descendant::b[@x]") == "a b[x]"
+    assert x("//a/ancestor::div") == "div:has(a)"
+    assert x("//span/ancestor::div[@id='x']") == "div[id='x']:has(span)"
+    assert x("//td[normalize-space()='v']") == "td:text-is('v')"
+    assert x("//td[normalize-space(.)='v']") == "td:text-is('v')"
+    assert x("//td[normalize-space(text())='a b']") == "td:text-is('a b')"
 
 
 @pytest.mark.parametrize(
@@ -306,6 +314,11 @@ def test_xpath_translation_strings():
         "//a/../b",  # parent result must be the final step
         "//a/preceding-sibling::b/c",
         "//a/preceding-sibling::b/preceding-sibling::c",
+        "//a/descendant::b[2]",  # indexes the full descendant node-set
+        "//x/a/ancestor::div",  # ancestor:: needs a single-step prefix
+        "//a/ancestor::div/b",  # ancestor result must be final
+        "//a/following::b",
+        "//a/ancestor-or-self::div",
         "//p[",  # unterminated predicate
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
@@ -379,6 +392,13 @@ def test_xpath_axes_end_to_end():
     assert q(html, "//p/parent::div/@id") == t("x")
     assert q(html, "//p/../@id") == t("x")  # section has no id → skipped
     assert q(html, "//span[@id='s3']/../@id") == t("y")
+    # ancestor:: = the plain :has witness; child::/descendant:: are the
+    # explicit separator spellings
+    assert q(html, "//p/ancestor::div/@id") == t("x")
+    assert q(html, "//span/ancestor::section") == t("P3D")
+    assert q(html, "//body/child::div[2]/@id") == t("y")
+    assert q(html, "//body/descendant::b/@id") == t("b1")
+    assert q(html, "//span[normalize-space()='C']/@id") == t("s3")
     # deferred sib verdicts keep document-open order and html emission;
     # s4 FOLLOWS p3, so it is NOT a preceding sibling of any p
     assert q(html, "//p/preceding-sibling::span", emit="html") == [

@@ -52,8 +52,17 @@ Supported subset and its mapping:
                                    may BE the prefix element, which
                                    the chain grammar can't express).
                                    Final step only
-    positional predicates ([N], [last()]) are REJECTED on axis steps:
-    there they index the axis node-set, not same-tag children
+    a/child::b                   → a > b      (explicit '/' spelling;
+                                   [N] keeps nth-of-type meaning)
+    a/descendant::b              → a b        (explicit '//' spelling)
+    a/ancestor::t                → t:has(a)   — same single-step-prefix
+                                   and final-step bounds as parent::
+    [normalize-space()='v']      → :text-is('v')  (also (.) / (text());
+                                   the collapsed subtree text IS
+                                   normalize-space)
+    positional predicates ([N], [last()]) are REJECTED on axis steps
+    other than child::: there they index the axis node-set, not
+    same-tag children
 
 Step names are restricted to the selector-expressible charset
 (``[A-Za-z_][A-Za-z0-9_-]*``): a dot or colon in a tag or trailing
@@ -66,9 +75,10 @@ Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
 selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
 or each top-level element in fragment mode, mirroring XPath over a
-fragment's node-set). Everything else — other axes (``ancestor::``,
-``following::``), ``node()``, ``position()`` arithmetic, nested paths
-in predicates — raises ``ValueError`` naming the unsupported construct.
+fragment's node-set). Everything else — other axes (``following::``,
+``ancestor-or-self::``), ``node()``, ``position()`` arithmetic, nested
+paths in predicates — raises ``ValueError`` naming the unsupported
+construct.
 """
 
 from __future__ import annotations
@@ -106,6 +116,13 @@ _PRED_TEXT_EQ = re.compile(
 )
 _PRED_TEXT_CONTAINS = re.compile(
     r"^contains\(\s*(text\(\)|\.)\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
+)
+# [normalize-space()='v'] / [normalize-space(.)='v'] /
+# [normalize-space(text())='v'] — the evaluator's :text-is already
+# compares the whitespace-COLLAPSED subtree text (strip + runs→single
+# space, the Unicode whitespace class), which IS normalize-space()
+_PRED_NSPACE_EQ = re.compile(
+    r"^normalize-space\(\s*(text\(\)|\.)?\s*\)\s*=\s*('([^']*)'|\"([^\"]*)\")$"
 )
 
 
@@ -214,6 +231,10 @@ def _translate_predicate(
     if m:
         val = m.group(3) if m.group(3) is not None else m.group(4)
         return f":text-is({_quote_val(val, xpath)})"
+    m = _PRED_NSPACE_EQ.match(pred)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        return f":text-is({_quote_val(val, xpath)})"
     m = _PRED_TEXT_CONTAINS.match(pred)
     if m:
         val = m.group(3) if m.group(3) is not None else m.group(4)
@@ -266,9 +287,11 @@ def _translate_path(path: str, xpath: str) -> str:
                 raise ValueError(f"unsupported XPath text() position in {xpath!r}")
             # subtree text is the default projection
             return "".join(c + s for c, s, _ in out)
-        # axes: following-sibling:: / preceding-sibling:: / parent:: /
-        # '..' translate onto the sibling combinator and the :has
-        # witness modes; anything else axis-shaped stays a loud reject
+        # axes: child:: / descendant:: are the explicit spellings of the
+        # '/' and '//' separators; following-sibling:: / preceding-
+        # sibling:: / parent:: / '..' / ancestor:: translate onto the
+        # sibling combinator and the :has witness modes; anything else
+        # axis-shaped stays a loud reject
         axis = None
         if rest.startswith("..", i) and (i + 2 == n or rest[i + 2] in "/["):
             axis, i = "parent", i + 2
@@ -277,7 +300,10 @@ def _translate_path(path: str, xpath: str) -> str:
             m = _AXIS_RE.match(rest, i)
             if m:
                 ax = m.group(0)[:-2]
-                if ax not in ("following-sibling", "preceding-sibling", "parent"):
+                if ax not in (
+                    "following-sibling", "preceding-sibling", "parent",
+                    "child", "descendant", "ancestor",
+                ):
                     raise ValueError(
                         f"unsupported XPath axis {m.group(0)!r} in {xpath!r}"
                     )
@@ -300,11 +326,12 @@ def _translate_path(path: str, xpath: str) -> str:
                     f"unsupported XPath ('//' before {axis}::): {xpath!r}"
                 )
         if out and out[-1][2] == "has":
-            # a parent::/preceding-sibling:: result is a :has subject —
-            # the evaluator supports :has on the final compound only
+            # a parent::/preceding-sibling::/ancestor:: result is a :has
+            # subject — the evaluator supports :has on the final
+            # compound only
             raise ValueError(
-                "unsupported XPath (parent::/preceding-sibling:: only on "
-                f"the final step): {xpath!r}"
+                "unsupported XPath (parent::/preceding-sibling::/ancestor:: "
+                f"only on the final step): {xpath!r}"
             )
         preds: list[str] = []
         while i < n and rest[i] == "[":
@@ -325,11 +352,23 @@ def _translate_path(path: str, xpath: str) -> str:
                 raise ValueError(f"unterminated predicate in {xpath!r}")
             preds.append(
                 _translate_predicate(
-                    rest[i + 1 : j - 1], tag, xpath, positional_ok=axis is None
+                    rest[i + 1 : j - 1], tag, xpath,
+                    # child:: is the explicit '/' step — [N] keeps its
+                    # nth-of-type meaning; every other axis node-set
+                    # indexes differently, so positional preds reject
+                    positional_ok=axis is None or axis == "child",
                 )
             )
             i = j
-        if axis == "following-sibling":
+        if axis == "child":
+            # explicit spelling of the '/' separator
+            out.append((" > ", tag + "".join(preds), "plain"))
+        elif axis == "descendant":
+            # a/descendant::b ≡ a//b (the [N] nuance is rejected above:
+            # descendant::b[N] indexes the whole descendant node-set,
+            # unlike abbreviated //b[N] which is per-parent)
+            out.append((" ", tag + "".join(preds), "plain"))
+        elif axis == "following-sibling":
             # b after a, same parent — exactly the CSS general-sibling
             # combinator; the prefix carries over untouched (siblings
             # share every ancestor)
@@ -361,6 +400,20 @@ def _translate_path(path: str, xpath: str) -> str:
             prev_comb, prev_comp, _ = out.pop()
             out.append(
                 (prev_comb, f"{tag}{''.join(preds)}:has(> {prev_comp})", "has")
+            )
+        elif axis == "ancestor":
+            # //a/ancestor::div ⇔ div with a DESCENDANT matching a —
+            # the plain :has witness; same single-step-prefix bound as
+            # parent:: (a longer prefix constrains a's position relative
+            # to elements the ancestor may BE)
+            if len(out) != 1 or out[0][2] != "plain":
+                raise ValueError(
+                    f"unsupported XPath (ancestor:: needs a single-step "
+                    f"prefix): {xpath!r}"
+                )
+            prev_comb, prev_comp, _ = out.pop()
+            out.append(
+                (prev_comb, f"{tag}{''.join(preds)}:has({prev_comp})", "has")
             )
         else:
             anchor = ":root" if absolute and not out else ""
