@@ -267,3 +267,80 @@ def test_iter_warc_mutated_real_archive(noise, cut):
     assert len(out) <= 8
     for rec in out:
         assert isinstance(rec.headers, dict)
+
+
+# ---------------------------------------------------- :has witness modes
+
+_HAS_TAGS = ("p", "b", "i", "s", "div")
+_soup_tok = st.sampled_from(
+    [f"<{t}>" for t in _HAS_TAGS]
+    + [f"</{t}>" for t in _HAS_TAGS]
+    + ["x", "y ", "z"]
+)
+_soup = st.lists(_soup_tok, max_size=60).map("".join)
+
+
+def _naive_has_matches(s: str, subj: str, wit: str, mode: str):
+    """Brute-force reference for X:has(Y)/:has(> Y)/:has(~ Y): build the
+    repaired tree explicitly, test each element by definition, emit
+    (text, collapsed-subtree-text, None) spans in document-open order."""
+    from xkit.extract import _collapse
+
+    nodes: list = []  # {"tag", "children", "text", "has_desc_tag": set}
+    roots: list = []
+    stack: list = []
+    for ev in repair(tokenize(s)):
+        k = ev[0]
+        if k == "open":
+            nid = len(nodes)
+            nodes.append({"tag": ev[1], "children": [], "text": [], "dt": set()})
+            (nodes[stack[-1]]["children"] if stack else roots).append(nid)
+            stack.append(nid)
+        elif k == "close":
+            nid = stack.pop()
+            if stack:
+                p = stack[-1]
+                nodes[p]["dt"] |= nodes[nid]["dt"] | {nodes[nid]["tag"]}
+        elif k == "text":
+            for a in stack:
+                nodes[a]["text"].append(ev[1])
+    sib_lists = [roots] + [n["children"] for n in nodes]
+    out = []
+    for nid, n in enumerate(nodes):
+        if n["tag"] != subj:
+            continue
+        if mode == "desc":
+            ok = wit in n["dt"]
+        elif mode == "child":
+            ok = any(nodes[c]["tag"] == wit for c in n["children"])
+        else:  # sib: a FOLLOWING sibling matches
+            ok = False
+            for sibs in sib_lists:
+                if nid in sibs:
+                    i = sibs.index(nid)
+                    ok = any(nodes[c]["tag"] == wit for c in sibs[i + 1 :])
+                    break
+        if ok:
+            out.append(("text", _collapse("".join(n["text"])), None))
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    _soup,
+    st.sampled_from(_HAS_TAGS),
+    st.sampled_from(_HAS_TAGS),
+    st.sampled_from(["desc", "child", "sib"]),
+)
+def test_has_witness_modes_match_naive_reference(s, subj, wit, mode):
+    """The registry-indexed witness machinery (desc buckets, depth-keyed
+    child/sib buckets, tail-pop deregistration, parent-close flush) must
+    agree with a brute-force tree evaluation on arbitrary tag soup."""
+    from xkit.selector import select_html
+
+    sel = {
+        "desc": f"{subj}:has({wit})",
+        "child": f"{subj}:has(> {wit})",
+        "sib": f"{subj}:has(~ {wit})",
+    }[mode]
+    assert select_html(s, sel) == _naive_has_matches(s, subj, wit, mode)
