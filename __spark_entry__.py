@@ -1851,7 +1851,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     window = sorted(_R05_WINDOW, key=lambda k: _WINDOW_COST_S.get(k, 9.9))
     in_window = set(window)
-    assert len(window) == 50 and in_window <= set(q), "window/registry drift"
+    # explicit raise, not assert — the driver's runtime flags are
+    # unobservable and `python -O` strips asserts, which would let a
+    # mis-sized window silently reorder what the gate records
+    if len(window) != 50 or not in_window <= set(q):
+        raise ValueError(
+            f"window/registry drift: {len(window)} entries, "
+            f"unknown={sorted(in_window - set(q))}"
+        )
     return {k: q[k] for k in window + [k for k in q if k not in in_window]}
 
 

@@ -67,6 +67,35 @@ def test_ratio_u_is_exact_half_up(spark):
         assert got[(num, den)] == expect, (num, den, got[(num, den)], expect)
 
 
+def test_idiv_exact_above_double_precision(spark):
+    """idiv must stay exact past 2^53 — char_entropy's nano-nat
+    numerator crosses that on ~10 MB documents (giant-doc corpora are
+    an explicit target). The old (a - a mod b)/b form routed through a
+    double division and drifted (−9 at 2^60, review finding r05)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from xhtmlkit_spark.functions.exactmath import idiv
+
+    cases = [
+        (2**60 + 3, 7),
+        (2**62 - 1, 999_983),
+        (2**53 + 1, 3),
+        (6_000_000_000_000_000_123, 1_000_000_007),  # ~nano-nat magnitude
+        (2**57 + 11, 2**20 + 7),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.select("a", "b", idiv(F.col("a"), F.col("b")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        (dk,) = con.execute(f"SELECT {a} // {b}").fetchone()
+        assert got[(a, b)] == dk == a // b, (a, b, got[(a, b)], dk, a // b)
+
+
 def test_ratio_u_matches_duckdb_twin(spark):
     """The SQL twin (2*scale*num + den) // (2*den) agrees value-for-
     value — including the odd/2^7 midpoints where round-6 doubles

@@ -622,3 +622,18 @@ def test_cid_descendant_font_has_no_cidtogidmap():
     from xkit.pdfmini import make_fixture_pdf_cid
 
     assert "/CIDToGIDMap" not in make_fixture_pdf_cid("ab")
+
+
+def test_cid_predefined_cmap_without_tounicode_suppresses():
+    """A Type0 font with a PREDEFINED CMap (/UniGB-UCS2-H) and no
+    ToUnicode must suppress like the Identity case — any composite
+    font this reader cannot map yields no text, never mojibake
+    (review finding r05)."""
+    from xkit.pdfmini import make_fixture_pdf_cid
+
+    pdf = make_fixture_pdf_cid("нет карты", tounicode=False)
+    patched = pdf.replace("/Encoding /Identity-H", "/Encoding /UniGB-UCS2-H")
+    assert extract_pdf_text(patched) == []
+    # indirect /Encoding reference: same degradation
+    patched2 = pdf.replace("/Encoding /Identity-H", "/Encoding 99 0 R    ")
+    assert extract_pdf_text(patched2) == []

@@ -544,3 +544,31 @@ def test_has_pseudo_semantics():
             parse_selector(bad)
     with pytest.raises(ValueError):
         xpath_to_selector("//div[.//img]/p")  # non-final [.//] predicate
+
+
+def test_sib_deferred_alternative_keeps_selector_order():
+    """A sib-deferred alternative with the SMALLEST cap_idx finalizes
+    AFTER the close-time alternatives; the emitted row must still sort
+    under the deferred alternative's index (review finding r05) —
+    output order follows selector-alternative order, not finalization
+    time."""
+    h = '<a href="h">x</a><b>w</b>'
+    # alt0 (deferred, proj None) vs alt1 (@href) vs alt2 (plain None):
+    # the None-projection row must sort FIRST (cidx 0), before @href
+    assert select_html(h, "a:has(~ b), a @href, a") == [
+        ("text", "x", None),
+        ("text", "h", None),
+    ]
+    # control: without the deferred alternative the same order holds
+    assert select_html(h, "a, a @href") == [
+        ("text", "x", None),
+        ("text", "h", None),
+    ]
+    # and when the sib witness never arrives, the surviving
+    # alternatives' own indices govern: @href (alt 1) before plain
+    # (alt 2)
+    h2 = '<a href="h">x</a><i>no b</i>'
+    assert select_html(h2, "a:has(~ b), a @href, a") == [
+        ("text", "h", None),
+        ("text", "x", None),
+    ]

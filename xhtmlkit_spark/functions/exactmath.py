@@ -43,11 +43,13 @@ __all__ = ["idiv", "ratio_u", "round_u"]
 
 
 def idiv(a: Column, b: Column) -> Column:
-    """Exact integer division of NON-NEGATIVE longs (Spark `div`,
-    DuckDB `//`). Implemented as (a - a mod b)/b: the numerator is
-    exactly divisible, so the double division is exact for operands
-    < 2^53 (all fixed-point scales here keep it far below)."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """Exact integer division of NON-NEGATIVE longs: Spark's `div`
+    (the SQL integral-division function) ≡ DuckDB `//`. Stays in long
+    arithmetic end to end — the earlier (a - a mod b)/b form routed
+    through a DOUBLE division, which loses ulps once the dividend
+    passes ~2^53 (char_entropy's nano-nat numerator crosses that on
+    ~10 MB documents; measured drift −9 at 2^60)."""
+    return F.call_function("div", a, b)
 
 
 def ratio_u(num: Column, den: Column, scale: int = 1_000_000) -> Column:

@@ -41,8 +41,16 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   scope (documented — a ``Q`` never restores a previous ``Tf`` here).
   Hex strings on a CMapped page decode through the map (unmapped
   codes fall back to chr(code) below 256, U+FFFD above); pages
-  without a CMap keep the latin-1 byte rule. CID-keyed font program
-  tables remain out of scope.
+  without a CMap keep the latin-1 byte rule. Type0 COMPOSITE fonts
+  (round 5): string codes are 2-byte CIDs — the width is forced to 2
+  regardless of the ToUnicode codespacerange (real writers emit
+  sloppy 1-byte ones), literal ``(…)`` strings pair their unescaped
+  bytes into the same CID codes as hex strings, and a Type0 font with
+  NO usable ToUnicode (Identity-keyed, predefined CMap, or indirect
+  /Encoding) suppresses its strings entirely — bare glyph ids degrade
+  to no text, never latin-1 mojibake. CID-keyed font PROGRAM tables
+  (glyph data, CIDToGIDMap) remain out of scope: extraction needs
+  code→text, not code→glyph.
 
 * **xref STREAMS and object STREAMS** (PDF 1.5+): every object whose
   dict says ``/Type /XRef`` is decoded (its /Filter chain, then the
@@ -837,7 +845,6 @@ def _parse_xref_streams(data: bytes) -> dict:
 
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
-_IDENTITY_ENC_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _HEXVAL_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -968,9 +975,11 @@ def _page_fonts(
             if body is not None:
                 m, w = _parse_tounicode(body)
             if not m:
-                if is_type0 and _IDENTITY_ENC_RE.search(font):
-                    # Identity-keyed CID font with no usable ToUnicode:
-                    # the codes are bare glyph ids — width-0 sentinel
+                if is_type0:
+                    # ANY composite font with no usable ToUnicode —
+                    # Identity-keyed, predefined CMap (/UniGB-UCS2-H),
+                    # or an indirect /Encoding ref — shows CID codes
+                    # this reader cannot map to text: width-0 sentinel
                     # SUPPRESSES its strings (correct degradation, not
                     # latin-1 mojibake from CID byte pairs)
                     fonts[_pdf_name_key(entry.group(1))] = (None, 0)

@@ -761,8 +761,13 @@ def select_events(
     # one (element, projection) emits at most once, whether the verdict
     # landed at close (finalized order: smallest cap_idx wins) or later
     # (sib satisfaction); seq is unique per element, so a global
-    # (seq, proj) set is the close-local dedupe, widened
-    emitted: set = set()
+    # (seq, proj) → results-index map is the close-local dedupe,
+    # widened. A sib-deferred alternative finalizes AFTER the close-
+    # time ones, so when it carries a SMALLER cap_idx the already-
+    # emitted row's ordering key is updated in place (the payload is
+    # element-determined and identical across alternatives) — the
+    # documented smallest-cap_idx-wins rule holds across the deferral.
+    emitted: dict = {}
     seq = 0
     n_caps = 0
 
@@ -777,11 +782,19 @@ def select_events(
                 for op, val in ctests
             ):
                 return
-        if (cseq, proj) in emitted:
+        key = (cseq, proj)
+        if key in emitted:
+            ri = emitted[key]
+            if ri is not None and cidx < results[ri][1]:
+                r = results[ri]
+                results[ri] = (r[0], cidx, r[2], r[3], r[4])
             return
-        emitted.add((cseq, proj))
         if proj is not None:
             value = cattrs.get(proj)
+            # attribute absent: the (element, projection) is still
+            # claimed (None slot) — later alternatives would project
+            # the same absent attribute
+            emitted[key] = len(results) if value is not None else None
             if value is not None:
                 results.append((cseq, cidx, "text", value, None))
         elif want_html:
@@ -795,14 +808,33 @@ def select_events(
                 else events[oei : close_ei + 1]
             )
             markup = serialize(sl, xml_safe=True)
+            emitted[key] = len(results)
             results.append((cseq, cidx, "html", markup, None))
         elif ctag in MEDIA_TAGS and cattrs.get("src"):
             src = cattrs["src"]
+            emitted[key] = len(results)
             results.append(
                 (cseq, cidx, "media", None, urljoin(base, src) if base else src)
             )
         else:
+            emitted[key] = len(results)
             results.append((cseq, cidx, "text", _collapse("".join(texts)), None))
+
+    def _test_buckets(bdict, tag, attrs, idx, e_total, sibs, e_ttot, e_depth):
+        # one witness satisfies every cap in a bucket (see the registry
+        # comment); defined ONCE per evaluation — a per-element-open
+        # closure would allocate on every open, :has present or not
+        for key in list(bdict):
+            entry = bdict[key]
+            if entry[0].matches(
+                tag, attrs, idx + 1, e_total, sibs, idx, e_ttot, e_depth
+            ):
+                for cap in entry[1:]:
+                    cap[7] -= 1
+                    if cap[7] == 0 and len(cap) == 12:
+                        # already closed, was waiting on siblings
+                        _finalize(cap, cap[11])
+                del bdict[key]
 
     for ei, ev in enumerate(events):
         k = ev[0]
@@ -829,30 +861,18 @@ def select_events(
             # have been flushed at its close)
             e_total, e_ttot = stack[-1][4], stack[-1][5]
             e_depth = len(stack) - 1
-
-            def _test_buckets(bdict):
-                for key in list(bdict):
-                    entry = bdict[key]
-                    if entry[0].matches(
-                        tag, attrs, idx + 1, e_total, sibs, idx, e_ttot, e_depth
-                    ):
-                        for cap in entry[1:]:
-                            cap[7] -= 1
-                            if cap[7] == 0 and len(cap) == 12:
-                                # already closed, was waiting on siblings
-                                _finalize(cap, cap[11])
-                        del bdict[key]
-
             if desc_pend:
-                _test_buckets(desc_pend)
+                _test_buckets(
+                    desc_pend, tag, attrs, idx, e_total, sibs, e_ttot, e_depth
+                )
             cb = child_pend.get(e_depth)
             if cb is not None:
-                _test_buckets(cb)
+                _test_buckets(cb, tag, attrs, idx, e_total, sibs, e_ttot, e_depth)
                 if not cb:
                     del child_pend[e_depth]
             sb = sib_pend.get(e_depth)
             if sb is not None:
-                _test_buckets(sb)
+                _test_buckets(sb, tag, attrs, idx, e_total, sibs, e_ttot, e_depth)
                 if not sb:
                     del sib_pend[e_depth]
             projs_here = set()
