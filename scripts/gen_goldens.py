@@ -940,6 +940,30 @@ SELECTOR_CASES = [
      '<figure><img src=/b.png></figure>',
      'img:has(~ figcaption)',
      'https://ex.com/'),
+    # --- round-5 batch 2: the an+b forms XPath position() arithmetic
+    # compiles onto (n+N tail slice, 2n+0 even-by-type, :not(:nth) and
+    # the union-arm overlap dedupe of the -or-self axes) ---
+    ('nth_of_type_tail_slice',
+     '<ul><li>1</li><li>2</li><li>3</li><li>4</li></ul>'
+     '<ul><li>only</li></ul>',
+     'li:nth-of-type(n+2)',
+     None),
+    ('nth_of_type_even_coefficient',
+     '<div><p>1</p><em>x</em><p>2</p><p>3</p><p>4</p></div>',
+     'p:nth-of-type(2n+0)',
+     None),
+    ('not_nth_of_type',
+     '<ol><li>1</li><li>2</li><li>3</li></ol>',
+     'li:not(:nth-of-type(2))',
+     None),
+    ('nth_last_of_type_tail',
+     '<div><span>a</span><span>b</span><span>c</span><span>d</span></div>',
+     'span:nth-last-of-type(-n+2)',
+     None),
+    ('or_self_union_overlap_dedupe',
+     '<span id=o><span id=i>t</span></span>',
+     'span:has(span), span @id',
+     None),
 ]
 
 

@@ -298,6 +298,71 @@ def test_xpath_translation_strings():
     assert x("//td[normalize-space()='v']") == "td:text-is('v')"
     assert x("//td[normalize-space(.)='v']") == "td:text-is('v')"
     assert x("//td[normalize-space(text())='a b']") == "td:text-is('a b')"
+    # round-5 second batch: position()/last() arithmetic → an+b pseudos
+    assert x("//p[position()>1]") == "p:nth-of-type(n+2)"
+    assert x("//p[position()>=3]") == "p:nth-of-type(n+3)"
+    assert x("//p[position()<=2]") == "p:nth-of-type(-n+2)"
+    assert x("//p[position()<3]") == "p:nth-of-type(-n+2)"
+    assert x("//p[position()=2]") == "p:nth-of-type(2)"
+    assert x("//p[position()!=2]") == "p:not(:nth-of-type(2))"
+    assert x("//p[position()=last()]") == "p:last-of-type"
+    assert x("//p[position()!=last()]") == "p:not(:last-of-type)"
+    assert x("//p[position()=last()-1]") == "p:nth-last-of-type(2)"
+    assert x("//p[last()-1]") == "p:nth-last-of-type(2)"
+    assert x("//p[position()>=last()-1]") == "p:nth-last-of-type(-n+2)"
+    assert x("//p[position()<last()]") == "p:nth-last-of-type(n+2)"
+    assert x("//p[position() mod 2 = 1]") == "p:nth-of-type(2n+1)"
+    assert x("//p[position() mod 2 = 0]") == "p:nth-of-type(2n+0)"
+    assert x("//*[position()<3]") == "*:nth-child(-n+2)"
+    assert x("//a[@href and position()>1]") == "a[href]:nth-of-type(n+2)"
+    # comparisons no position satisfies → the never-matching (0) forms
+    assert x("//p[position()<1]") == "p:nth-of-type(-n+0)"
+    assert x("//p[position()>last()]") == "p:nth-of-type(0)"
+    assert x("//p[position() mod 3 = 5]") == "p:nth-of-type(0)"
+    # round-5 second batch: self:: and the -or-self union axes
+    assert x("//a/self::a[@href]") == "a[href]"
+    assert x("//a/self::*[@href]") == "a[href]"
+    assert x("//a[@x]/self::b") == "a[x]:not(*)"  # exact empty
+    assert x("//a/ancestor-or-self::div") == "div:has(a)"  # names differ
+    assert x("//div[@x]/ancestor-or-self::div") == "div:has(div[x]), div[x]"
+    assert x("//a/ancestor-or-self::*") == "*:has(a), a"
+    assert x("//a/descendant-or-self::b") == "a b"  # self arm empty
+    assert x("//x/a/descendant-or-self::*") == "x > a *, x > a"
+    assert x("//a/descendant-or-self::a/@id") == "a a @id, a @id"
+
+
+def test_xpath_position_and_or_self_behavior():
+    from xkit.xpath import select_html_xpath as q
+
+    html = "<div><p>1</p><p>2</p><p>3</p><p>4</p></div>"
+    assert q(html, "//p[position()>1]") == [
+        ("text", "2", None), ("text", "3", None), ("text", "4", None)]
+    assert q(html, "//p[position() mod 2 = 0]") == [
+        ("text", "2", None), ("text", "4", None)]
+    assert q(html, "//p[position()>=last()-1]") == [
+        ("text", "3", None), ("text", "4", None)]
+    assert q(html, "//p[last()-1]") == [("text", "3", None)]
+    assert q(html, "//p[position()!=2]") == [
+        ("text", "1", None), ("text", "3", None), ("text", "4", None)]
+    assert q(html, "//p[position()<1]") == []
+    # * counts ALL element children (nth-child), not same-tag position
+    mixed = "<div><em>1</em><p>2</p><b>3</b></div>"
+    assert q(mixed, "//*[position()>=2]") == [
+        ("text", "2", None), ("text", "3", None)]
+    # -or-self unions: result node-set semantics, overlap deduped —
+    # the outer span matches BOTH arms (ancestor of inner + self) but
+    # emits once; projection applies to each arm
+    h = '<span id="o"><span id="i">t</span></span>'
+    assert q(h, "//span/ancestor-or-self::span") == [
+        ("text", "t", None), ("text", "t", None)]
+    assert q(h, "//span/ancestor-or-self::*/@id") == [
+        ("text", "o", None), ("text", "i", None)]
+    h2 = '<div class="c"><span>s</span></div>'
+    assert q(h2, "//span/ancestor-or-self::div") == [("text", "s", None)]
+    assert q(h2, "//div/descendant-or-self::*") == [
+        ("text", "s", None), ("text", "s", None)]
+    assert q(h2, "//span/self::span") == [("text", "s", None)]
+    assert q(h2, "//span/self::p") == []  # exact empty, no error
 
 
 @pytest.mark.parametrize(
@@ -305,7 +370,6 @@ def test_xpath_translation_strings():
     [
         "",
         "//ancestor::div",
-        "//p[position()>1]",
         "//following-sibling::b",  # axis needs a context step
         "//a//following-sibling::b",  # '//' before an axis
         "//a/following-sibling::b[1]",  # positional pred on an axis step
@@ -318,7 +382,17 @@ def test_xpath_translation_strings():
         "//x/a/ancestor::div",  # ancestor:: needs a single-step prefix
         "//a/ancestor::div/b",  # ancestor result must be final
         "//a/following::b",
-        "//a/ancestor-or-self::div",
+        "//a/self::b[1]",  # positional pred indexes the axis node-set
+        "//a/following-sibling::b[position()>1]",
+        "//a/descendant-or-self::b[2]",
+        "//x/a/ancestor-or-self::div",  # needs a single-step prefix
+        "//a/ancestor-or-self::div/b",  # union axes: final step only
+        "//a/descendant-or-self::b/c",
+        "//self::a",  # axis needs a context step
+        "//a//self::b",  # '//' before an axis
+        "//p[position() mod 0 = 1]",  # division by zero
+        "//p[position()=@x]",  # rhs must be an integer or last()-K
+        "//p[position()+1=2]",  # position() arithmetic beyond last()-K
         "//p[",  # unterminated predicate
         "@href",  # bare attribute
         "//p/text()/b",  # text() must be final
@@ -476,12 +550,16 @@ def test_spark_select_stage_accepts_xpath(tmp_path):
     assert pr == flat(select_spans(df, "*:has(> td)"))
     assert any(v for v in pr.values())
 
+    # position() arithmetic rides the same surface (round-5 batch 2)
+    pp = flat(select_spans(df, xpath="//td[position()>1]"))
+    assert pp == flat(select_spans(df, "td:nth-of-type(n+2)"))
+
     with pytest.raises(ValueError):
         select_spans(df, "p", xpath="//p")  # both
     with pytest.raises(ValueError):
         select_spans(df)  # neither
     with pytest.raises(ValueError):
-        select_spans(df, xpath="//p[position()>1]")  # driver-side reject
+        select_spans(df, xpath="//a/following::b")  # driver-side reject
 
 
 def test_root_pseudo_semantics():

@@ -35,6 +35,23 @@ Supported subset and its mapping:
                                    counts ALL element children, i.e.
                                    :nth-child(N)
     [last()]                     → :last-of-type (``*``: :last-child)
+    [last()-K]                   → :nth-last-of-type(K+1)
+    [position() OP rhs]          → the an+b forms of the same pseudos:
+                                   rhs an integer N → =::nth-of-type(N),
+                                   <=:(-n+N), <:(-n+N-1), >=:(n+N),
+                                   >:(n+N+1), !=::not(:nth-of-type(N));
+                                   rhs ``last()``/``last()-K`` → the
+                                   :nth-last-of-type twins (counting
+                                   from the end); comparisons that no
+                                   position satisfies (position()<1,
+                                   position()>last()) compile to the
+                                   never-matching :nth-of-type(0) —
+                                   exact, silent-empty like XPath
+    [position() mod A = B]       → :nth-of-type(An+B) (B≥A: never
+                                   matches; A=0 rejected — XPath
+                                   division by zero)
+                                   — all position()/last() arithmetic
+                                   is child-axis only, like [N]
     trailing /@attr              → @attr projection
     trailing /text()             → subtree-text projection (default)
     p1 | p2                      → comma group
@@ -57,6 +74,22 @@ Supported subset and its mapping:
     a/descendant::b              → a b        (explicit '//' spelling)
     a/ancestor::t                → t:has(a)   — same single-step-prefix
                                    and final-step bounds as parent::
+    a/self::t[p]                 → the target compound merged into the
+                                   context step (same element, extra
+                                   constraints); a different element
+                                   NAME can never match → the compound
+                                   gains :not(*) (exact empty, like
+                                   XPath). Any non-final position
+    a/ancestor-or-self::t        → comma-group union of the ancestor::
+                                   arm (t:has(a)) and the merged self
+                                   arm (dropped when the names can't
+                                   coexist); same single-step-prefix +
+                                   final-step bounds as ancestor::
+    a/descendant-or-self::t      → union of the descendant arm (a t)
+                                   and the merged self arm; any prefix,
+                                   final step only (+ projections).
+                                   Overlapping arms dedupe at emission
+                                   — one (element, projection) row
     [normalize-space()='v']      → :text-is('v')  (also (.) / (text());
                                    the collapsed subtree text IS
                                    normalize-space)
@@ -76,9 +109,8 @@ selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
 or each top-level element in fragment mode, mirroring XPath over a
 fragment's node-set). Everything else — other axes (``following::``,
-``ancestor-or-self::``), ``node()``, ``position()`` arithmetic, nested
-paths in predicates — raises ``ValueError`` naming the unsupported
-construct.
+``preceding::``), ``node()``, nested paths in predicates — raises
+``ValueError`` naming the unsupported construct.
 """
 
 from __future__ import annotations
@@ -107,6 +139,15 @@ _PRED_FN = re.compile(
     rf"^(contains|starts-with)\(\s*@({_ATTR})\s*,\s*('([^']*)'|\"([^\"]*)\")\s*\)$"
 )
 _PRED_INT = re.compile(r"^[0-9]+$")
+# position()/last() arithmetic — child-axis only, like [N]. The rhs is
+# an integer literal or last() (optionally minus an integer); the full
+# XPath numeric expression grammar stays out of scope.
+_PRED_LAST_MINUS = re.compile(r"^last\(\)\s*-\s*([0-9]+)$")
+_PRED_POS = re.compile(
+    r"^position\(\)\s*(!=|<=|>=|=|<|>)\s*"
+    r"(?:([0-9]+)|last\(\)(?:\s*-\s*([0-9]+))?)$"
+)
+_PRED_POS_MOD = re.compile(r"^position\(\)\s*mod\s*([0-9]+)\s*=\s*([0-9]+)$")
 _PRED_HAS = re.compile(rf"^\.//({_TAG}|\*)$")
 _PRED_NOT = re.compile(rf"^not\(\s*@({_ATTR})\s*\)$")
 # [text()='v'] / [.='v'] and [contains(text(),'v')] / [contains(.,'v')]
@@ -196,9 +237,15 @@ def _translate_predicate(
         return "".join(
             _translate_predicate(p, tag, xpath, positional_ok) for p in conj
         )
-    if not positional_ok and (_PRED_INT.match(pred) or pred == "last()"):
-        # [N]/[last()] on an AXIS step indexes the axis node-set (the
-        # N-th preceding sibling, etc.), which is NOT nth-of-type —
+    if not positional_ok and (
+        _PRED_INT.match(pred)
+        or pred == "last()"
+        or _PRED_LAST_MINUS.match(pred)
+        or _PRED_POS.match(pred)
+        or _PRED_POS_MOD.match(pred)
+    ):
+        # positional predicates on an AXIS step index the axis node-set
+        # (the N-th preceding sibling, etc.), which is NOT nth-of-type —
         # reject rather than mis-translate
         raise ValueError(
             f"unsupported positional predicate {pred!r} on an axis step "
@@ -221,6 +268,54 @@ def _translate_predicate(
         return f":{kind}({int(pred)})"
     if pred == "last()":
         return ":last-child" if tag == "*" else ":last-of-type"
+    # position()/last() arithmetic → the same an+b pseudos (the
+    # evaluator's CSS semantics pos = a·k + b, k ≥ 0, makes each
+    # comparison a one-liner; comparisons no position satisfies emit
+    # the never-matching :nth-of-type(0) — exact, silent-empty)
+    kind = "nth-child" if tag == "*" else "nth-of-type"
+    lkind = "nth-last-child" if tag == "*" else "nth-last-of-type"
+    last1 = ":last-child" if tag == "*" else ":last-of-type"
+    m = _PRED_LAST_MINUS.match(pred)
+    if m:
+        return f":{lkind}({int(m.group(1)) + 1})"
+    m = _PRED_POS.match(pred)
+    if m:
+        op = m.group(1)
+        if m.group(2) is not None:
+            n_ = int(m.group(2))
+            if op == "=":
+                return f":{kind}({n_})"
+            if op == "!=":
+                return f":not(:{kind}({n_}))"
+            if op == "<=":
+                return f":{kind}(-n+{n_})"
+            if op == "<":
+                return f":{kind}(-n+{n_ - 1})" if n_ >= 1 else f":{kind}(0)"
+            if op == ">=":
+                return f":{kind}(n+{n_})"
+            return f":{kind}(n+{n_ + 1})"  # >
+        k = int(m.group(3) or 0)  # rhs = last() - k
+        if op == "=":
+            return last1 if k == 0 else f":{lkind}({k + 1})"
+        if op == "!=":
+            return f":not({last1})" if k == 0 else f":not(:{lkind}({k + 1}))"
+        # translate through pos-from-end = total - pos + 1:
+        # pos OP total-k  ⇔  pos-from-end inverse-OP k+1
+        if op == "<=":
+            return f":{lkind}(n+{k + 1})"
+        if op == "<":
+            return f":{lkind}(n+{k + 2})"
+        if op == ">=":
+            return f":{lkind}(-n+{k + 1})"
+        return f":{lkind}(-n+{k})" if k >= 1 else f":{kind}(0)"  # >
+    m = _PRED_POS_MOD.match(pred)
+    if m:
+        a_, b_ = int(m.group(1)), int(m.group(2))
+        if a_ == 0:
+            raise ValueError(f"position() mod 0 (division by zero) in {xpath!r}")
+        if b_ >= a_:
+            return f":{kind}(0)"  # mod result is always < a — never matches
+        return f":{kind}({a_}n+{b_})"
     m = _PRED_HAS.match(pred)
     if m:
         return f":has({m.group(1)})"
@@ -242,6 +337,38 @@ def _translate_predicate(
             raise ValueError(f"empty contains() needle in {xpath!r}")
         return f":contains({_quote_val(val, xpath)})"
     raise ValueError(f"unsupported XPath predicate {pred!r} in {xpath!r}")
+
+
+def _join_arms(
+    out: list[tuple[str, str, str]],
+    alt_steps: list[tuple[str, str]] | None,
+    proj: str,
+) -> str:
+    """Serialize the main arm (and the -or-self union arm, when one
+    exists) with the projection suffix on each — a comma group in the
+    selector grammar; overlapping matches dedupe at emission."""
+    main = "".join(c + s for c, s, _ in out) + proj
+    if alt_steps is not None:
+        main += ", " + "".join(c + s for c, s in alt_steps) + proj
+    return main
+
+
+def _merge_self(prev_comp: str, ttag: str, trest: str) -> str | None:
+    """Merge a self-arm target compound (``ttag`` + predicate string
+    ``trest``) into the context step's compound — both constrain the
+    SAME element. Returns None when the element names can't coexist
+    (tag ∩ tag = ∅): the caller drops the arm (union axes) or appends
+    the never-matching :not(*) (bare self::)."""
+    m = _STEP_RE.match(prev_comp)
+    ptag = m.group(1)
+    rest_p = prev_comp[m.end() :]
+    if ptag == "*":
+        stag = ttag
+    elif ttag == "*" or ttag.lower() == ptag.lower():
+        stag = ptag
+    else:
+        return None
+    return stag + rest_p + trest
 
 
 def _translate_path(path: str, xpath: str) -> str:
@@ -267,6 +394,11 @@ def _translate_path(path: str, xpath: str) -> str:
     # sibling:: results (the step folded into a :has(...) subject —
     # final-step-only, since :has lives on the subject compound)
     out: list[tuple[str, str, str]] = []
+    # -or-self axes are unions: the main arm lives in `out`, the self
+    # arm (context compound merged with the target) here as (comb,
+    # compound) steps sharing the prefix. At most one union per path —
+    # the main arm's "has" kind makes any further step reject
+    alt_steps: list[tuple[str, str]] | None = None
     i, n = 0, len(rest)
     combinator = ""  # before the first step
     while i < n:
@@ -281,12 +413,12 @@ def _translate_path(path: str, xpath: str) -> str:
                 raise ValueError(f"unsupported XPath attribute step in {xpath!r}")
             if not out:
                 raise ValueError(f"unsupported XPath (bare attribute): {xpath!r}")
-            return "".join(c + s for c, s, _ in out) + f" @{name}"
+            return _join_arms(out, alt_steps, f" @{name}")
         if rest.startswith("text()", i):
             if i + 6 != n or not out:
                 raise ValueError(f"unsupported XPath text() position in {xpath!r}")
             # subtree text is the default projection
-            return "".join(c + s for c, s, _ in out)
+            return _join_arms(out, alt_steps, "")
         # axes: child:: / descendant:: are the explicit spellings of the
         # '/' and '//' separators; following-sibling:: / preceding-
         # sibling:: / parent:: / '..' / ancestor:: translate onto the
@@ -302,7 +434,8 @@ def _translate_path(path: str, xpath: str) -> str:
                 ax = m.group(0)[:-2]
                 if ax not in (
                     "following-sibling", "preceding-sibling", "parent",
-                    "child", "descendant", "ancestor",
+                    "child", "descendant", "ancestor", "self",
+                    "ancestor-or-self", "descendant-or-self",
                 ):
                     raise ValueError(
                         f"unsupported XPath axis {m.group(0)!r} in {xpath!r}"
@@ -327,11 +460,13 @@ def _translate_path(path: str, xpath: str) -> str:
                 )
         if out and out[-1][2] == "has":
             # a parent::/preceding-sibling::/ancestor:: result is a :has
-            # subject — the evaluator supports :has on the final
-            # compound only
+            # subject (the evaluator supports :has on the final compound
+            # only), and the -or-self unions fix both arms at emission —
+            # no step may follow any of them
             raise ValueError(
-                "unsupported XPath (parent::/preceding-sibling::/ancestor:: "
-                f"only on the final step): {xpath!r}"
+                "unsupported XPath (parent::/preceding-sibling::/ancestor::"
+                "/-or-self:: only on the final step): "
+                f"{xpath!r}"
             )
         preds: list[str] = []
         while i < n and rest[i] == "[":
@@ -401,20 +536,48 @@ def _translate_path(path: str, xpath: str) -> str:
             out.append(
                 (prev_comb, f"{tag}{''.join(preds)}:has(> {prev_comp})", "has")
             )
-        elif axis == "ancestor":
+        elif axis in ("ancestor", "ancestor-or-self"):
             # //a/ancestor::div ⇔ div with a DESCENDANT matching a —
             # the plain :has witness; same single-step-prefix bound as
             # parent:: (a longer prefix constrains a's position relative
-            # to elements the ancestor may BE)
+            # to elements the ancestor may BE). -or-self adds the merged
+            # self arm as a union alternative (dropped when the element
+            # names can't coexist — that arm is exactly empty)
             if len(out) != 1 or out[0][2] != "plain":
                 raise ValueError(
-                    f"unsupported XPath (ancestor:: needs a single-step "
+                    f"unsupported XPath ({axis}:: needs a single-step "
                     f"prefix): {xpath!r}"
                 )
             prev_comb, prev_comp, _ = out.pop()
+            if axis == "ancestor-or-self":
+                merged = _merge_self(prev_comp, tag, "".join(preds))
+                if merged is not None:
+                    alt_steps = [(prev_comb, merged)]
             out.append(
                 (prev_comb, f"{tag}{''.join(preds)}:has({prev_comp})", "has")
             )
+        elif axis == "self":
+            # a/self::b[p] — the context element itself with extra
+            # constraints: merge into the context compound. A different
+            # element name can never match → :not(*) (exact empty)
+            prev_comb, prev_comp, prev_kind = out.pop()
+            merged = _merge_self(prev_comp, tag, "".join(preds))
+            if merged is None:
+                merged = prev_comp + "".join(preds) + ":not(*)"
+            out.append((prev_comb, merged, prev_kind))
+        elif axis == "descendant-or-self":
+            # //a/descendant-or-self::b ⇔ (a b) ∪ (a that IS b): the
+            # descendant arm appends like descendant::, the self arm
+            # merges the target into the CONTEXT step, sharing any
+            # prefix. Final step only (kind "has" below rejects more
+            # steps) — the two arms would diverge under further steps
+            prev_comb, prev_comp, prev_kind = out[-1]
+            merged = _merge_self(prev_comp, tag, "".join(preds))
+            if merged is not None:
+                alt_steps = [(c, s) for c, s, _ in out[:-1]] + [
+                    (prev_comb, merged)
+                ]
+            out.append((" ", tag + "".join(preds), "has"))
         else:
             anchor = ":root" if absolute and not out else ""
             out.append((combinator, tag + anchor + "".join(preds), "plain"))
@@ -434,7 +597,7 @@ def _translate_path(path: str, xpath: str) -> str:
         raise ValueError(
             f"unsupported XPath (text predicates only on the final step): {xpath!r}"
         )
-    return "".join(c + s for c, s, _ in out)
+    return _join_arms(out, alt_steps, "")
 
 
 def xpath_to_selector(xpath: str) -> str:
