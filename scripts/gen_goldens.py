@@ -127,6 +127,12 @@ PDF_ENC_R3_FLATE = make_fixture_pdf_encrypted(
 PDF_ENC_LOCKED = make_fixture_pdf_encrypted(
     [["never readable"]], r=3, corrupt_u=True
 )
+# round 5: a REAL non-empty user password — the golden path opens the
+# document without a password, so it must degrade to no spans (the
+# password-supplied open is unit-matrix territory, test_pdfmini)
+PDF_ENC_USER_PWD = make_fixture_pdf_encrypted(
+    [["password gated"]], r=3, user_pwd=b"hunter2"
+)
 # AES generations (V4 AESV2 crypt filter, V5 AES-256 R5/R6): decrypt
 # is AES-CBC with IV prefix + PKCS#7 strip; R6 exercises the hardened
 # 2.B password hash; the locked AES doc degrades like the RC4 one
@@ -428,6 +434,7 @@ CASES = {
         ("pdf_rc4_r3_encrypted", [("pdf", PDF_ENC_R3, None)]),
         ("pdf_rc4_flate_under_encryption", [("pdf", PDF_ENC_R3_FLATE, None)]),
         ("pdf_user_locked_degrades_empty", [("pdf", PDF_ENC_LOCKED, None)]),
+        ("pdf_user_password_without_password_degrades", [("pdf", PDF_ENC_USER_PWD, None)]),
         ("pdf_aesv2_r4_encrypted", [("pdf", PDF_ENC_AESV2, None)]),
         ("pdf_aesv2_flate_under_encryption", [("pdf", PDF_ENC_AESV2_FLATE, None)]),
         ("pdf_aes256_r5_encrypted", [("pdf", PDF_ENC_AES256_R5, None)]),

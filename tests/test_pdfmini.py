@@ -1,4 +1,5 @@
 """PDF fixture-dialect tests (SURVEY.md A26, FIXTURES.md §6)."""
+import pytest
 
 from xkit.pdfmini import extract_pdf_text, make_fixture_pdf
 
@@ -637,3 +638,85 @@ def test_cid_predefined_cmap_without_tounicode_suppresses():
     # indirect /Encoding reference: same degradation
     patched2 = pdf.replace("/Encoding /Identity-H", "/Encoding 99 0 R    ")
     assert extract_pdf_text(patched2) == []
+
+
+# ------------------------------------------------- password-protected (round 5)
+
+
+@pytest.mark.parametrize("r", [2, 3, 4, 5, 6])
+def test_user_password_matrix(r):
+    """Non-empty USER password across all five standard-security
+    generations: no password and a wrong password degrade to no spans;
+    the user password and the OWNER password both open the document
+    (user path: direct key derivation; owner path: algorithm 7 /O
+    unwrap for R 2-4, /O + /OE validation for R 5-6)."""
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    pdf = make_fixture_pdf_encrypted(
+        [["protected text"]], r=r, user_pwd=b"s3cret", owner_pwd=b"boss"
+    )
+    assert extract_pdf_text(pdf) == []
+    assert extract_pdf_text(pdf, "wrong") == []
+    assert extract_pdf_text(pdf, "s3cret") == ["protected text"]
+    assert extract_pdf_text(pdf, b"s3cret") == ["protected text"]
+    assert extract_pdf_text(pdf, "boss") == ["protected text"]
+
+
+@pytest.mark.parametrize("r", [3, 6])
+def test_empty_user_password_still_opens_with_any_password(r):
+    """A document with an EMPTY user password must open regardless of
+    what password the caller supplies (the reader falls through
+    user -> owner -> empty, like real viewers), and the owner password
+    opens it through the owner path too."""
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    pdf = make_fixture_pdf_encrypted([["open text"]], r=r, owner_pwd=b"boss")
+    assert extract_pdf_text(pdf) == ["open text"]
+    assert extract_pdf_text(pdf, "unrelated") == ["open text"]
+    assert extract_pdf_text(pdf, "boss") == ["open text"]
+
+
+def test_password_with_flate_and_encrypt_metadata_false():
+    """Password-derived keys compose with the other /Encrypt knobs:
+    Flate-under-RC4 (decrypt before inflate) and /EncryptMetadata
+    false (key derivation step f)."""
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    pdf = make_fixture_pdf_encrypted(
+        [["zipped"]], r=3, user_pwd=b"pw", compress=True
+    )
+    assert extract_pdf_text(pdf, "pw") == ["zipped"]
+    pdf2 = make_fixture_pdf_encrypted(
+        [["nometa"]], r=4, user_pwd=b"pw", encrypt_metadata=False
+    )
+    assert extract_pdf_text(pdf2, "pw") == ["nometa"]
+    assert extract_pdf_text(pdf2, "other") == []
+
+
+def test_corrupt_u_locked_even_with_owner_password():
+    """corrupt_u flips /U AFTER the owner hash was computed over the
+    original bytes — R6 owner validation covers /U, so the document is
+    unopenable by design (degrades, never raises)."""
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    pdf = make_fixture_pdf_encrypted([["x"]], r=6, corrupt_u=True)
+    assert extract_pdf_text(pdf) == []
+    assert extract_pdf_text(pdf, "owner") == []
+
+
+def test_pdf_password_threads_through_extract_doc():
+    """The pipeline surface: ExtractOptions.pdf_password reaches the
+    PDF branch of extract_doc — one corpus-wide setting opens
+    protected documents next to plain HTML rows."""
+    from xkit.doc import extract_doc
+    from xkit.options import ExtractOptions
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    pdf = make_fixture_pdf_encrypted([["inside pdf"]], r=3, user_pwd=b"kw")
+    kinds, texts, media = ["html", "pdf"], ["<p>plain</p>", pdf], [None, None]
+    k, t, m, o = extract_doc(kinds, texts, media, list(range(2)),
+                             ExtractOptions(pdf_password="kw"))
+    assert t == ["plain", "inside pdf"]
+    # without the password the pdf row contributes nothing
+    k2, t2, m2, o2 = extract_doc(kinds, texts, media, list(range(2)))
+    assert t2 == ["plain"]

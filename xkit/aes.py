@@ -3,12 +3,18 @@
 Exists because encrypted-PDF support (xkit/pdfmini.py) needs AES-128
 (/V 4 AESV2 crypt filters) and AES-256 (/V 5, plus the R6 hardened
 password hash which runs AES-128-CBC inside its loop) and the sandbox
-ships no cipher library. Straightforward byte-oriented implementation
-— xtime-based MixColumns, no lookup-table cache — correct and fast
-enough for dialect-fixture sizes; a corpus-scale encrypted-PDF path
-would swap in a C cipher behind the same three functions.
+ships no cipher library. Round-5: the byte-oriented MixColumns walk
+was replaced by the standard 32-bit T-table construction (SubBytes +
+ShiftRows + MixColumns fused into four 256-entry word tables; the
+decryption side uses the equivalent inverse cipher with
+InvMixColumns-transformed round keys) — ~15× per block, which is what
+makes wrong-password attempts against /R 6 documents (three hardened
+2.B hashes each) and corpus-scale AES stream decryption tolerable
+without a C cipher. A production deployment would still swap in a
+native cipher behind the same three functions.
 
-Verified against the FIPS-197 appendix C vectors (tests/test_pdfmini).
+Verified against the FIPS-197 appendix C vectors (tests/test_pdfmini)
+and property-tested CBC round-trips.
 """
 
 from __future__ import annotations
@@ -58,6 +64,43 @@ def _mul(a: int, b: int) -> int:
     return p
 
 
+def _make_tables():
+    """The classic fused word tables. Encryption: column word
+    contribution of the row-r input byte x is MixColumns-matrix column
+    r applied to S[x]. Decryption tables fuse InvSubBytes with
+    InvMixColumns the same way; ``cmix`` applies plain InvMixColumns
+    to a word (for the equivalent-inverse-cipher round keys) via
+    Td[S[x]] — the S∘InvS pair cancels."""
+    te = [[0] * 256 for _ in range(4)]
+    td = [[0] * 256 for _ in range(4)]
+    enc_m = (2, 1, 1, 3)  # MixColumns matrix column 0, rows 0..3
+    dec_m = (14, 9, 13, 11)  # InvMixColumns matrix column 0
+    for x in range(256):
+        s, si = _SBOX[x], _INV_SBOX[x]
+        for r in range(4):
+            # matrix column r is column 0 rotated DOWN by r
+            w = 0
+            wi = 0
+            for row in range(4):
+                w = (w << 8) | _mul(s, enc_m[(row - r) % 4])
+                wi = (wi << 8) | _mul(si, dec_m[(row - r) % 4])
+            te[r][x] = w
+            td[r][x] = wi
+    return te, td
+
+
+(_TE0, _TE1, _TE2, _TE3), (_TD0, _TD1, _TD2, _TD3) = _make_tables()
+
+
+def _inv_mix_word(w: int) -> int:
+    return (
+        _TD0[_SBOX[(w >> 24) & 255]]
+        ^ _TD1[_SBOX[(w >> 16) & 255]]
+        ^ _TD2[_SBOX[(w >> 8) & 255]]
+        ^ _TD3[_SBOX[w & 255]]
+    )
+
+
 def _expand_key(key: bytes) -> list[bytes]:
     nk = len(key) // 4
     if nk not in (4, 8):
@@ -77,63 +120,77 @@ def _expand_key(key: bytes) -> list[bytes]:
     return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
 
 
-def _add_round_key(state: bytearray, rk: bytes) -> None:
-    for i in range(16):
-        state[i] ^= rk[i]
+def _enc_words(ks: list[bytes]) -> list[list[int]]:
+    return [
+        [int.from_bytes(rk[i : i + 4], "big") for i in (0, 4, 8, 12)] for rk in ks
+    ]
 
 
-def _shift_rows(s: bytearray, inv: bool = False) -> None:
-    for r in range(1, 4):
-        row = [s[r + 4 * c] for c in range(4)]
-        k = (-r) % 4 if inv else r
-        row = row[k:] + row[:k]
-        for c in range(4):
-            s[r + 4 * c] = row[c]
+def _dec_words(ks: list[bytes]) -> list[list[int]]:
+    """Equivalent-inverse-cipher key schedule: last round key first,
+    InvMixColumns applied to every middle one."""
+    ew = _enc_words(ks)
+    return (
+        [ew[-1]]
+        + [[_inv_mix_word(w) for w in rk] for rk in ew[-2:0:-1]]
+        + [ew[0]]
+    )
 
 
-def _mix_columns(s: bytearray, inv: bool = False) -> None:
-    m = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
-    for c in range(4):
-        col = s[4 * c : 4 * c + 4]
-        for r in range(4):
-            s[4 * c + r] = (
-                _mul(col[0], m[(0 - r) % 4])
-                ^ _mul(col[1], m[(1 - r) % 4])
-                ^ _mul(col[2], m[(2 - r) % 4])
-                ^ _mul(col[3], m[(3 - r) % 4])
-            )
+def _encrypt_int(rkw: list[list[int]], x: int) -> int:
+    rk = rkw[0]
+    w0 = ((x >> 96) & 0xFFFFFFFF) ^ rk[0]
+    w1 = ((x >> 64) & 0xFFFFFFFF) ^ rk[1]
+    w2 = ((x >> 32) & 0xFFFFFFFF) ^ rk[2]
+    w3 = (x & 0xFFFFFFFF) ^ rk[3]
+    T0, T1, T2, T3 = _TE0, _TE1, _TE2, _TE3
+    for rk in rkw[1:-1]:
+        n0 = T0[w0 >> 24] ^ T1[(w1 >> 16) & 255] ^ T2[(w2 >> 8) & 255] ^ T3[w3 & 255] ^ rk[0]
+        n1 = T0[w1 >> 24] ^ T1[(w2 >> 16) & 255] ^ T2[(w3 >> 8) & 255] ^ T3[w0 & 255] ^ rk[1]
+        n2 = T0[w2 >> 24] ^ T1[(w3 >> 16) & 255] ^ T2[(w0 >> 8) & 255] ^ T3[w1 & 255] ^ rk[2]
+        n3 = T0[w3 >> 24] ^ T1[(w0 >> 16) & 255] ^ T2[(w1 >> 8) & 255] ^ T3[w2 & 255] ^ rk[3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    rk = rkw[-1]
+    S = _SBOX
+    n0 = (S[w0 >> 24] << 24) ^ (S[(w1 >> 16) & 255] << 16) ^ (S[(w2 >> 8) & 255] << 8) ^ S[w3 & 255] ^ rk[0]
+    n1 = (S[w1 >> 24] << 24) ^ (S[(w2 >> 16) & 255] << 16) ^ (S[(w3 >> 8) & 255] << 8) ^ S[w0 & 255] ^ rk[1]
+    n2 = (S[w2 >> 24] << 24) ^ (S[(w3 >> 16) & 255] << 16) ^ (S[(w0 >> 8) & 255] << 8) ^ S[w1 & 255] ^ rk[2]
+    n3 = (S[w3 >> 24] << 24) ^ (S[(w0 >> 16) & 255] << 16) ^ (S[(w1 >> 8) & 255] << 8) ^ S[w2 & 255] ^ rk[3]
+    return (n0 << 96) | (n1 << 64) | (n2 << 32) | n3
+
+
+def _decrypt_int(dkw: list[list[int]], x: int) -> int:
+    rk = dkw[0]
+    w0 = ((x >> 96) & 0xFFFFFFFF) ^ rk[0]
+    w1 = ((x >> 64) & 0xFFFFFFFF) ^ rk[1]
+    w2 = ((x >> 32) & 0xFFFFFFFF) ^ rk[2]
+    w3 = (x & 0xFFFFFFFF) ^ rk[3]
+    D0, D1, D2, D3 = _TD0, _TD1, _TD2, _TD3
+    for rk in dkw[1:-1]:
+        n0 = D0[w0 >> 24] ^ D1[(w3 >> 16) & 255] ^ D2[(w2 >> 8) & 255] ^ D3[w1 & 255] ^ rk[0]
+        n1 = D0[w1 >> 24] ^ D1[(w0 >> 16) & 255] ^ D2[(w3 >> 8) & 255] ^ D3[w2 & 255] ^ rk[1]
+        n2 = D0[w2 >> 24] ^ D1[(w1 >> 16) & 255] ^ D2[(w0 >> 8) & 255] ^ D3[w3 & 255] ^ rk[2]
+        n3 = D0[w3 >> 24] ^ D1[(w2 >> 16) & 255] ^ D2[(w1 >> 8) & 255] ^ D3[w0 & 255] ^ rk[3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    rk = dkw[-1]
+    IS = _INV_SBOX
+    n0 = (IS[w0 >> 24] << 24) ^ (IS[(w3 >> 16) & 255] << 16) ^ (IS[(w2 >> 8) & 255] << 8) ^ IS[w1 & 255] ^ rk[0]
+    n1 = (IS[w1 >> 24] << 24) ^ (IS[(w0 >> 16) & 255] << 16) ^ (IS[(w3 >> 8) & 255] << 8) ^ IS[w2 & 255] ^ rk[1]
+    n2 = (IS[w2 >> 24] << 24) ^ (IS[(w1 >> 16) & 255] << 16) ^ (IS[(w0 >> 8) & 255] << 8) ^ IS[w3 & 255] ^ rk[2]
+    n3 = (IS[w3 >> 24] << 24) ^ (IS[(w2 >> 16) & 255] << 16) ^ (IS[(w1 >> 8) & 255] << 8) ^ IS[w0 & 255] ^ rk[3]
+    return (n0 << 96) | (n1 << 64) | (n2 << 32) | n3
 
 
 def encrypt_block(key_schedule: list[bytes], block: bytes) -> bytes:
-    s = bytearray(block)
-    _add_round_key(s, key_schedule[0])
-    for rnd in range(1, len(key_schedule) - 1):
-        for i in range(16):
-            s[i] = _SBOX[s[i]]
-        _shift_rows(s)
-        _mix_columns(s)
-        _add_round_key(s, key_schedule[rnd])
-    for i in range(16):
-        s[i] = _SBOX[s[i]]
-    _shift_rows(s)
-    _add_round_key(s, key_schedule[-1])
-    return bytes(s)
+    return _encrypt_int(
+        _enc_words(key_schedule), int.from_bytes(block, "big")
+    ).to_bytes(16, "big")
 
 
 def decrypt_block(key_schedule: list[bytes], block: bytes) -> bytes:
-    s = bytearray(block)
-    _add_round_key(s, key_schedule[-1])
-    for rnd in range(len(key_schedule) - 2, 0, -1):
-        _shift_rows(s, inv=True)
-        for i in range(16):
-            s[i] = _INV_SBOX[s[i]]
-        _add_round_key(s, key_schedule[rnd])
-        _mix_columns(s, inv=True)
-    _shift_rows(s, inv=True)
-    for i in range(16):
-        s[i] = _INV_SBOX[s[i]]
-    _add_round_key(s, key_schedule[0])
-    return bytes(s)
+    return _decrypt_int(
+        _dec_words(key_schedule), int.from_bytes(block, "big")
+    ).to_bytes(16, "big")
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -141,13 +198,14 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     (PDF uses PKCS#7 padding — the caller appends it)."""
     if len(data) % 16:
         raise ValueError("CBC data must be block-aligned")
-    ks = _expand_key(key)
+    rkw = _enc_words(_expand_key(key))
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for off in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
-        prev = encrypt_block(ks, blk)
-        out += prev
+        prev = _encrypt_int(
+            rkw, int.from_bytes(data[off : off + 16], "big") ^ prev
+        )
+        out += prev.to_bytes(16, "big")
     return bytes(out)
 
 
@@ -155,11 +213,11 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC decrypt of block-aligned ``data`` (no padding removal)."""
     if len(data) % 16:
         raise ValueError("CBC data must be block-aligned")
-    ks = _expand_key(key)
+    dkw = _dec_words(_expand_key(key))
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for off in range(0, len(data), 16):
-        blk = data[off : off + 16]
-        out += bytes(a ^ b for a, b in zip(decrypt_block(ks, blk), prev))
+        blk = int.from_bytes(data[off : off + 16], "big")
+        out += (_decrypt_int(dkw, blk) ^ prev).to_bytes(16, "big")
         prev = blk
     return bytes(out)

@@ -67,7 +67,7 @@ def extract_doc(
             raw = texts[i]
             if raw is None:
                 continue
-            for block in extract_pdf_text(raw):
+            for block in extract_pdf_text(raw, options.pdf_password):
                 ok.append("text")
                 ot.append(block)
                 om.append(None)

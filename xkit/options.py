@@ -29,6 +29,13 @@ class ExtractOptions:
                         body content — a fragment has no document
                         structure to normalize. Boilerplate heuristics
                         (nav/footer/script, density) still apply.
+    pdf_password      : corpus-wide password for standard-security
+                        PDFs (A26): tried as the user password, then
+                        the owner password, then the empty user
+                        password per document — so a mixed corpus of
+                        open and protected documents extracts with one
+                        setting. Wrong/absent password degrades that
+                        document to no spans, never raises.
     """
 
     base_url: str | None = None
@@ -36,6 +43,7 @@ class ExtractOptions:
     min_text_density: float = 2.0
     min_block_chars: int = 1
     fragment: bool = False
+    pdf_password: str = ""
 
 
 DEFAULT_OPTIONS = ExtractOptions()

@@ -64,9 +64,13 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
   still take the byte-order fallback (which also never sees CMaps —
   page↔font association needs the tree walk).
 
-* **Standard-security decryption** (encrypted PDFs, EMPTY user
-  password — the common owner-locked-but-readable case), all four
-  handler generations:
+* **Standard-security decryption** (encrypted PDFs), all four handler
+  generations. Round 5: non-empty USER and OWNER passwords — a
+  caller-supplied password is tried as the user password, then as the
+  owner password (algorithm 7: /O unwraps the padded user password
+  for R 2–4; /O + /OE validate and unwrap the file key for R 5–6),
+  then the empty user password (the common
+  owner-locked-but-readable case keeps opening with no password):
 
   - ``/V 1|2`` + ``/R 2|3`` (40/128-bit RC4): file key per spec
     algorithm 2 (padded password, /O, /P, first /ID element; 50 MD5
@@ -83,14 +87,16 @@ generator (:func:`make_fixture_pdf`, FIXTURES.md §6):
     plain SHA-256. Password validation against ``/U[:32]`` happens
     before any stream is touched.
 
-  The AES core is xkit/aes.py — pure-Python FIPS-197, verified
-  against the appendix C vectors. Failing the /U check (a real user
-  password) or any unknown scheme degrades to skipped streams, never
-  garbage output.
+  The AES core is xkit/aes.py — pure-Python FIPS-197 (T-table form),
+  verified against the appendix C vectors. Failing every password
+  attempt (/U, and /O when a password is supplied) or any unknown
+  scheme degrades to skipped streams, never garbage output. Password
+  strings are encoded UTF-8 (exact for /R 6; the spec's
+  PDFDocEncoding for legacy revisions and SASLprep normalization are
+  documented simplifications — pass bytes for exact control).
 
 Out of scope, documented: full font CMaps (CID-keyed, embedded
-program tables), non-empty user passwords, owner-password-only
-validation, the /Perms integrity check, sub-byte TIFF-predictor
+program tables), the /Perms integrity check, sub-byte TIFF-predictor
 layouts.
 (``/EncryptMetadata false`` key derivation and byte-aligned TIFF
 predictor 2 ARE handled.)
@@ -435,7 +441,7 @@ _ENC_STR_RE = {
     k: re.compile(
         rb"/%s\s*(?:\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>)" % k, re.DOTALL
     )
-    for k in (b"O", b"U", b"UE")
+    for k in (b"O", b"U", b"UE", b"OE")
 }
 _CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
 _OCT_ESC_RE = re.compile(rb"\\([0-7]{1,3})")
@@ -576,10 +582,15 @@ class _StdDecryptor:
         return _rc4(k, body)
 
 
-def _find_encryption(data: bytes, offsets: dict):
+def _find_encryption(data: bytes, offsets: dict, password: bytes = b""):
     """_StdDecryptor for an encrypted document, or None (unencrypted,
     or an unsupported/locked scheme — extraction then degrades to
-    skipping the undecodable streams)."""
+    skipping the undecodable streams). A non-empty ``password`` is
+    tried as the USER password, then as the OWNER password (algorithm
+    7: unwrap the user password from /O, R 2–4; validate against
+    /O + /OE, R 5–6), and finally the empty user password — the order
+    real readers use, so a document with an empty user password still
+    opens when the caller supplies an unrelated password."""
     ref = None
     for m in _ENCRYPT_REF_RE.finditer(data):  # last trailer wins
         ref = m
@@ -601,23 +612,33 @@ def _find_encryption(data: bytes, offsets: dict):
     u = enc_str(b"U")
 
     if v == 5 and r in (5, 6):
-        # AES-256: recover the file key from /UE with the empty user
-        # password (algorithm 2.A); R5 is the deprecated plain-SHA-256
-        # variant, R6 the hardened 2.B hash
+        # AES-256: recover the file key from /UE (user path) or /OE
+        # (owner path) per algorithm 2.A; R5 is the deprecated
+        # plain-SHA-256 variant, R6 the hardened 2.B hash
         ue = enc_str(b"UE")
         if u is None or len(u) < 48 or ue is None or len(ue) < 32:
             return None
         vsalt, ksalt = u[32:40], u[40:48]
-        if r == 6:
-            hsh = _hash_2b(b"", vsalt)
-            ik = _hash_2b(b"", ksalt)
-        else:
-            hsh = hashlib.sha256(b"" + vsalt).digest()
-            ik = hashlib.sha256(b"" + ksalt).digest()
-        if hsh != u[:32]:
-            return None  # real user password — cannot decrypt
-        key = aes_cbc_decrypt(ik, bytes(16), ue[:32])
-        return _StdDecryptor(key, "aesv3")
+
+        def h5(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+            if r == 6:
+                return _hash_2b(pwd, salt, udata)
+            return hashlib.sha256(pwd + salt + udata).digest()
+
+        for pwd in dict.fromkeys((password, b"")):  # user attempts
+            if h5(pwd, vsalt) == u[:32]:
+                key = aes_cbc_decrypt(h5(pwd, ksalt), bytes(16), ue[:32])
+                return _StdDecryptor(key, "aesv3")
+        if password:
+            # owner attempt: the owner hash covers the 48 /U bytes
+            o5, oe = enc_str(b"O"), enc_str(b"OE")
+            if o5 is not None and len(o5) >= 48 and oe is not None and len(oe) >= 32:
+                ovsalt, oksalt = o5[32:40], o5[40:48]
+                if h5(password, ovsalt, u[:48]) == o5[:32]:
+                    ik = h5(password, oksalt, u[:48])
+                    key = aes_cbc_decrypt(ik, bytes(16), oe[:32])
+                    return _StdDecryptor(key, "aesv3")
+        return None  # wrong password — cannot decrypt
 
     if v not in (1, 2, 4) or r not in (2, 3, 4) or p is None:
         return None
@@ -641,15 +662,36 @@ def _find_encryption(data: bytes, offsets: dict):
         id_m = m
     id0 = _pdf_string_bytes(None, id_m.group(1)) if id_m else b""
     em = re.search(rb"/EncryptMetadata\s+false", enc) is None
-    key = _std_file_key(
-        o, p, id0 or b"", r, ints["Length"] or (128 if v == 4 else 40),
-        encrypt_metadata=em,
-    )
-    if u is not None:
-        expect = _std_user_check(key, id0 or b"", r)
-        if u[: len(expect)] != expect:
-            return None  # real user password — cannot decrypt
-    return _StdDecryptor(key, mode)
+    length = ints["Length"] or (128 if v == 4 else 40)
+
+    candidates = list(dict.fromkeys((password, b"")))
+    if password:
+        # owner attempt (algorithm 7): the owner-derived RC4 key chain
+        # unwraps the PADDED user password from /O; feeding that pad
+        # back through the user path validates it against /U
+        h = hashlib.md5((password + _PDF_PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        okey = h[: max(5, min(16, length // 8)) if r >= 3 else 5]
+        user_pad = o[:32]
+        if r == 2:
+            user_pad = _rc4(okey, user_pad)
+        else:
+            for i in range(19, -1, -1):
+                user_pad = _rc4(bytes(b ^ i for b in okey), user_pad)
+        candidates.insert(1, user_pad)  # after the user attempt
+
+    for pwd in candidates:
+        key = _std_file_key(
+            o, p, id0 or b"", r, length, user_pwd=pwd, encrypt_metadata=em
+        )
+        if u is not None:
+            expect = _std_user_check(key, id0 or b"", r)
+            if u[: len(expect)] != expect:
+                continue  # this candidate fails /U validation
+        return _StdDecryptor(key, mode)
+    return None  # wrong password — cannot decrypt
 
 
 # classic xref-table machinery
@@ -1044,7 +1086,7 @@ def _page_content_objs(data: bytes, offsets: dict, dec=None) -> list | None:
     return pages if pages else None
 
 
-def extract_pdf_text(data: bytes | str) -> list[str]:
+def extract_pdf_text(data: bytes | str, password: bytes | str = b"") -> list[str]:
     """Extract ordered text blocks (one per BT…ET object) from PDF bytes.
 
     Pages come from the xref-table + page-tree walk when possible
@@ -1052,9 +1094,19 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     streams skipped); otherwise every stream is scanned in byte order.
     Accepts ``str`` too (the pipeline's ``text`` column is string; the
     fixture dialect is latin-1-safe).
+
+    ``password`` opens standard-security documents with a non-empty
+    user or owner password (tried in that order, then the empty user
+    password). A str password is encoded UTF-8 — exact for /R 6 and
+    for the ASCII passwords that dominate /R ≤ 4 practice (the spec's
+    PDFDocEncoding for legacy revisions and SASLprep normalization are
+    simplifications documented here; pass bytes to control encoding
+    precisely). The wrong password degrades to no spans, never raises.
     """
     if isinstance(data, str):
         data = data.encode("latin-1", errors="replace")
+    if isinstance(password, str):
+        password = password.encode("utf-8", errors="replace")
     # bounded copy: lstrip() on the full payload would duplicate a
     # multi-MB document to check a 5-byte magic
     if not data[:1024].lstrip()[:5].startswith(b"%PDF-"):
@@ -1064,7 +1116,7 @@ def extract_pdf_text(data: bytes | str) -> list[str]:
     # PDF 1.5+ xref streams compose with (and, in hybrid files,
     # override) classic tables; type-2 entries resolve through ObjStm
     offsets.update(_parse_xref_streams(data))
-    dec = _find_encryption(data, offsets) if offsets else None
+    dec = _find_encryption(data, offsets, password) if offsets else None
     pages = _page_content_objs(data, offsets, dec) if offsets else None
     if pages is not None:
         unresolved = False
@@ -1705,17 +1757,22 @@ def make_fixture_pdf_encrypted(
     blocks: list[list[str]] | None = None,
     r: int = 3,
     owner_pwd: bytes = b"owner",
+    user_pwd: bytes = b"",
     compress: bool = False,
     corrupt_u: bool = False,
     encrypt_metadata: bool = True,
 ) -> str:
-    """Single-page encrypted fixture (standard security handler, EMPTY
-    user password): /R 2 = 40-bit RC4 /V 1, /R 3 = 128-bit RC4 /V 2,
-    /R 4 = /V 4 crypt filter /CFM /AESV2 (AES-128-CBC), /R 5|6 = /V 5
-    AES-256 (/UE-wrapped file key; R6 uses the hardened 2.B hash).
-    /O, /U (and /UE for V5) are computed exactly per the spec's
-    algorithms, so the extractor's key derivation and /U validation
-    are exercised for real, not against hand-picked constants.
+    """Single-page encrypted fixture (standard security handler):
+    /R 2 = 40-bit RC4 /V 1, /R 3 = 128-bit RC4 /V 2, /R 4 = /V 4 crypt
+    filter /CFM /AESV2 (AES-128-CBC), /R 5|6 = /V 5 AES-256
+    (/UE-wrapped file key; R6 uses the hardened 2.B hash).
+    /O, /U (and /OE, /UE for V5 — real owner entries, so the owner-
+    password path is exercised for every generation) are computed
+    exactly per the spec's algorithms, so the extractor's key
+    derivation and validation are exercised for real, not against
+    hand-picked constants. A non-empty ``user_pwd`` makes the document
+    require a password (the extractor must degrade to [] without one
+    and open with either ``user_pwd`` or ``owner_pwd``).
     ``corrupt_u`` flips the /U entry — the document then reads as
     user-password-locked and extraction must degrade to [] without
     raising. Deterministic, latin-1-safe string like
@@ -1757,18 +1814,26 @@ def make_fixture_pdf_encrypted(
     oe = ue = None
     if r >= 5:
         # AES-256 (V5): /U = 2.A hash + validation/key salts; /UE wraps
-        # the file key; owner entries are spec-shaped dummies (the
-        # empty-user-password reader never consults them)
+        # the file key; /O and /OE are the REAL owner twins (hashes
+        # cover the 48 /U bytes per spec)
         vsalt, ksalt = bytes(range(0x10, 0x18)), bytes(range(0x18, 0x20))
+        ovsalt, oksalt = bytes(range(0x20, 0x28)), bytes(range(0x28, 0x30))
         key = bytes((i * 7 + 3) & 0xFF for i in range(32))
         if r == 6:
-            hsh, ik = _hash_2b(b"", vsalt), _hash_2b(b"", ksalt)
+            hsh, ik = _hash_2b(user_pwd, vsalt), _hash_2b(user_pwd, ksalt)
         else:
-            hsh = hashlib.sha256(vsalt).digest()
-            ik = hashlib.sha256(ksalt).digest()
+            hsh = hashlib.sha256(user_pwd + vsalt).digest()
+            ik = hashlib.sha256(user_pwd + ksalt).digest()
         u = hsh + vsalt + ksalt
         ue = aes_cbc_encrypt(ik, bytes(16), key)
-        o, oe = bytes(48), bytes(32)
+        if r == 6:
+            ohsh = _hash_2b(owner_pwd, ovsalt, u[:48])
+            oik = _hash_2b(owner_pwd, oksalt, u[:48])
+        else:
+            ohsh = hashlib.sha256(owner_pwd + ovsalt + u[:48]).digest()
+            oik = hashlib.sha256(owner_pwd + oksalt + u[:48]).digest()
+        o = ohsh + ovsalt + oksalt
+        oe = aes_cbc_encrypt(oik, bytes(16), key)
         if corrupt_u:
             u = bytes(b ^ 0xFF for b in u)
         enc_body = aes_stream(key, content)
@@ -1780,13 +1845,14 @@ def make_fixture_pdf_encrypted(
             for _ in range(50):
                 h = hashlib.md5(h).digest()
         okey = h[:n]
-        o = _rc4(okey, _PDF_PAD)  # empty user password -> pad itself
+        o = _rc4(okey, (user_pwd + _PDF_PAD)[:32])
         if r >= 3:
             for i in range(1, 20):
                 o = _rc4(bytes(b ^ i for b in okey), o)
 
         key = _std_file_key(
-            o, p, id0, r, length_bits, encrypt_metadata=encrypt_metadata
+            o, p, id0, r, length_bits, user_pwd=user_pwd,
+            encrypt_metadata=encrypt_metadata,
         )
         u = _std_user_check(key, id0, r)
         if r >= 3:

@@ -88,7 +88,7 @@ def project_doc(
             raw = texts[i]
             if raw is None:
                 continue
-            for block in extract_pdf_text(raw):
+            for block in extract_pdf_text(raw, options.pdf_password):
                 ok.append("text")
                 ot.append(block)
                 om.append(None)
