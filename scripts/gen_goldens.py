@@ -971,6 +971,26 @@ SELECTOR_CASES = [
      '<span id=o><span id=i>t</span></span>',
      'span:has(span), span @id',
      None),
+    # --- round-5 batch 2: document-order witness pseudos (XPath
+    # following:: / preceding:: compile onto :after/:before) ---
+    ('after_pseudo_document_order',
+     '<p>before</p><div><p>inside-before</p><a>ctx</a><p>inside-after</p>'
+     '</div><p>tail</p>',
+     'p:after(a)',
+     None),
+    ('before_pseudo_document_order',
+     '<p>before</p><div><p>inside-before</p><a>ctx</a><p>inside-after</p>'
+     '</div><p>tail</p>',
+     'p:before(a)',
+     None),
+    ('after_excludes_ctx_ancestors_descendants',
+     '<div id=anc><a>x<span>desc</span></a><span>sib-after</span></div>',
+     'span:after(a), div:after(a)',
+     None),
+    ('before_media_projection',
+     '<img src=/early.png><a>ctx</a><img src=/late.png>',
+     'img:before(a)',
+     'https://ex.com/'),
 ]
 
 

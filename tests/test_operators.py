@@ -945,7 +945,7 @@ def test_streaming_select_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(batch)
     # malformed query fails on the driver, before any stream starts
     with pytest.raises(ValueError):
-        streaming_select(spark, corpus, out, chk, xpath="//p[position()>1]")
+        streaming_select(spark, corpus, out, chk, xpath="//a/following::b/c")
 
 
 def test_streaming_project_matches_batch(spark, tmp_path):

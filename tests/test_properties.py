@@ -281,23 +281,28 @@ _soup = st.lists(_soup_tok, max_size=60).map("".join)
 
 
 def _naive_has_matches(s: str, subj: str, wit: str, mode: str):
-    """Brute-force reference for X:has(Y)/:has(> Y)/:has(~ Y): build the
-    repaired tree explicitly, test each element by definition, emit
+    """Brute-force reference for X:has(Y)/:has(> Y)/:has(~ Y) and the
+    document-order pseudos X:after(Y)/X:before(Y): build the repaired
+    tree explicitly, test each element by definition, emit
     (text, collapsed-subtree-text, None) spans in document-open order."""
     from xkit.extract import _collapse
 
     nodes: list = []  # {"tag", "children", "text", "has_desc_tag": set}
     roots: list = []
     stack: list = []
-    for ev in repair(tokenize(s)):
+    for ei, ev in enumerate(repair(tokenize(s))):
         k = ev[0]
         if k == "open":
             nid = len(nodes)
-            nodes.append({"tag": ev[1], "children": [], "text": [], "dt": set()})
+            nodes.append(
+                {"tag": ev[1], "children": [], "text": [], "dt": set(),
+                 "open": ei, "close": None}
+            )
             (nodes[stack[-1]]["children"] if stack else roots).append(nid)
             stack.append(nid)
         elif k == "close":
             nid = stack.pop()
+            nodes[nid]["close"] = ei
             if stack:
                 p = stack[-1]
                 nodes[p]["dt"] |= nodes[nid]["dt"] | {nodes[nid]["tag"]}
@@ -305,6 +310,8 @@ def _naive_has_matches(s: str, subj: str, wit: str, mode: str):
             for a in stack:
                 nodes[a]["text"].append(ev[1])
     sib_lists = [roots] + [n["children"] for n in nodes]
+    wit_closes = [n["close"] for n in nodes if n["tag"] == wit]
+    wit_opens = [n["open"] for n in nodes if n["tag"] == wit]
     out = []
     for nid, n in enumerate(nodes):
         if n["tag"] != subj:
@@ -313,6 +320,12 @@ def _naive_has_matches(s: str, subj: str, wit: str, mode: str):
             ok = wit in n["dt"]
         elif mode == "child":
             ok = any(nodes[c]["tag"] == wit for c in n["children"])
+        elif mode == "after":
+            # XPath following::: some witness CLOSED before this OPEN
+            ok = bool(wit_closes) and min(wit_closes) < n["open"]
+        elif mode == "before":
+            # XPath preceding::: some witness OPENS after this CLOSE
+            ok = bool(wit_opens) and max(wit_opens) > n["close"]
         else:  # sib: a FOLLOWING sibling matches
             ok = False
             for sibs in sib_lists:
@@ -330,17 +343,21 @@ def _naive_has_matches(s: str, subj: str, wit: str, mode: str):
     _soup,
     st.sampled_from(_HAS_TAGS),
     st.sampled_from(_HAS_TAGS),
-    st.sampled_from(["desc", "child", "sib"]),
+    st.sampled_from(["desc", "child", "sib", "after", "before"]),
 )
 def test_has_witness_modes_match_naive_reference(s, subj, wit, mode):
     """The registry-indexed witness machinery (desc buckets, depth-keyed
-    child/sib buckets, tail-pop deregistration, parent-close flush) must
-    agree with a brute-force tree evaluation on arbitrary tag soup."""
+    child/sib buckets, tail-pop deregistration, parent-close flush) and
+    the document-order watermark pseudos (:after/:before — XPath
+    following::/preceding::) must agree with a brute-force tree
+    evaluation on arbitrary tag soup."""
     from xkit.selector import select_html
 
     sel = {
         "desc": f"{subj}:has({wit})",
         "child": f"{subj}:has(> {wit})",
         "sib": f"{subj}:has(~ {wit})",
+        "after": f"{subj}:after({wit})",
+        "before": f"{subj}:before({wit})",
     }[mode]
     assert select_html(s, sel) == _naive_has_matches(s, subj, wit, mode)

@@ -329,6 +329,11 @@ def test_xpath_translation_strings():
     assert x("//a/descendant-or-self::b") == "a b"  # self arm empty
     assert x("//x/a/descendant-or-self::*") == "x > a *, x > a"
     assert x("//a/descendant-or-self::a/@id") == "a a @id, a @id"
+    # round-5 batch 2: document-order axes → :after/:before pseudos
+    assert x("//a/following::b") == "b:after(a)"
+    assert x("//a/preceding::b") == "b:before(a)"
+    assert x("//a[@id='k']/preceding::p[@c]") == "p[c]:before(a[id='k'])"
+    assert x("//a/following::b/@href") == "b:after(a) @href"
 
 
 def test_xpath_position_and_or_self_behavior():
@@ -365,6 +370,32 @@ def test_xpath_position_and_or_self_behavior():
     assert q(h2, "//span/self::p") == []  # exact empty, no error
 
 
+def test_xpath_following_preceding_behavior():
+    """following:: / preceding:: node-set semantics via the
+    :after/:before watermark pseudos: strict event order — the
+    context's descendants and ancestors belong to NEITHER axis."""
+    from xkit.xpath import select_html_xpath as q
+
+    h = ("<p id='1'>one</p><div><p id='2'>two</p><a>A</a>"
+         "<p id='3'>three</p></div><p id='4'>four</p>")
+    assert q(h, "//a/following::p/@id") == [
+        ("text", "3", None), ("text", "4", None)]
+    assert q(h, "//a/preceding::p/@id") == [
+        ("text", "1", None), ("text", "2", None)]
+    # the div CONTAINS a: ancestor — in neither axis
+    assert q(h, "//a/following::div") == []
+    assert q(h, "//a/preceding::div") == []
+    # a's own descendants are in neither axis either
+    h2 = "<a><b>in</b></a><b>out</b>"
+    assert q(h2, "//a/following::b") == [("text", "out", None)]
+    # a closes before the OUTER b opens -> a is in that b's preceding
+    # axis (the inner b never witnesses: it opens inside a)
+    assert q(h2, "//b/preceding::a") == [("text", "in", None)]
+    assert q("<a><b>only inner</b></a>", "//b/preceding::a") == []
+    h3 = "<b>lead</b><a>A</a>"
+    assert q(h3, "//a/preceding::b") == [("text", "lead", None)]
+
+
 @pytest.mark.parametrize(
     "bad",
     [
@@ -381,7 +412,10 @@ def test_xpath_position_and_or_self_behavior():
         "//a/descendant::b[2]",  # indexes the full descendant node-set
         "//x/a/ancestor::div",  # ancestor:: needs a single-step prefix
         "//a/ancestor::div/b",  # ancestor result must be final
-        "//a/following::b",
+        "//a/following::b/c",  # :after lives on the subject: final only
+        "//a/preceding::b[1]",  # positional pred indexes the axis node-set
+        "//x/a/following::b",  # needs a single-step prefix
+        "//a//preceding::b",  # '//' before an axis
         "//a/self::b[1]",  # positional pred indexes the axis node-set
         "//a/following-sibling::b[position()>1]",
         "//a/descendant-or-self::b[2]",
@@ -554,12 +588,16 @@ def test_spark_select_stage_accepts_xpath(tmp_path):
     pp = flat(select_spans(df, xpath="//td[position()>1]"))
     assert pp == flat(select_spans(df, "td:nth-of-type(n+2)"))
 
+    # document-order axes ride the same surface (round-5 batch 2)
+    fo = flat(select_spans(df, xpath="//h1/following::td"))
+    assert fo == flat(select_spans(df, "td:after(h1)"))
+
     with pytest.raises(ValueError):
         select_spans(df, "p", xpath="//p")  # both
     with pytest.raises(ValueError):
         select_spans(df)  # neither
     with pytest.raises(ValueError):
-        select_spans(df, xpath="//a/following::b")  # driver-side reject
+        select_spans(df, xpath="//a/following-or-self::b")  # driver-side reject
 
 
 def test_root_pseudo_semantics():

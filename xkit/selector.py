@@ -19,6 +19,7 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
                  | ":nth-last-of-type(") (int|odd|even|an+b) ")"
               | ":not(" compound ")" | ":root"
               | ":has(" (">"|"~")? compound ")"   (subject compound only)
+              | (":after(" | ":before(") compound ")"     (subject only)
               | (":contains(" | ":text-is(") string ")"   (subject only)
 
 * whitespace between compounds is the DESCENDANT combinator; ``>``
@@ -36,8 +37,16 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   the pre-pass's per-tag totals); ``:not(compound)`` negates one
   compound (no combinators, no nesting — CSS3-shaped) and evaluates
   with the same positional context, so ``p:not(:last-of-type)`` works
-  (and triggers the pre-pass); dynamic pseudos (``:hover``) stay out
-  of scope (ValueError, not silently unmatched)
+  (and triggers the pre-pass); ``:after(ctx)`` / ``:before(ctx)`` are
+  the DOCUMENT-ORDER witness pseudos (XPath ``following::`` /
+  ``preceding::`` compile onto them): the subject matches when it
+  OPENS after some ctx element CLOSED, resp. CLOSES before some ctx
+  element OPENS — strict event order, so ctx's ancestors and
+  descendants match neither (exactly the axis node-sets); :after
+  resolves at the subject's open (O(1) watermark), :before defers the
+  capture until a ctx opens (like the ~ witness mode; both stay
+  linear on 50k-wide/100k-deep adversarial docs); dynamic pseudos
+  (``:hover``) stay out of scope (ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
@@ -399,7 +408,13 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                     ("contains" if name == "contains" else "is", arg)
                 )
                 i = k
-            elif name in ("not", "has"):
+            elif name in ("not", "has", "after", "before"):
+                # :after(ctx) / :before(ctx) are the document-order
+                # witness pseudos (XPath following:: / preceding::
+                # compile onto them): the subject OPENS after some ctx
+                # element CLOSED, resp. CLOSES before some ctx element
+                # OPENS — strict event order, so ancestors/descendants
+                # of ctx never match, exactly the axis semantics
                 if j >= n or s[j] != "(":
                     raise ValueError(f":{name} needs (arg) in selector {s!r}")
                 # balanced-paren scan (the inner compound may itself
@@ -420,8 +435,10 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                 if depth_p:
                     raise ValueError(f"unterminated :{name}( in selector {s!r}")
                 inner_s = s[j + 1 : k - 1].strip()
-                if ":not" in inner_s or ":has" in inner_s:
-                    raise ValueError(f"nested :not/:has in selector {s!r}")
+                if any(p in inner_s for p in (":not", ":has", ":after", ":before")):
+                    raise ValueError(
+                        f"nested :not/:has/:after/:before in selector {s!r}"
+                    )
                 # :has accepts an optional leading combinator narrowing
                 # the witness relation: '>' = direct child, '~' =
                 # FOLLOWING sibling (CSS4 relative-selector shapes; the
@@ -445,6 +462,8 @@ def _parse_compound(s: str, i: int) -> tuple[_Simple, int]:
                     )
                 if name == "not":
                     nots.append(inner)
+                elif name in ("after", "before"):
+                    has.append((name, inner))
                 else:
                     has.append((mode, inner))
                 i = k
@@ -586,7 +605,8 @@ def parse_selector(selector: str) -> list:
         # parsed, which a single forward pass cannot provide
         if any(c.has for c in chain[:-1]):
             raise ValueError(
-                f":has() is only supported on the subject compound in {selector!r}"
+                ":has()/:after()/:before() are only supported on the "
+                f"subject compound in {selector!r}"
             )
         if any(c.texts for c in chain[:-1]):
             raise ValueError(
@@ -755,6 +775,25 @@ def select_events(
     desc_pend: dict = {}   # id(inner) -> bucket (witness = any descendant)
     child_pend: dict = {}  # witness 0-based depth -> {id(inner): bucket}
     sib_pend: dict = {}    # witness 0-based depth -> {id(inner): bucket}
+    # :after/:before document-order witnesses (XPath following:: /
+    # preceding::). :after resolves at the SUBJECT's open — after_unsat
+    # holds each :after ctx compound until one matching element CLOSES
+    # (after_stack marks matching frames at open; the first marked
+    # close moves the id to after_closed, making every later subject
+    # test O(1) set membership). :before defers like sib: the closed
+    # capture waits in before_pend until ANY ctx element OPENS — one
+    # witness flushes the whole bucket (all members closed earlier, so
+    # the strict close<open order holds), later subjects re-register.
+    after_unsat: dict = {
+        id(h): h
+        for (chain_, _), _p in groups
+        for m, h in chain_[-1].has
+        if m == "after"
+    }
+    has_after = bool(after_unsat)
+    after_closed: set = set()
+    after_stack: list = []
+    before_pend: dict = {}
     # cap[7] counts unsatisfied inners; cap[10] is the static (mode,
     # inner) tuple; closed captures waiting on sib witnesses append
     # their close event index as cap[11] (the html slice needs it).
@@ -875,12 +914,45 @@ def select_events(
                 _test_buckets(sb, tag, attrs, idx, e_total, sibs, e_ttot, e_depth)
                 if not sb:
                     del sib_pend[e_depth]
+            if before_pend:
+                # a ctx OPEN flushes every :before-deferred capture —
+                # they all closed strictly earlier
+                _test_buckets(
+                    before_pend, tag, attrs, idx, e_total, sibs, e_ttot, e_depth
+                )
+            if has_after:
+                # mark frames whose close will arm an :after watermark
+                marks = None
+                if after_unsat:
+                    for hid, h in after_unsat.items():
+                        if h.matches(
+                            tag, attrs, idx + 1, e_total, sibs, idx,
+                            e_ttot, e_depth,
+                        ):
+                            if marks is None:
+                                marks = []
+                            marks.append(hid)
+                after_stack.append(marks)
             projs_here = set()
             for (chain, rels), proj in groups:
                 if proj in projs_here:
                     continue  # dedupe: element matched by 2 alternatives
                 if _chain_matches(stack, chain, rels):
                     pending = chain[-1].has
+                    if pending and any(m == "after" for m, _ in pending):
+                        # :after resolves NOW: the ctx must have closed
+                        # strictly before this open, or it never can
+                        # for this subject — no capture (and no
+                        # projs_here claim: a dead conditional must not
+                        # shadow later alternatives)
+                        if any(
+                            m == "after" and id(h) not in after_closed
+                            for m, h in pending
+                        ):
+                            continue
+                        pending = tuple(
+                            (m, h) for m, h in pending if m != "after"
+                        )
                     ctests = chain[-1].texts
                     if not pending and not ctests:
                         # a pending capture may still DROP at close, so
@@ -916,6 +988,15 @@ def select_events(
             stack.pop()
             parent_seqs.pop()
             children_stack.pop()
+            if has_after:
+                marks = after_stack.pop()
+                if marks:
+                    # first matching close arms the watermark: every
+                    # LATER-opening subject satisfies this :after inner
+                    for hid in marks:
+                        if hid in after_unsat:
+                            del after_unsat[hid]
+                            after_closed.add(hid)
             # finalize captures opened at this depth (appended in order,
             # so they sit at the tail); a capture with unsatisfied
             # :has() inners drops, and one (element, projection) emits
@@ -931,12 +1012,15 @@ def select_events(
                 # deregister unsatisfied desc/child inners (tail-pop —
                 # see the registry comment; absence means satisfied);
                 # any unsatisfied one kills the capture, since its
-                # witness window (the subtree) is over
+                # witness window (the subtree) is over. sib/before
+                # witnesses CANNOT have satisfied yet (a sibling opens
+                # after this close; a :before ctx opens after it too) —
+                # they defer the capture instead
                 dead = False
-                n_sib = 0
+                n_defer = 0
                 for m, h in cap[10]:
-                    if m == "sib":
-                        n_sib += 1
+                    if m in ("sib", "before"):
+                        n_defer += 1
                         continue
                     if m == "desc":
                         holder, entry = desc_pend, desc_pend.get(id(h))
@@ -951,15 +1035,19 @@ def select_events(
                 d = child_pend.get(cap[0])
                 if d is not None and not d:
                     del child_pend[cap[0]]
-                if dead or n_sib == 0:
+                if dead or n_defer == 0:
                     continue
-                # only sib witnesses outstanding (they cannot satisfy
-                # before the close): wait until the parent closes
+                # only sib/before witnesses outstanding: wait (sib —
+                # until the parent closes; before — until any ctx opens)
                 cap.append(ei)  # the html slice needs THIS close
-                buckets = sib_pend.setdefault(cap[0] - 1, {})
+                sb_bucket = None
                 for m, h in cap[10]:
                     if m == "sib":
-                        buckets.setdefault(id(h), [h]).append(cap)
+                        if sb_bucket is None:
+                            sb_bucket = sib_pend.setdefault(cap[0] - 1, {})
+                        sb_bucket.setdefault(id(h), [h]).append(cap)
+                    elif m == "before":
+                        before_pend.setdefault(id(h), [h]).append(cap)
             finalized.sort(key=lambda c: c[6])
             for cap in finalized:
                 _finalize(cap, ei)

@@ -90,6 +90,13 @@ Supported subset and its mapping:
                                    final step only (+ projections).
                                    Overlapping arms dedupe at emission
                                    — one (element, projection) row
+    a/following::t               → t:after(a) — t OPENS after an a
+                                   CLOSES (strict event order ≡ the
+                                   axis node-set: a's descendants and
+                                   ancestors never match); ancestor::
+                                   bounds (single-step prefix, final)
+    a/preceding::t               → t:before(a) — t CLOSES before an a
+                                   OPENS; same bounds
     [normalize-space()='v']      → :text-is('v')  (also (.) / (text());
                                    the collapsed subtree text IS
                                    normalize-space)
@@ -108,9 +115,11 @@ Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
 selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
 or each top-level element in fragment mode, mirroring XPath over a
-fragment's node-set). Everything else — other axes (``following::``,
-``preceding::``), ``node()``, nested paths in predicates — raises
-``ValueError`` naming the unsupported construct.
+fragment's node-set). Everything else — the ``-or-self`` sibling
+axes, ``node()``, nested paths in predicates, ``position()``
+arithmetic beyond the OP/mod/last()-K forms — raises ``ValueError``
+naming the unsupported construct. Every XPath 1.0 element axis is now
+covered (attribute/namespace axes are projections or out of scope).
 """
 
 from __future__ import annotations
@@ -436,6 +445,7 @@ def _translate_path(path: str, xpath: str) -> str:
                     "following-sibling", "preceding-sibling", "parent",
                     "child", "descendant", "ancestor", "self",
                     "ancestor-or-self", "descendant-or-self",
+                    "following", "preceding",
                 ):
                     raise ValueError(
                         f"unsupported XPath axis {m.group(0)!r} in {xpath!r}"
@@ -555,6 +565,24 @@ def _translate_path(path: str, xpath: str) -> str:
                     alt_steps = [(prev_comb, merged)]
             out.append(
                 (prev_comb, f"{tag}{''.join(preds)}:has({prev_comp})", "has")
+            )
+        elif axis in ("following", "preceding"):
+            # //a/following::b ⇔ b:after(a) — b OPENS after an a CLOSES
+            # (strict event order: a's descendants and ancestors never
+            # match, exactly the axis node-set); //a/preceding::b ⇔
+            # b:before(a) — b CLOSES before an a OPENS. Same
+            # single-step-prefix + final-step bounds as ancestor:: (the
+            # ctx compound can't carry a chain, and :after/:before live
+            # on the subject compound)
+            if len(out) != 1 or out[0][2] != "plain":
+                raise ValueError(
+                    f"unsupported XPath ({axis}:: needs a single-step "
+                    f"prefix): {xpath!r}"
+                )
+            prev_comb, prev_comp, _ = out.pop()
+            pseudo = "after" if axis == "following" else "before"
+            out.append(
+                (prev_comb, f"{tag}{''.join(preds)}:{pseudo}({prev_comp})", "has")
             )
         elif axis == "self":
             # a/self::b[p] — the context element itself with extra
