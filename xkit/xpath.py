@@ -115,11 +115,14 @@ Absolute paths anchor exactly: ``/div/p`` → ``div:root > p`` (the
 selector grammar's ``:root`` matches elements with no element
 ancestors, so a leading ``/`` step only matches the document element —
 or each top-level element in fragment mode, mirroring XPath over a
-fragment's node-set). Everything else — the ``-or-self`` sibling
-axes, ``node()``, nested paths in predicates, ``position()``
-arithmetic beyond the OP/mod/last()-K forms — raises ``ValueError``
-naming the unsupported construct. Every XPath 1.0 element axis is now
-covered (attribute/namespace axes are projections or out of scope).
+fragment's node-set). All 13 XPath 1.0 axes are now accounted for:
+the 11 element axes translate (child, descendant, parent, ancestor,
+self, the two -or-self forms, both sibling axes, following,
+preceding), the attribute axis is the ``/@attr`` projection, and the
+namespace axis is out of scope with XML namespaces themselves.
+Everything else — ``node()``, nested paths in predicates,
+``position()`` arithmetic beyond the OP/mod/last()-K forms — raises
+``ValueError`` naming the unsupported construct.
 """
 
 from __future__ import annotations
