@@ -1409,6 +1409,19 @@ def _q_contamination_scores(spark, sf_dir):
     return contamination_scores(d, bench, k=3)
 
 
+def _q_duplicate_passages(spark, sf_dir):
+    """R66: corpus-SELF duplicated passages (exact substring dedup at
+    5-gram granularity) — contiguous runs of grams occurring in ≥2
+    distinct documents, as excisable token spans. The corpus-vs-itself
+    twin of contamination_spans; quarter-sampled (deterministic md5
+    fraction) so the contract entry stays mid-pack."""
+    from xhtmlkit_spark.operators.dedup import duplicate_passages
+    from xhtmlkit_spark.operators.sampling import hash_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicate_passages(hash_sample(d, 0.25, key="doc_id", salt="dup"), k=5)
+
+
 def _q_contamination_spans(spark, sf_dir):
     """R52: span-level decontamination — WHERE the benchmark overlap
     sits, as contiguous token runs (gaps-and-islands on hit
@@ -1790,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "robots_sitemap_urls": _q_robots_sitemap_urls,
         "contamination_spans": _q_contamination_spans,
+        "duplicate_passages": _q_duplicate_passages,
         "feed_entries": _q_feed_entries,
         "dsir_weights": _q_dsir_weights,
         "snapshot_diff": _q_snapshot_diff,
@@ -3064,6 +3078,41 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "duplicate_passages": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL
+                AND (('0x' || substr(md5('dup' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0) < 0.25),
+            psh AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                               toks[i+3], toks[i+4]) AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+                    FROM t)),
+            dup AS (
+              SELECT g FROM psh GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT p.doc_id, p.pos FROM psh p JOIN dup d ON p.g = d.g),
+            runs AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM hits),
+            sp AS (
+              SELECT doc_id, min(pos) AS tok_start,
+                     CAST(count(*) AS BIGINT) AS n_grams
+              FROM runs GROUP BY doc_id, grp)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tok_start)
+                        AS INT) AS span_idx,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   n_grams + 4 AS tok_len,
+                   n_grams
+            FROM sp
         """,
         "contamination_spans": f"""
             WITH {_shingle_sig_cte(3)},

@@ -1875,6 +1875,43 @@ def test_contamination_spans_excises_planted_quote(spark):
     assert 3 not in got
 
 
+def test_duplicate_passages_finds_shared_runs(spark):
+    """Corpus-SELF duplicated passages (R66): a passage shared by two
+    documents comes back as one contiguous span in EACH, with exact
+    token boundaries; a within-doc repeat alone (one document) does
+    not count toward min_docs; unique text yields nothing."""
+    from xhtmlkit_spark.operators.dedup import duplicate_passages
+
+    passage = "p1 p2 p3 p4 p5 p6"
+    corpus = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + passage + " a3 a4"),
+            (2, passage + " b1 b2 b3 b4 b5"),
+            # the same trigram TWICE in one doc, nowhere else: distinct-doc
+            # count is 1 → not a duplicate passage
+            (3, "q1 q2 q3 c1 c2 q1 q2 q3"),
+            (4, "unique u1 u2 u3 u4 u5 u6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in duplicate_passages(corpus, k=3, checkpoint=False).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_idx"], r["tok_start"], r["tok_len"], r["n_grams"])
+        )
+    # doc1: passage tokens at 2..7 → gram hits 2,3,4,5 → one span
+    # tok_start=2, tok_len=4+3-1=6 — exactly the passage
+    assert got[1] == [(1, 2, 6, 4)]
+    # doc2: passage at 0..5 → hits 0..3
+    assert got[2] == [(1, 0, 6, 4)]
+    assert 3 not in got and 4 not in got
+    # a stricter threshold: the pair-shared passage no longer qualifies
+    assert (
+        duplicate_passages(corpus, k=3, min_docs=3, checkpoint=False).count()
+        == 0
+    )
+
+
 def test_robots_crawl_delay(spark):
     """Group scoping, largest-wins, non-numeric drop, comment strip."""
     from xhtmlkit_spark.operators.urls import robots_crawl_delay

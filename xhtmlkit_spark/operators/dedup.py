@@ -519,6 +519,73 @@ def contamination_spans(
     )
 
 
+def duplicate_passages(
+    df: DataFrame,
+    k: int = 6,
+    min_docs: int = 2,
+    text: str = "text",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Corpus-SELF duplicated passages — exact substring dedup at
+    k-gram granularity (the "Deduplicating Training Data" surface):
+    contiguous runs of k-token grams that occur in ≥ ``min_docs``
+    DISTINCT documents, as per-doc token spans ``(doc_id, span_idx,
+    tok_start, tok_len, n_grams)``. :func:`contamination_spans` is the
+    corpus-vs-benchmark twin; this probes the corpus against ITSELF —
+    cross-document boilerplate, licence blocks, syndicated passages.
+    A run of hits at gram positions p..p+n-1 covers tokens
+    p..p+n+k-2 (``tok_len = n_grams + k - 1``); runs via the same
+    gaps-and-islands trick (group key = pos − row_number(pos)).
+
+    Scale shape: gram occurrences shuffle as 32-char md5 keys, never
+    gram text (the house cross-engine hash — Spark and DuckDB agree
+    byte-for-byte, unlike xxhash64). Two consumers read the exploded
+    gram stream (the distinct-doc count and the position join-back),
+    so the slim (doc_id, pos, gk) projection is localCheckpointed
+    ONCE by default — re-tokenizing the corpus per consumer costs
+    more than spilling the token-sized projection (the ivf_ann_topk
+    lesson; pass ``checkpoint=False`` to keep the plan lazy, e.g.
+    under an outer checkpoint). The duplicated-gram set is usually
+    corpus-small and AQE may broadcast the join-back side at runtime;
+    only HIT positions enter the per-doc window shuffle.
+    """
+    c = F.col(text)
+    toks = F.split(F.trim(c), "\\s+")
+
+    def body(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+
+    positional = F.when(c.isNotNull(), bind(toks, body))
+    ex = df.select("doc_id", F.posexplode(positional).alias("pos", "g")).select(
+        "doc_id", "pos", F.md5("g").alias("gk")
+    )
+    if checkpoint:
+        ex = ex.localCheckpoint(eager=False)
+    dup = (
+        ex.groupBy("gk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gk")
+    )
+    hits = ex.join(dup, "gk", "inner").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "__grp").agg(
+        F.min("pos").alias("tok_start"), F.count(F.lit(1)).alias("n_grams")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("tok_start")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w2).alias("span_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        (F.col("n_grams") + F.lit(k - 1)).cast("long").alias("tok_len"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
 def containment_verify(
     pairs: DataFrame,
     docs: DataFrame,
