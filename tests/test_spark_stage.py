@@ -1268,3 +1268,62 @@ def test_build_training_corpus_pack_plan(spark, corpus_path, tmp_path):
     )
     plan2 = spark.read.parquet(funnel2["pack_output_path"])
     assert sorted(map(tuple, rows)) == sorted(map(tuple, plan2.collect()))
+
+
+def test_build_training_corpus_dedup_passages_tier(spark, tmp_path):
+    """Corpus-self passage dedup composed into the funnel: a passage
+    shared by two documents survives ONLY in the smallest-doc_id
+    keeper; the other document keeps its unique text with the passage
+    cut; untouched docs land byte-identical; span/token counts ride
+    the observed write; rerun is deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xhtmlkit_spark.datagen import corpus_schema
+    from xhtmlkit_spark.plans.training import build_training_corpus
+
+    passage = "all rights reserved by the example press syndicate group"  # 9 toks
+    docs = {
+        "a_keeper": f"unique lead for the first page {passage}",
+        "b_loser": f"{passage} and then a different tail for the second page",
+        "c_clean": (
+            "a wholly separate page about partitions and the way a shuffle "
+            "moves rows between the stages of a job"
+        ),
+    }
+    rows = {
+        "doc_id": list(docs),
+        "spans": [
+            [{"kind": "html", "text": f"<p>{t}</p>", "media_ref": None, "offset": 0}]
+            for t in docs.values()
+        ],
+        "part": [0, 1, 2],
+    }
+    corpus = str(tmp_path / "pass_corpus.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=corpus_schema()), corpus)
+
+    out = str(tmp_path / "train_pass")
+    f = build_training_corpus(
+        spark, corpus, out, langs=("en",), min_quality=0.0, min_tokens=2,
+        near_dup=None, dedup_passages=True, passage_k=4,
+    )
+    landed = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert set(landed) == set(docs)
+    # keeper (min doc_id among sharers) keeps the passage verbatim
+    assert landed["a_keeper"] == docs["a_keeper"]
+    # the other sharer loses exactly the passage
+    assert landed["b_loser"] == "and then a different tail for the second page"
+    assert landed["c_clean"] == docs["c_clean"]
+    # one span in b_loser covering the 9-token passage
+    assert f["passage_spans_excised"] == 1
+    assert f["passage_tokens_excised"] == len(passage.split())
+    # deterministic rerun
+    f2 = build_training_corpus(
+        spark, corpus, str(tmp_path / "train_pass2"), langs=("en",),
+        min_quality=0.0, min_tokens=2, near_dup=None,
+        dedup_passages=True, passage_k=4,
+    )
+    assert f == {**f2, "output_path": out}

@@ -525,6 +525,7 @@ def duplicate_passages(
     min_docs: int = 2,
     text: str = "text",
     checkpoint: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Corpus-SELF duplicated passages — exact substring dedup at
     k-gram granularity (the "Deduplicating Training Data" surface):
@@ -548,6 +549,14 @@ def duplicate_passages(
     under an outer checkpoint). The duplicated-gram set is usually
     corpus-small and AQE may broadcast the join-back side at runtime;
     only HIT positions enter the per-doc window shuffle.
+
+    ``keep_first=True`` switches from REPORTING to EXCISION semantics:
+    each duplicated gram's occurrence in its smallest-doc_id document
+    (the deterministic keeper) is exempt, so cutting the returned
+    spans removes every duplicated passage from the corpus EXCEPT one
+    canonical copy (the remove-all-but-one discipline; with the
+    default False, spans cover every occurrence — the reporting
+    surface).
     """
     c = F.col(text)
     toks = F.split(F.trim(c), "\\s+")
@@ -564,13 +573,15 @@ def duplicate_passages(
     )
     if checkpoint:
         ex = ex.localCheckpoint(eager=False)
-    dup = (
-        ex.groupBy("gk")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("gk")
+    gagg = ex.groupBy("gk").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("__keeper"),
     )
-    hits = ex.join(dup, "gk", "inner").select("doc_id", "pos")
+    dup = gagg.where(F.col("nd") >= min_docs).select("gk", "__keeper")
+    hits = ex.join(dup, "gk", "inner")
+    if keep_first:
+        hits = hits.where(F.col("doc_id") != F.col("__keeper"))
+    hits = hits.select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     spans = runs.groupBy("doc_id", "__grp").agg(

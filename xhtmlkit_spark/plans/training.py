@@ -69,6 +69,52 @@ def _near_dup_keeper(docs: DataFrame, mode: str, jaccard_threshold: float) -> Da
     return near_dup_groups(docs, pairs.distinct())
 
 
+def _excise_token_spans(docs, spans_df, tmp_col, n_spans_col, n_tokens_col):
+    """Cut ``(tok_start, tok_len)`` token spans out of ``docs.text``
+    (whitespace tokenization — identical to the span producers').
+    Untouched docs pass through byte-identical (the rewrite only fires
+    when spans exist); per-doc span/token counts land as columns so
+    they can ride the observed write. Shared by the benchmark-excise
+    and passage-dedup tiers."""
+    per_doc = spans_df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tok_start", "tok_len")).alias(tmp_col),
+        F.count(F.lit(1)).alias(n_spans_col),
+        F.sum("tok_len").alias(n_tokens_col),
+    )
+    toks = F.split(F.trim(F.col("text")), "\\s+")  # = the span tokenization
+    sp = F.col(tmp_col)
+    kept = F.filter(
+        F.transform(  # 2-param lambda = (element, index), 0-based
+            toks,
+            lambda x, i: F.when(
+                F.exists(
+                    sp,
+                    lambda s: (s["tok_start"] <= i)
+                    & (i < s["tok_start"] + s["tok_len"]),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(sp.isNotNull(), F.concat_ws(" ", kept)).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            n_spans_col, F.coalesce(F.col(n_spans_col), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            n_tokens_col, F.coalesce(F.col(n_tokens_col), F.lit(0)).cast("long")
+        )
+        .drop(tmp_col)
+    )
+
+
 def build_training_corpus(
     spark: SparkSession,
     corpus_path: str,
@@ -91,6 +137,8 @@ def build_training_corpus(
     decontaminate: str | None = None,
     contamination_threshold: float = 0.05,
     decontam_k: int = 3,
+    dedup_passages: bool = False,
+    passage_k: int = 6,
 ) -> dict:
     """Extract, score, dedup, filter, sample, and write a training set;
     returns the funnel (docs surviving each successive stage).
@@ -176,6 +224,18 @@ def build_training_corpus(
       first so span-finding + join-back never re-extract. Incompatible
       with ``emit_markdown`` (spans are text-token positions and don't
       map onto the markdown rendering — use ``"drop"`` there).
+
+    ``dedup_passages`` inserts corpus-SELF passage hygiene: the
+    remove-all-but-one discipline for cross-document boilerplate,
+    licence blocks, and syndicated passages. Duplicated ``passage_k``-
+    gram runs (:func:`duplicate_passages` with ``keep_first=True``)
+    are CUT from every document except each gram's smallest-doc_id
+    keeper, with the same span-excision mechanics as
+    ``decontaminate="excise"`` (runs before stats/dedup/ensemble;
+    incompatible with ``emit_markdown``). Composes with benchmark
+    excision — the passage probe sees the already-decontaminated
+    text. Funnel gains ``passage_spans_excised`` /
+    ``passage_tokens_excised`` riding the same observed write.
 
     ``exclude_corpus_path`` makes the build INCREMENTAL: content
     already in that previously-built training set (the output of an
@@ -276,49 +336,37 @@ def build_training_corpus(
                 (F.col("contamination_u") < thr_u).alias("__xk_contam_ok"),
             )
         else:
-            per_doc = contamination_spans(docs, bench, k=decontam_k).groupBy(
-                "doc_id"
-            ).agg(
-                F.collect_list(F.struct("tok_start", "tok_len")).alias("__xk_csp"),
-                F.count(F.lit(1)).alias("n_contam_spans"),
-                F.sum("tok_len").alias("n_contam_tokens"),
+            docs = _excise_token_spans(
+                docs,
+                contamination_spans(docs, bench, k=decontam_k),
+                "__xk_csp",
+                "n_contam_spans",
+                "n_contam_tokens",
             )
-            toks = F.split(F.trim(F.col("text")), "\\s+")  # = the span tokenization
-            csp = F.col("__xk_csp")
-            kept = F.filter(
-                F.transform(  # 2-param lambda = (element, index), 0-based
-                    toks,
-                    lambda x, i: F.when(
-                        F.exists(
-                            csp,
-                            lambda s: (s["tok_start"] <= i)
-                            & (i < s["tok_start"] + s["tok_len"]),
-                        ),
-                        F.lit(None).cast("string"),
-                    ).otherwise(x),
-                ),
-                lambda x: x.isNotNull(),
+    if dedup_passages:
+        if emit_markdown:
+            raise ValueError(
+                "dedup_passages cuts text-token spans, which do not map "
+                "onto the markdown rendering — drop emit_markdown or skip "
+                "the passage tier"
             )
-            docs = (
-                docs.join(per_doc, "doc_id", "left")
-                .withColumn(
-                    "text",
-                    F.when(csp.isNotNull(), F.concat_ws(" ", kept)).otherwise(
-                        F.col("text")
-                    ),
-                )
-                .withColumn(
-                    "n_contam_spans",
-                    F.coalesce(F.col("n_contam_spans"), F.lit(0)).cast("long"),
-                )
-                .withColumn(
-                    "n_contam_tokens",
-                    F.coalesce(F.col("n_contam_tokens"), F.lit(0)).cast("long"),
-                )
-                .drop("__xk_csp")
-            )
+        from xhtmlkit_spark.operators.dedup import duplicate_passages
+
+        # the passage probe and the excision join-back both consume
+        # docs — checkpoint (fresh when benchmark excision just
+        # rewrote the text above; duplicate_passages additionally
+        # checkpoints its own exploded gram stream, which the
+        # distinct-doc count and the position join-back share)
+        docs = docs.localCheckpoint(eager=True)
+        docs = _excise_token_spans(
+            docs,
+            duplicate_passages(docs, k=passage_k, keep_first=True),
+            "__xk_dsp",
+            "n_passage_spans",
+            "n_passage_tokens",
+        )
     if (near_dup or ensemble_threshold is not None) and (
-        decontaminate != "drop"
+        decontaminate != "drop" or dedup_passages
     ):
         # in drop mode docs is already the (unmodified) checkpoint above
         docs = docs.localCheckpoint(eager=True)
@@ -438,6 +486,11 @@ def build_training_corpus(
             F.sum("n_contam_spans").alias("contam_spans_excised"),
             F.sum("n_contam_tokens").alias("contam_tokens_excised"),
         ]
+    if dedup_passages:
+        metrics += [
+            F.sum("n_passage_spans").alias("passage_spans_excised"),
+            F.sum("n_passage_tokens").alias("passage_tokens_excised"),
+        ]
     if dedup_lines:
         metrics += [
             F.sum(F.col("n_lines").cast("long")).alias("lines_total"),
@@ -473,6 +526,9 @@ def build_training_corpus(
     if decontaminate == "excise":
         funnel["contam_spans_excised"] = m["contam_spans_excised"] or 0
         funnel["contam_tokens_excised"] = m["contam_tokens_excised"] or 0
+    if dedup_passages:
+        funnel["passage_spans_excised"] = m["passage_spans_excised"] or 0
+        funnel["passage_tokens_excised"] = m["passage_tokens_excised"] or 0
     if pack_context_len:
         from xhtmlkit_spark.operators.packing import pack_chunks
 
