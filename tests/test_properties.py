@@ -361,3 +361,36 @@ def test_has_witness_modes_match_naive_reference(s, subj, wit, mode):
         "before": f"{subj}:before({wit})",
     }[mode]
     assert select_html(s, sel) == _naive_has_matches(s, subj, wit, mode)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(["p", "b", "i"]), min_size=0, max_size=12),
+    st.sampled_from(["=", "!=", "<=", "<", ">=", ">"]),
+    st.integers(min_value=0, max_value=8),
+    st.booleans(),
+)
+def test_xpath_position_arithmetic_matches_definition(tags, op, n, vs_last):
+    """//p[position() OP rhs] must equal the by-definition filter over
+    same-tag child positions — for every comparison operator, against
+    both integer and last()-K right-hand sides, including the
+    never-satisfiable corners (the an+b mapping table is easy to get
+    wrong one-off)."""
+    from xkit.xpath import select_html_xpath
+
+    html = "".join(f"<{t}>{i}</{t}>" for i, t in enumerate(tags))
+    rhs = f"last()-{n}" if vs_last else str(n)
+    got = select_html_xpath(html, f"//p[position() {op} {rhs}]")
+    ps = [i for i, t in enumerate(tags) if t == "p"]
+    total = len(ps)
+    import operator as _op
+
+    cmp = {"=": _op.eq, "!=": _op.ne, "<=": _op.le,
+           "<": _op.lt, ">=": _op.ge, ">": _op.gt}[op]
+    bound = (total - n) if vs_last else n
+    expect = [
+        ("text", str(doc_i), None)
+        for pos_1, doc_i in enumerate(ps, start=1)
+        if cmp(pos_1, bound)
+    ]
+    assert got == expect, (html, op, rhs, got, expect)
