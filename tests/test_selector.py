@@ -394,6 +394,17 @@ def test_xpath_following_preceding_behavior():
     assert q("<a><b>only inner</b></a>", "//b/preceding::a") == []
     h3 = "<b>lead</b><a>A</a>"
     assert q(h3, "//a/preceding::b") == [("text", "lead", None)]
+    # html emission composes with the deferred :before finalization
+    # (the close-event slice recorded at defer time drives the slice)
+    from xkit.selector import select_html
+
+    h4 = '<b id="x"><i>keep</i></b><a>ctx</a><b id="y">late</b>'
+    assert select_html(h4, "b:before(a)", emit="html") == [
+        ("html", '<b id="x"><i>keep</i></b>', None)]
+    assert select_html(h4, "b:after(a)", emit="html") == [
+        ("html", '<b id="y">late</b>', None)]
+    assert select_html(h4, "b:before(a)", emit="inner_html") == [
+        ("html", "<i>keep</i>", None)]
 
 
 @pytest.mark.parametrize(
