@@ -59,6 +59,11 @@ HEADLINE = CORE12 + [
     "harvest_all",
     "page_meta",
     "project_docs",
+    # round-5 addition: corpus-self exact-substring dedup (quarter-
+    # sampled like its contract twin; the single-row-group testdata
+    # parquet serializes every documents-table scan — an input
+    # artifact shared by all documents entries, not a plan property)
+    "duplicate_passages",
 ]
 
 
