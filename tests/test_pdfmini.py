@@ -720,3 +720,24 @@ def test_pdf_password_threads_through_extract_doc():
     # without the password the pdf row contributes nothing
     k2, t2, m2, o2 = extract_doc(kinds, texts, media, list(range(2)))
     assert t2 == ["plain"]
+
+
+def test_password_length_caps_match_spec():
+    """R<=4 passwords act through the 32-byte pad window (two
+    passwords sharing their first 32 bytes are equivalent); R6 caps at
+    127 bytes (ISO 32000-2) — the extractor and the fixture generator
+    truncate identically."""
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    long_pwd = b"A" * 40
+    pdf = make_fixture_pdf_encrypted([["padded"]], r=3, user_pwd=long_pwd)
+    assert extract_pdf_text(pdf, long_pwd) == ["padded"]
+    # same first 32 bytes, different tail: equivalent under the pad rule
+    assert extract_pdf_text(pdf, b"A" * 32 + b"B" * 8) == ["padded"]
+    assert extract_pdf_text(pdf, b"A" * 31 + b"C") == []
+
+    huge = bytes(range(200)) * 1  # 200 bytes, truncates at 127
+    pdf6 = make_fixture_pdf_encrypted([["capped"]], r=6, user_pwd=huge)
+    assert extract_pdf_text(pdf6, huge) == ["capped"]
+    assert extract_pdf_text(pdf6, huge[:127]) == ["capped"]
+    assert extract_pdf_text(pdf6, huge[:126]) == []

@@ -621,6 +621,7 @@ def _find_encryption(data: bytes, offsets: dict, password: bytes = b""):
         vsalt, ksalt = u[32:40], u[40:48]
 
         def h5(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+            pwd = pwd[:127]  # ISO 32000-2: at most 127 password bytes
             if r == 6:
                 return _hash_2b(pwd, salt, udata)
             return hashlib.sha256(pwd + salt + udata).digest()
@@ -1782,6 +1783,7 @@ def make_fixture_pdf_encrypted(
         raise ValueError(f"r must be in 2..6, got {r}")
     length_bits = {2: 40, 3: 128, 4: 128, 5: 256, 6: 256}[r]
     n = length_bits // 8
+    user_pwd, owner_pwd = user_pwd[:127], owner_pwd[:127]  # ISO 32000-2 cap
     id0 = bytes(range(0xA0, 0xB0))  # fixed 16-byte file ID
 
     def esc(s: str) -> str:
