@@ -1885,9 +1885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # last driver row is r03 (oldest-first rotation discipline); the 10
 # stale entries left out (streams, robots_policy, math_lineitem_
 # features, bpe_token_counts, approx_distinct) are unchanged since
-# their r03-green rows. Whole window re-sorts cheapest-first below
-# (safe under both row-cap and wall-budget gate readings); measured
-# wall ≈ 50 s at sf0.01 local[8].
+# their r03-green rows (batch 2: lsh_candidates rotated out — the
+# most expensive filler — for the NEW duplicate_passages, which must
+# record its first driver row; lsh_candidates keeps its r03 green).
+# Whole window re-sorts cheapest-first below (safe under both row-cap
+# and wall-budget gate readings); measured wall ≈ 50 s at sf0.01
+# local[8].
 _R05_WINDOW = [
     # never-recorded + exactmath-changed (must record green in r05)
     "robots_crawl_delays",
@@ -1910,7 +1913,7 @@ _R05_WINDOW = [
     "minhash_signatures", "embedding_explode", "lang_guess",
     "pack_chunks_shuffled", "url_host_policy", "asof_event_orders",
     "cosine_topk", "pack_chunks", "user_sessions",
-    "topk_acctbal_per_segment", "lsh_candidates",
+    "topk_acctbal_per_segment", "duplicate_passages",
 ]
 
 
@@ -1919,6 +1922,7 @@ _R05_WINDOW = [
 # cheapest-first window sort — approximate is fine, only the ordering
 # matters. Window wall ≈ 36 s.
 _WINDOW_COST_S = {
+    "duplicate_passages": 1.6,
     "anti_customers_without_orders": 0.3, "asof_event_orders": 0.7,
     "balance_quartiles": 0.3, "c4_line_stats": 0.4, "char_entropy": 1.8,
     "containment_pairs": 1.8, "contamination_scores": 1.2,
