@@ -741,3 +741,30 @@ def test_password_length_caps_match_spec():
     assert extract_pdf_text(pdf6, huge) == ["capped"]
     assert extract_pdf_text(pdf6, huge[:127]) == ["capped"]
     assert extract_pdf_text(pdf6, huge[:126]) == []
+
+
+def test_password_fuzz_random_bytes():
+    """Random password BYTES (including pad-collision-prone and
+    high-bit bytes) across the fast generations: the exact password
+    and the exact owner password open; a one-byte perturbation within
+    the effective window fails. Guards the algorithm-7 unwrap against
+    password-byte edge cases."""
+    import random
+
+    from xkit.pdfmini import make_fixture_pdf_encrypted
+
+    rnd = random.Random(420)
+    for trial in range(12):
+        r = rnd.choice([2, 3, 4, 5])
+        upw = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 24)))
+        opw = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 24)))
+        pdf = make_fixture_pdf_encrypted(
+            [["fz"]], r=r, user_pwd=upw, owner_pwd=opw
+        )
+        assert extract_pdf_text(pdf, upw) == ["fz"], (r, upw)
+        assert extract_pdf_text(pdf, opw) == ["fz"], (r, opw)
+        flip = bytearray(upw)
+        flip[rnd.randrange(len(flip))] ^= 0x01
+        if bytes(flip) not in (upw, opw):
+            assert extract_pdf_text(pdf, bytes(flip)) == [], (r, upw, flip)
+        assert extract_pdf_text(pdf) == []
