@@ -991,6 +991,10 @@ SELECTOR_CASES = [
      '<img src=/early.png><a>ctx</a><img src=/late.png>',
      'img:before(a)',
      'https://ex.com/'),
+    ('after_before_between_markers',
+     '<h1>start</h1><p>one</p><div><p>two</p></div><h2>stop</h2><p>outside</p>',
+     'p:after(h1):before(h2)',
+     None),
 ]
 
 

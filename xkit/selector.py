@@ -45,8 +45,11 @@ Supported grammar (frozen by tests/golden/selector/selectors.json):
   descendants match neither (exactly the axis node-sets); :after
   resolves at the subject's open (O(1) watermark), :before defers the
   capture until a ctx opens (like the ~ witness mode; both stay
-  linear on 50k-wide/100k-deep adversarial docs); dynamic pseudos
-  (``:hover``) stay out of scope (ValueError, not silently unmatched)
+  linear on 50k-wide/100k-deep adversarial docs); composed on one
+  subject they give the between-markers idiom —
+  ``p:after(h1):before(h2)`` selects content strictly between the two
+  markers in document order; dynamic pseudos (``:hover``) stay out of
+  scope (ValueError, not silently unmatched)
 * ``@name`` (trailing) projects an ATTRIBUTE of the matched element
   instead of its subtree text — e.g. ``meta[property=og:title] @content``
 * values may be bare, 'single'- or "double"-quoted; matching is
